@@ -1,0 +1,118 @@
+"""Model and engine configuration.
+
+The reference keeps hparams in a 7-int file header (`bert.cpp:449-468` in
+/root/reference) plus hardcoded constants scattered through the code (special
+token ids `bert.cpp:304-306`, pad id `bert.cpp:916`, mask scale `bert.cpp:959`,
+512-token cap `bert.cpp:789`). Here everything is an explicit dataclass field.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from pathlib import Path
+from typing import Any
+
+
+@dataclasses.dataclass(frozen=True)
+class BertConfig:
+    """Architecture hyperparameters for a BERT-family encoder.
+
+    Mirrors the reference's ``bert_hparams`` (`bert.cpp:17-27`), extended with
+    the fields HF `config.json` carries that the reference hardcodes.
+    """
+
+    vocab_size: int = 30522
+    hidden_size: int = 384
+    num_hidden_layers: int = 6
+    num_attention_heads: int = 12
+    intermediate_size: int = 1536
+    max_position_embeddings: int = 512
+    type_vocab_size: int = 2
+    layer_norm_eps: float = 1e-12
+    hidden_act: str = "gelu"  # "gelu" (erf, HF default) or "gelu_tanh" (ggml's)
+
+    # Sentence-embedding head (SentenceTransformers semantics).
+    pooling: str = "mean"  # "mean" | "cls" | "max"
+    normalize_embeddings: bool = True
+
+    # Special token ids. The reference hardcodes 101/102/100/0
+    # (`bert.cpp:304-306`); we read them from tokenizer config when available.
+    cls_token_id: int = 101
+    sep_token_id: int = 102
+    unk_token_id: int = 100
+    pad_token_id: int = 0
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_attention_heads
+
+    @classmethod
+    def from_hf_dict(cls, d: dict[str, Any], **overrides: Any) -> "BertConfig":
+        """Build from a HuggingFace ``config.json`` dict."""
+        act = d.get("hidden_act", "gelu")
+        if act in ("gelu_new", "gelu_pytorch_tanh"):
+            act = "gelu_tanh"
+        kw: dict[str, Any] = dict(
+            vocab_size=d["vocab_size"],
+            hidden_size=d["hidden_size"],
+            num_hidden_layers=d["num_hidden_layers"],
+            num_attention_heads=d["num_attention_heads"],
+            intermediate_size=d["intermediate_size"],
+            max_position_embeddings=d.get("max_position_embeddings", 512),
+            type_vocab_size=d.get("type_vocab_size", 2),
+            layer_norm_eps=d.get("layer_norm_eps", 1e-12),
+            hidden_act=act,
+            pad_token_id=d.get("pad_token_id", 0),
+        )
+        kw.update(overrides)
+        return cls(**kw)
+
+    @classmethod
+    def from_json(cls, path: str | Path, **overrides: Any) -> "BertConfig":
+        with open(path) as f:
+            return cls.from_hf_dict(json.load(f), **overrides)
+
+    def to_dict(self) -> dict[str, Any]:
+        return dataclasses.asdict(self)
+
+
+@dataclasses.dataclass
+class EngineConfig:
+    """Runtime/engine knobs (the reference's ``bert_params`` analogue,
+    `bert.h:18-25`, plus what the TPU engine needs that ggml didn't)."""
+
+    # Sequence-length buckets used for jit shape caching. The reference grows
+    # a byte arena per batch (`bert_resize_ctx`, bert.cpp:788-810); XLA instead
+    # wants a small closed set of compiled shapes.
+    seq_buckets: tuple[int, ...] = (16, 32, 64, 128, 256, 512)
+    max_seq_len: int = 512
+    batch_size: int = 32
+    # Batch-size buckets (powers of two up to batch_size) to bound compiles.
+    batch_buckets: tuple[int, ...] = (1, 2, 4, 8, 16, 32)
+    dtype: str = "f32"  # "f32" | "bf16" | "f16" | "q4_0" | "q4_1" | "q8_0"
+    mask_value: float = -1e9  # additive mask for pad positions (ref uses -1e5·…)
+    use_pallas: str = "auto"  # "auto" | "always" | "never"
+    # Mesh axes sizes; data parallel x model (tensor) parallel.
+    dp: int = 1
+    tp: int = 1
+
+    def __post_init__(self) -> None:
+        self.seq_buckets = tuple(sorted(set(int(b) for b in self.seq_buckets)))
+        self.batch_buckets = tuple(sorted(set(int(b) for b in self.batch_buckets)))
+        if self.seq_buckets[-1] < self.max_seq_len:
+            self.seq_buckets = self.seq_buckets + (self.max_seq_len,)
+
+
+# Known model families (the reference supports these via its converter;
+# `README.md:16-22` lists MiniLM + BGE en/zh).
+KNOWN_MODELS: dict[str, dict[str, Any]] = {
+    "all-MiniLM-L6-v2": dict(hidden_size=384, num_hidden_layers=6, num_attention_heads=12, intermediate_size=1536),
+    "all-MiniLM-L12-v2": dict(hidden_size=384, num_hidden_layers=12, num_attention_heads=12, intermediate_size=1536),
+    "bert-base-uncased": dict(hidden_size=768, num_hidden_layers=12, num_attention_heads=12, intermediate_size=3072),
+    "bge-small-en-v1.5": dict(hidden_size=384, num_hidden_layers=12, num_attention_heads=12, intermediate_size=1536, pooling="cls"),
+    "bge-base-en-v1.5": dict(hidden_size=768, num_hidden_layers=12, num_attention_heads=12, intermediate_size=3072, pooling="cls"),
+    "bge-large-en-v1.5": dict(hidden_size=1024, num_hidden_layers=24, num_attention_heads=16, intermediate_size=4096, pooling="cls"),
+    "bge-small-zh-v1.5": dict(vocab_size=21128, hidden_size=512, num_hidden_layers=4, num_attention_heads=8, intermediate_size=2048, pooling="cls"),
+    "bge-base-zh-v1.5": dict(vocab_size=21128, hidden_size=768, num_hidden_layers=12, num_attention_heads=12, intermediate_size=3072, pooling="cls"),
+}

@@ -1,0 +1,165 @@
+"""Functional BERT-family encoder forward pass (JAX, TPU-first).
+
+Covers the same math as the reference's ``bert_forward_batch``
+(/root/reference/bert.cpp:827-1147): embedding-sum + LayerNorm, N layers of
+{pad-masked multi-head self-attention, residual+LN, GELU FFN, residual+LN},
+masked mean pooling, L2 normalization — redesigned for XLA:
+
+- one jitted program per (batch, seq) bucket instead of a per-call graph
+  rebuild (the reference rebuilds its ggml graph every forward);
+- layers run under ``lax.scan`` over stacked parameters — one compiled layer
+  body regardless of depth;
+- attention is batched einsum on the MXU with an additive pad mask (the
+  reference materializes the same [L,L] mask at bert.cpp:957-961);
+- quantized weights (Q4_0/Q4_1/Q8_0) flow through the same code path: the
+  ``linear`` op dispatches to a Pallas fused dequant-matmul kernel on TPU
+  (ops/qmatmul.py) — the TPU-native replacement for ggml's
+  ``ggml_vec_dot_q4_0`` SIMD kernels.
+
+Note on GELU: ggml uses the tanh approximation while HF BERT uses erf
+(exact); ``config.hidden_act`` selects ("gelu" = erf = HF = default).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..config import BertConfig
+from ..ops.quant import QuantizedTensor, gather_rows
+from ..ops.linear import linear
+
+Params = dict[str, Any]
+
+
+def layer_norm(x: jax.Array, scale: jax.Array, bias: jax.Array, eps: float) -> jax.Array:
+    """LayerNorm over the last axis, computed in f32 for stability."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    y = (xf - mean) * lax.rsqrt(var + eps)
+    return (y * scale + bias).astype(x.dtype)
+
+
+def gelu(x: jax.Array, approximate: bool) -> jax.Array:
+    return jax.nn.gelu(x, approximate=approximate)
+
+
+def embed(params: Params, config: BertConfig, token_ids: jax.Array,
+          type_ids: jax.Array | None = None) -> jax.Array:
+    """word + token-type + position embedding sum, then LayerNorm
+    (bert.cpp:963-984)."""
+    B, L = token_ids.shape
+    emb = params["embeddings"]
+    if isinstance(emb["word"], QuantizedTensor):
+        x = gather_rows(emb["word"], token_ids)
+    else:
+        x = jnp.take(emb["word"], token_ids, axis=0)
+    if type_ids is None:
+        x = x + emb["token_type"][0]
+    else:
+        x = x + jnp.take(emb["token_type"], type_ids, axis=0)
+    x = x + emb["position"][:L]
+    return layer_norm(x, emb["ln"]["scale"], emb["ln"]["bias"], config.layer_norm_eps)
+
+
+def attention(layer: Params, config: BertConfig, x: jax.Array,
+              mask_bias: jax.Array) -> jax.Array:
+    """Pad-masked multi-head self-attention (bert.cpp:994-1056)."""
+    B, L, E = x.shape
+    H, D = config.num_attention_heads, config.head_dim
+    a = layer["attn"]
+    q = linear(x, a["q"]["w"], a["q"]["b"]).reshape(B, L, H, D)
+    k = linear(x, a["k"]["w"], a["k"]["b"]).reshape(B, L, H, D)
+    v = linear(x, a["v"]["w"], a["v"]["b"]).reshape(B, L, H, D)
+    # scores: [B, H, L, L] on the MXU; accumulate in f32.
+    scores = jnp.einsum("blhd,bmhd->bhlm", q, k,
+                        preferred_element_type=jnp.float32)
+    scores = scores * (1.0 / math.sqrt(D)) + mask_bias  # [B,1,1,L] broadcast
+    probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+    ctx = jnp.einsum("bhlm,bmhd->blhd", probs, v,
+                     preferred_element_type=jnp.float32).astype(x.dtype)
+    ctx = ctx.reshape(B, L, E)
+    return linear(ctx, a["o"]["w"], a["o"]["b"])
+
+
+def encoder_layer(layer: Params, config: BertConfig, x: jax.Array,
+                  mask_bias: jax.Array) -> jax.Array:
+    """One transformer encoder block (post-LN, bert.cpp:987-1084)."""
+    a, m = layer["attn"], layer["mlp"]
+    x = layer_norm(x + attention(layer, config, x, mask_bias),
+                   a["ln"]["scale"], a["ln"]["bias"], config.layer_norm_eps)
+    h = linear(x, m["up"]["w"], m["up"]["b"])
+    h = gelu(h, approximate=(config.hidden_act == "gelu_tanh"))
+    h = linear(h, m["down"]["w"], m["down"]["b"])
+    return layer_norm(x + h, m["ln"]["scale"], m["ln"]["bias"],
+                      config.layer_norm_eps)
+
+
+def encode_tokens(params: Params, config: BertConfig, token_ids: jax.Array,
+                  attention_mask: jax.Array, *, pooling: str | None = None,
+                  normalize: bool | None = None,
+                  mask_value: float = -1e9,
+                  return_hidden: bool = False) -> jax.Array:
+    """Full forward: token ids + mask -> pooled, normalized embeddings.
+
+    token_ids:       int32 [B, L] (pad positions may hold any id; the mask
+                     rules them out — the reference pads with id 101 and
+                     relies on the same masking, bert.cpp:916).
+    attention_mask:  [B, L], 1 for real tokens, 0 for pads.
+    Returns [B, E] float32 embeddings (or [B, L, E] if return_hidden).
+    """
+    pooling = pooling or config.pooling
+    normalize = config.normalize_embeddings if normalize is None else normalize
+    mask = attention_mask.astype(jnp.float32)
+    # Additive bias: 0 for real tokens, mask_value for pads. The reference
+    # builds (pad⊗pad - 1)·1e5 (bert.cpp:957-961); keying off the key-side
+    # mask alone is equivalent post-softmax for real query rows, and pad
+    # query rows are dropped by pooling either way.
+    mask_bias = ((1.0 - mask) * mask_value)[:, None, None, :]  # [B,1,1,L]
+
+    x = embed(params, config, token_ids)
+
+    # lax.scan over stacked layer params: one compiled block for all layers.
+    def body(h, layer):
+        return encoder_layer(layer, config, h, mask_bias), None
+
+    x, _ = lax.scan(body, x, params["layers"])
+
+    if return_hidden:
+        return x.astype(jnp.float32)
+
+    xf = x.astype(jnp.float32)
+    if pooling == "mean":
+        # Masked mean (the reference's matmul-with-1/len-weights trick,
+        # bert.cpp:905-922, 1087-1089).
+        denom = jnp.maximum(jnp.sum(mask, axis=1, keepdims=True), 1.0)
+        pooled = jnp.einsum("ble,bl->be", xf, mask) / denom
+    elif pooling == "cls":
+        pooled = xf[:, 0]
+    elif pooling == "max":
+        neg = jnp.where(mask[:, :, None] > 0, xf, -jnp.inf)
+        pooled = jnp.max(neg, axis=1)
+    else:
+        raise ValueError(f"unknown pooling: {pooling}")
+
+    if normalize:
+        norm = jnp.linalg.norm(pooled, axis=-1, keepdims=True)
+        pooled = pooled / jnp.maximum(norm, 1e-12)
+    return pooled
+
+
+def make_forward(config: BertConfig, *, pooling: str | None = None,
+                 normalize: bool | None = None, donate: bool = False):
+    """Build the jittable forward fn: (params, token_ids, mask) -> [B, E]."""
+
+    def fwd(params, token_ids, attention_mask):
+        return encode_tokens(params, config, token_ids, attention_mask,
+                             pooling=pooling, normalize=normalize)
+
+    return jax.jit(fwd)

@@ -1,0 +1,310 @@
+"""Parameter pytree construction: HF import, random init, quantization,
+native checkpoint save/load.
+
+Replaces the reference's custom .bin loader + HF-name->tensor map
+(/root/reference/bert.cpp:423-786) and its converter
+(models/convert-to-ggml.py): we import HF checkpoints (safetensors or
+torch .bin) directly — no intermediate format — and persist an optional
+native .npz with quantized arrays. Layer weights are stacked on a leading
+axis so the forward pass scans over them.
+
+Layout (all linears stored [in, out] so the forward does x @ w):
+  params = {
+    "embeddings": {"word": [V,E]|QT, "position": [P,E], "token_type": [T,E],
+                    "ln": {"scale": [E], "bias": [E]}},
+    "layers": {  # each leaf stacked [num_layers, ...]
+      "attn": {"q"/"k"/"v"/"o": {"w": [E,E]|QT, "b": [E]},
+               "ln": {"scale", "bias"}},
+      "mlp":  {"up": {"w": [E,F]|QT, "b": [F]},
+               "down": {"w": [F,E]|QT, "b": [E]},
+               "ln": {"scale", "bias"}},
+    },
+  }
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import BertConfig
+from ..ops.quant import QuantizedTensor, quantize
+
+Params = dict[str, Any]
+
+DENSE_KINDS = ("f32", "f16", "bf16")
+QUANT_KINDS = ("q4_0", "q4_1", "q8_0")
+
+
+def _ln(scale, bias):
+    return {"scale": jnp.asarray(scale, jnp.float32),
+            "bias": jnp.asarray(bias, jnp.float32)}
+
+
+def init_params(config: BertConfig, rng: jax.Array | int = 0,
+                dtype=jnp.float32) -> Params:
+    """Random init (for tests/benchmarks without a checkpoint)."""
+    if isinstance(rng, int):
+        rng = jax.random.PRNGKey(rng)
+    E, F, NL = config.hidden_size, config.intermediate_size, config.num_hidden_layers
+    keys = iter(jax.random.split(rng, 16))
+    std = 0.02
+
+    def mat(key, shape):
+        return (jax.random.normal(key, shape) * std).astype(dtype)
+
+    emb = {
+        "word": mat(next(keys), (config.vocab_size, E)),
+        "position": mat(next(keys), (config.max_position_embeddings, E)),
+        "token_type": mat(next(keys), (config.type_vocab_size, E)),
+        "ln": _ln(np.ones(E), np.zeros(E)),
+    }
+    lk = jax.random.split(next(keys), 6 * NL).reshape(NL, 6, 2)
+
+    def stack(f):
+        return jnp.stack([f(i) for i in range(NL)])
+
+    layers = {
+        "attn": {
+            **{name: {"w": stack(lambda i, j=j: mat(lk[i, j], (E, E))),
+                      "b": jnp.zeros((NL, E), dtype)}
+               for j, name in enumerate(["q", "k", "v", "o"])},
+            "ln": {"scale": jnp.ones((NL, E), jnp.float32),
+                   "bias": jnp.zeros((NL, E), jnp.float32)},
+        },
+        "mlp": {
+            "up": {"w": stack(lambda i: mat(lk[i, 4], (E, F))),
+                   "b": jnp.zeros((NL, F), dtype)},
+            "down": {"w": stack(lambda i: mat(lk[i, 5], (F, E))),
+                     "b": jnp.zeros((NL, E), dtype)},
+            "ln": {"scale": jnp.ones((NL, E), jnp.float32),
+                   "bias": jnp.zeros((NL, E), jnp.float32)},
+        },
+    }
+    return {"embeddings": emb, "layers": layers}
+
+
+# ---------------------------------------------------------------------------
+# HF import
+# ---------------------------------------------------------------------------
+
+def _strip_prefix(sd: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+    """Drop the 'bert.' / '0.auto_model.' style prefixes HF checkpoints use."""
+    for prefix in ("bert.", "roberta.", "0.auto_model."):
+        if any(k.startswith(prefix + "embeddings") for k in sd):
+            sd = {k[len(prefix):]: v for k, v in sd.items()
+                  if k.startswith(prefix)}
+            break
+    return sd
+
+
+def from_hf_state_dict(sd: dict[str, np.ndarray], config: BertConfig,
+                       dtype=jnp.float32) -> Params:
+    """Map a HF BERT state dict to our pytree.
+
+    Equivalent tensor mapping to the reference's loader name map
+    (bert.cpp:595-645) and converter skip rules (convert-to-ggml.py:86:
+    position_ids and pooler.dense.* are dropped).
+    """
+    sd = _strip_prefix({k: np.asarray(v) for k, v in sd.items()})
+    NL = config.num_hidden_layers
+
+    def g(name: str) -> np.ndarray:
+        return sd[name]
+
+    def lin(name: str) -> np.ndarray:
+        # HF Linear stores [out, in]; we store [in, out].
+        return np.ascontiguousarray(g(name + ".weight").T)
+
+    emb = {
+        "word": jnp.asarray(g("embeddings.word_embeddings.weight"), dtype),
+        "position": jnp.asarray(g("embeddings.position_embeddings.weight"), dtype),
+        "token_type": jnp.asarray(g("embeddings.token_type_embeddings.weight"), dtype),
+        "ln": _ln(g("embeddings.LayerNorm.weight"), g("embeddings.LayerNorm.bias")),
+    }
+
+    def stack_lin(fmt: str):
+        w = jnp.asarray(np.stack([np.ascontiguousarray(
+            g(fmt.format(i) + ".weight").T) for i in range(NL)]), dtype)
+        b = jnp.asarray(np.stack([g(fmt.format(i) + ".bias")
+                                  for i in range(NL)]), dtype)
+        return {"w": w, "b": b}
+
+    def stack_ln(fmt: str):
+        return {"scale": jnp.asarray(np.stack([g(fmt.format(i) + ".weight")
+                                               for i in range(NL)]), jnp.float32),
+                "bias": jnp.asarray(np.stack([g(fmt.format(i) + ".bias")
+                                              for i in range(NL)]), jnp.float32)}
+
+    layers = {
+        "attn": {
+            "q": stack_lin("encoder.layer.{}.attention.self.query"),
+            "k": stack_lin("encoder.layer.{}.attention.self.key"),
+            "v": stack_lin("encoder.layer.{}.attention.self.value"),
+            "o": stack_lin("encoder.layer.{}.attention.output.dense"),
+            "ln": stack_ln("encoder.layer.{}.attention.output.LayerNorm"),
+        },
+        "mlp": {
+            "up": stack_lin("encoder.layer.{}.intermediate.dense"),
+            "down": stack_lin("encoder.layer.{}.output.dense"),
+            "ln": stack_ln("encoder.layer.{}.output.LayerNorm"),
+        },
+    }
+    return {"embeddings": emb, "layers": layers}
+
+
+def load_hf_dir(model_dir: str | Path, dtype=jnp.float32,
+                config: BertConfig | None = None) -> tuple[Params, BertConfig]:
+    """Load an HF model directory (config.json + model.safetensors or
+    pytorch_model.bin)."""
+    model_dir = Path(model_dir)
+    if config is None:
+        config = BertConfig.from_json(model_dir / "config.json")
+    st = model_dir / "model.safetensors"
+    pt = model_dir / "pytorch_model.bin"
+    if st.exists():
+        from safetensors.numpy import load_file
+        sd = load_file(str(st))
+    elif pt.exists():
+        import torch
+        sd = {k: v.float().numpy()
+              for k, v in torch.load(pt, map_location="cpu",
+                                     weights_only=True).items()}
+    else:
+        raise FileNotFoundError(f"no checkpoint in {model_dir}")
+    return from_hf_state_dict(sd, config, dtype), config
+
+
+# ---------------------------------------------------------------------------
+# Quantization over the pytree
+# ---------------------------------------------------------------------------
+
+def quantize_params(params: Params, kind: str, *,
+                    quantize_embeddings: bool = True,
+                    pack_int4: bool = False) -> Params:
+    """Quantize all 2-D matmul weights (+ the word-embedding table).
+
+    Same selection rule as the reference (quantize.cpp:154-167: 2-D tensors
+    named *.weight); biases and LayerNorms stay f32. Position/token-type
+    tables are tiny and remain dense f32 (the reference quantizes them too —
+    harmless either way for the Δ-vs-f16 budget; we keep them dense to skip
+    two dequant-gathers per step).
+    """
+    if kind in DENSE_KINDS:
+        return cast_params(params, kind)
+    assert kind in QUANT_KINDS, kind
+
+    def qt(x, block_axis=-2):
+        return quantize(np.asarray(x, np.float32), kind,
+                        block_axis=block_axis, pack_int4=pack_int4)
+
+    out = jax.tree_util.tree_map(lambda x: x, params)  # shallow-ish copy
+    emb = dict(out["embeddings"])
+    if quantize_embeddings:
+        emb["word"] = qt(params["embeddings"]["word"], block_axis=-1)
+    out["embeddings"] = emb
+
+    def quantize_linears(d):
+        return {k: ({"w": qt(v["w"]), "b": v["b"]}
+                    if isinstance(v, dict) and "w" in v else v)
+                for k, v in d.items()}
+
+    out["layers"] = {
+        "attn": quantize_linears(params["layers"]["attn"]),
+        "mlp": quantize_linears(params["layers"]["mlp"]),
+    }
+    return out
+
+
+def cast_params(params: Params, kind: str) -> Params:
+    """Cast matmul weights + embedding tables to f32/bf16/f16; LayerNorm
+    params and biases stay f32 (matches the reference's f16 mode,
+    convert-to-ggml.py:93-98: only 2-D .weight tensors become f16)."""
+    target = {"f32": jnp.float32, "bf16": jnp.bfloat16, "f16": jnp.float16}[kind]
+
+    def cast(path, x):
+        name = "/".join(str(p) for p in path)
+        if isinstance(x, QuantizedTensor):
+            return x
+        if x.ndim >= 2 and "ln" not in name:
+            return x.astype(target)
+        return x
+
+    return jax.tree_util.tree_map_with_path(
+        cast, params, is_leaf=lambda x: isinstance(x, QuantizedTensor))
+
+
+def param_bytes(params: Params) -> int:
+    return sum(x.size * x.dtype.itemsize
+               for x in jax.tree_util.tree_leaves(params))
+
+
+# ---------------------------------------------------------------------------
+# Native checkpoint (.npz): flat names -> arrays, QuantizedTensor expanded
+# into .codes/.scales/.mins leaves. This is our analogue of the reference's
+# ggml .bin format (bert.cpp:434-766) — vocab travels separately.
+# ---------------------------------------------------------------------------
+
+def save_native(path: str | Path, params: Params, config: BertConfig) -> None:
+    flat: dict[str, np.ndarray] = {}
+
+    def visit(prefix: str, node) -> None:
+        if isinstance(node, QuantizedTensor):
+            flat[prefix + ".__quant__"] = np.array(
+                [node.kind, str(node.block_axis)], dtype=object)
+            flat[prefix + ".codes"] = np.asarray(node.codes.astype(jnp.int8))
+            flat[prefix + ".scales"] = np.asarray(node.scales)
+            if node.mins is not None:
+                flat[prefix + ".mins"] = np.asarray(node.mins)
+        elif isinstance(node, dict):
+            for k, v in node.items():
+                visit(f"{prefix}.{k}" if prefix else k, v)
+        else:
+            flat[prefix] = np.asarray(node)
+
+    visit("", params)
+    flat["__config__"] = np.frombuffer(
+        json.dumps(config.to_dict()).encode(), dtype=np.uint8)
+    np.savez(path, **{k: v for k, v in flat.items()})
+
+
+def load_native(path: str | Path) -> tuple[Params, BertConfig]:
+    data = np.load(path, allow_pickle=True)
+    cfg_d = json.loads(bytes(data["__config__"]).decode())
+    config = BertConfig(**cfg_d)
+    tree: dict[str, Any] = {}
+    quants: dict[str, dict] = {}
+    for key in data.files:
+        if key == "__config__":
+            continue
+        if key.endswith(".__quant__"):
+            base = key[: -len(".__quant__")]
+            kind, ax = data[key]
+            quants.setdefault(base, {})["kind"] = str(kind)
+            quants[base]["block_axis"] = int(ax)
+            continue
+        for suffix in (".codes", ".scales", ".mins"):
+            if key.endswith(suffix):
+                base = key[: -len(suffix)]
+                quants.setdefault(base, {})[suffix[1:]] = data[key]
+                break
+        else:
+            _set_path(tree, key.split("."), jnp.asarray(data[key]))
+    for base, q in quants.items():
+        qt = QuantizedTensor(
+            jnp.asarray(q["codes"]), jnp.asarray(q["scales"]),
+            jnp.asarray(q["mins"]) if "mins" in q else None,
+            q["kind"], q["block_axis"])
+        _set_path(tree, base.split("."), qt)
+    return tree, config
+
+
+def _set_path(tree: dict, path: list[str], value) -> None:
+    for p in path[:-1]:
+        tree = tree.setdefault(p, {})
+    tree[path[-1]] = value

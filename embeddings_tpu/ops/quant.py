@@ -1,0 +1,276 @@
+"""Blockwise weight-only quantization (Q4_0 / Q4_1 / Q8_0), ggml semantics.
+
+The reference quantizes every 2-D ``*.weight`` tensor row-blockwise with
+ggml's QK=32 block formats (/root/reference/models/quantize.cpp:154-245;
+format asserted at bert.cpp:730-734 via ``ne[0] % 64 == 0``). We reproduce
+the same numerics, but store the result as TPU-friendly arrays instead of
+ggml's interleaved block structs:
+
+- Q4_0: per 32-value block along the contraction (in-features) axis,
+  scale d = signed_absmax / -8, codes q in [0,15], dequant (q-8)*d.
+- Q4_1: affine min/max blocks, d = (max-min)/15, dequant q*d + m.
+- Q8_0: d = absmax/127, int8 codes, dequant q*d.
+
+Layout: for a weight W[K, N] used as ``x @ W`` (K = contraction axis),
+``codes`` is int8 [K, N] (int4-valued for Q4), ``scales``/``mins`` are
+f32 [K//32, N]. Structure-of-arrays instead of ggml's array-of-structs so
+each piece is a dense, tileable TPU operand; the Pallas kernel
+(ops/qmatmul.py) consumes them directly. ``codes`` may optionally be stored
+as jnp.int4 (XLA packs two per byte in HBM — true 4-bit footprint).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+QK = 32  # ggml block size (quantize.cpp uses ggml's QK=32 formats)
+
+_INT4 = jnp.int4
+
+
+@jax.tree_util.register_pytree_node_class
+class QuantizedTensor:
+    """A quantized 2-D weight (plus optional leading stack dims from
+    ``lax.scan`` layer stacking).
+
+    Logical value = dequant(codes, scales, mins); consumed fused by the
+    Pallas dequant-matmul kernel without materializing the f32 weight.
+    """
+
+    def __init__(self, codes: jax.Array, scales: jax.Array,
+                 mins: jax.Array | None, kind: str, block_axis: int = -2):
+        self.codes = codes
+        self.scales = scales
+        self.mins = mins
+        self.kind = kind
+        self.block_axis = block_axis  # -2: matmul weight [K,N]; -1: embedding [V,E]
+
+    @property
+    def shape(self) -> tuple[int, ...]:
+        return self.codes.shape
+
+    @property
+    def dtype(self):
+        return jnp.float32
+
+    def tree_flatten(self):
+        return (self.codes, self.scales, self.mins), (self.kind, self.block_axis)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        codes, scales, mins = children
+        return cls(codes, scales, mins, aux[0], aux[1])
+
+    def __repr__(self) -> str:
+        return (f"QuantizedTensor(kind={self.kind}, shape={self.shape}, "
+                f"codes={self.codes.dtype})")
+
+
+def _check_shape(w: np.ndarray) -> None:
+    if w.shape[-2] % QK != 0:
+        raise ValueError(
+            f"contraction dim {w.shape[-2]} not a multiple of QK={QK} "
+            f"(the reference requires ne[0] % 64 == 0, bert.cpp:730)")
+
+
+def quantize_q4_0(w: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """ggml Q4_0: d = signed-absmax / -8; q = clamp(x/d + 8.5, 0, 15).
+
+    w: [..., K, N] float. Returns (codes int8 [..., K, N] in [-8, 7],
+    scales f32 [..., K//32, N]).
+    """
+    _check_shape(w)
+    *lead, K, N = w.shape
+    blocks = w.reshape(*lead, K // QK, QK, N).astype(np.float32)
+    idx = np.abs(blocks).argmax(axis=-2, keepdims=True)
+    maxv = np.take_along_axis(blocks, idx, axis=-2)  # signed value of absmax
+    d = maxv / -8.0
+    inv = np.where(d != 0.0, 1.0 / np.where(d == 0.0, 1.0, d), 0.0)
+    q = np.clip(np.floor(blocks * inv + 8.5), 0.0, 15.0).astype(np.int8) - 8
+    return (q.reshape(*lead, K, N),
+            d.squeeze(-2).astype(np.float32))
+
+
+def quantize_q4_1(w: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """ggml Q4_1 (affine): d=(max-min)/15, q=clamp((x-min)/d+.5, 0, 15)."""
+    _check_shape(w)
+    *lead, K, N = w.shape
+    blocks = w.reshape(*lead, K // QK, QK, N).astype(np.float32)
+    mn = blocks.min(axis=-2, keepdims=True)
+    mx = blocks.max(axis=-2, keepdims=True)
+    d = (mx - mn) / 15.0
+    inv = np.where(d != 0.0, 1.0 / np.where(d == 0.0, 1.0, d), 0.0)
+    q = np.clip(np.floor((blocks - mn) * inv + 0.5), 0.0, 15.0).astype(np.int8)
+    return (q.reshape(*lead, K, N),
+            d.squeeze(-2).astype(np.float32),
+            mn.squeeze(-2).astype(np.float32))
+
+
+def quantize_q8_0(w: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """ggml Q8_0: d = absmax/127, q = round(x/d) int8."""
+    _check_shape(w)
+    *lead, K, N = w.shape
+    blocks = w.reshape(*lead, K // QK, QK, N).astype(np.float32)
+    amax = np.abs(blocks).max(axis=-2, keepdims=True)
+    d = amax / 127.0
+    inv = np.where(d != 0.0, 1.0 / np.where(d == 0.0, 1.0, d), 0.0)
+    q = np.rint(blocks * inv).astype(np.int8)
+    return q.reshape(*lead, K, N), d.squeeze(-2).astype(np.float32)
+
+
+def quantize(w: np.ndarray | jax.Array, kind: str, *,
+             block_axis: int = -2, pack_int4: bool = False) -> QuantizedTensor:
+    """Quantize a weight array to a QuantizedTensor.
+
+    block_axis=-2: blocks along the contraction axis of an [K, N] matmul
+    weight (ggml's ne[0]=in_features). block_axis=-1: blocks along the
+    feature axis of an embedding table [V, E] (ggml quantizes those the
+    same way since E is ne[0] there).
+    """
+    w = np.asarray(w)
+    if block_axis not in (-2, -1):
+        raise ValueError("block_axis must be -2 or -1")
+    if block_axis == -1:
+        w = np.swapaxes(w, -1, -2)
+    if kind == "q4_0":
+        q, d = quantize_q4_0(w)
+        mins = None
+    elif kind == "q4_1":
+        q, d, mins = quantize_q4_1(w)
+        # Center codes to [-8, 7] (fits int4) and fold the shift into mins:
+        # q*d + m == (q-8)*d + (m + 8d).
+        q = q - 8
+        mins = jnp.asarray(mins + 8.0 * d)
+    elif kind == "q8_0":
+        q, d = quantize_q8_0(w)
+        mins = None
+    else:
+        raise ValueError(f"unknown quant kind: {kind}")
+    if block_axis == -1:
+        # Store codes back in the original [V, E] orientation; scales/mins
+        # stay [V, E//QK] (swap of their [E//QK, V]).
+        q = np.swapaxes(q, -1, -2)
+        d = np.swapaxes(d, -1, -2)
+        if mins is not None:
+            mins = jnp.swapaxes(mins, -1, -2)
+    codes = jnp.asarray(q)
+    if pack_int4 and kind in ("q4_0", "q4_1"):
+        codes = codes.astype(_INT4)
+    return QuantizedTensor(codes, jnp.asarray(d), mins, kind, block_axis)
+
+
+def dequantize(qt: QuantizedTensor) -> jax.Array:
+    """Reference (non-fused) dequantization, f32. Used for correctness tests
+    and as the XLA fallback path on CPU."""
+    codes, scales, mins = qt.codes, qt.scales, qt.mins
+    if qt.block_axis == -1:
+        codes = jnp.swapaxes(codes, -1, -2)
+        scales = jnp.swapaxes(scales, -1, -2)
+        mins = None if mins is None else jnp.swapaxes(mins, -1, -2)
+    *lead, K, N = codes.shape
+    c = codes.astype(jnp.float32).reshape(*lead, K // QK, QK, N)
+    s = scales[..., :, None, :]
+    w = c * s
+    if qt.kind == "q4_1":
+        w = w + mins[..., :, None, :]
+    w = w.reshape(*lead, K, N)
+    if qt.block_axis == -1:
+        w = jnp.swapaxes(w, -1, -2)
+    return w
+
+
+def gather_rows(qt: QuantizedTensor, ids: jax.Array) -> jax.Array:
+    """Dequantizing row gather for a block_axis=-1 embedding table [V, E]:
+    gathers the int4/int8 codes and per-row-block scales for `ids` and
+    dequantizes only those rows (the TPU analogue of ggml_get_rows on a
+    quantized tensor, used by the reference at bert.cpp:963-971)."""
+    assert qt.block_axis == -1, "gather_rows expects an embedding-layout table"
+    c = jnp.take(qt.codes, ids, axis=0).astype(jnp.float32)   # [..., E]
+    s = jnp.take(qt.scales, ids, axis=0)                      # [..., E//QK]
+    E = c.shape[-1]
+    c = c.reshape(*c.shape[:-1], E // QK, QK)
+    w = c * s[..., None]
+    if qt.kind == "q4_1":
+        m = jnp.take(qt.mins, ids, axis=0)
+        w = w + m[..., None]
+    return w.reshape(*w.shape[:-2], E)
+
+
+def dequantize_np(codes: np.ndarray, scales: np.ndarray,
+                  mins: np.ndarray | None, kind: str) -> np.ndarray:
+    """NumPy dequant (for offline tools / parity tests)."""
+    *lead, K, N = codes.shape
+    c = codes.astype(np.float32).reshape(*lead, K // QK, QK, N)
+    s = scales[..., :, None, :]
+    w = c * s
+    if kind == "q4_1":
+        w = w + mins[..., :, None, :]
+    return w.reshape(*lead, K, N)
+
+
+# ---------------------------------------------------------------------------
+# ggml bit-level pack/unpack (block structs), for .bin format compatibility.
+# Layout per ggml block_q4_0: {f32 d; uint8 qs[16]} where qs[j] holds
+# values 2j (low nibble) and 2j+1 (high nibble) of the 32-value block.
+# ---------------------------------------------------------------------------
+
+def pack_ggml_q4_0(codes: np.ndarray, scales: np.ndarray) -> bytes:
+    """codes int8 [K, N] in [-8,7] + scales [K//32, N] -> ggml row-major
+    block stream for the *transposed* [N, K] ggml tensor (ggml stores
+    ne[0]=K contiguous per output row)."""
+    K, N = codes.shape
+    q = (codes.astype(np.int16) + 8).astype(np.uint8).T.reshape(N, K // QK, QK)
+    lo, hi = q[..., 0::2], q[..., 1::2]
+    packed = (lo | (hi << 4)).astype(np.uint8)          # [N, K//32, 16]
+    d = scales.T.astype(np.float32)                     # [N, K//32]
+    out = bytearray()
+    for n in range(N):
+        for b in range(K // QK):
+            out += d[n, b].tobytes()
+            out += packed[n, b].tobytes()
+    return bytes(out)
+
+
+def unpack_ggml_q4_0(buf: bytes, K: int, N: int) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse of pack_ggml_q4_0: ggml block stream -> (codes [K,N], scales)."""
+    nb = K // QK
+    rec = np.dtype([("d", "<f4"), ("qs", "u1", (QK // 2,))])
+    arr = np.frombuffer(buf, dtype=rec, count=N * nb).reshape(N, nb)
+    d = arr["d"].astype(np.float32)                     # [N, nb]
+    qs = arr["qs"]                                      # [N, nb, 16]
+    q = np.empty((N, nb, QK), dtype=np.int8)
+    q[..., 0::2] = (qs & 0x0F).astype(np.int8) - 8
+    q[..., 1::2] = (qs >> 4).astype(np.int8) - 8
+    return q.reshape(N, K).T.copy(), d.T.copy()
+
+
+def pack_ggml_q8_0(codes: np.ndarray, scales: np.ndarray) -> bytes:
+    """ggml block_q8_0: {f32 d; int8 qs[32]}."""
+    K, N = codes.shape
+    q = codes.T.reshape(N, K // QK, QK).astype(np.int8)
+    d = scales.T.astype(np.float32)
+    out = bytearray()
+    for n in range(N):
+        for b in range(K // QK):
+            out += d[n, b].tobytes()
+            out += q[n, b].tobytes()
+    return bytes(out)
+
+
+def unpack_ggml_q8_0(buf: bytes, K: int, N: int) -> tuple[np.ndarray, np.ndarray]:
+    nb = K // QK
+    rec = np.dtype([("d", "<f4"), ("qs", "i1", (QK,))])
+    arr = np.frombuffer(buf, dtype=rec, count=N * nb).reshape(N, nb)
+    return (arr["qs"].reshape(N, K).T.astype(np.int8).copy(),
+            arr["d"].astype(np.float32).T.copy())
+
+
+def nibble_histogram(codes: np.ndarray) -> np.ndarray:
+    """16-bucket histogram of 4-bit codes, matching the reference's
+    quantization stats printout (quantize.cpp:229-261)."""
+    vals = np.asarray(codes).astype(np.int32).ravel() + 8
+    return np.bincount(np.clip(vals, 0, 15), minlength=16)

@@ -1,0 +1,132 @@
+"""Quantization numerics: ggml-semantics blocks, pack/unpack roundtrips,
+dequant-matmul consistency (XLA fallback vs Pallas interpret mode)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from embeddings_tpu.ops import quant
+from embeddings_tpu.ops.quant import (
+    QK, QuantizedTensor, dequantize, gather_rows, nibble_histogram,
+    pack_ggml_q4_0, pack_ggml_q8_0, quantize, quantize_q4_0,
+    unpack_ggml_q4_0, unpack_ggml_q8_0)
+
+
+@pytest.fixture(params=["q4_0", "q4_1", "q8_0"])
+def kind(request):
+    return request.param
+
+
+def test_q4_0_semantics(rng):
+    """d = signed-absmax / -8; codes in [-8, 7]; dequant error bounded."""
+    w = rng.standard_normal((64, 8), dtype=np.float32)
+    q, d = quantize_q4_0(w)
+    assert q.min() >= -8 and q.max() <= 7
+    blocks = w.reshape(2, QK, 8)
+    idx = np.abs(blocks).argmax(axis=1)
+    signed_max = np.take_along_axis(blocks, idx[:, None, :], axis=1)[:, 0, :]
+    np.testing.assert_allclose(d, signed_max / -8.0, rtol=1e-6)
+    # value at the signed absmax position must reconstruct exactly:
+    # q = clamp(x/d + 8.5) with x = -8d -> q-8 = -8 -> deq = -8d = x.
+    deq = q.reshape(2, QK, 8) * d[:, None, :]
+    err = np.abs(deq - blocks)
+    assert err.max() <= np.abs(d).max() / 2 + 1e-6
+
+
+def test_quant_roundtrip_error(kind, rng):
+    w = rng.standard_normal((128, 16), dtype=np.float32) * 0.1
+    qt = quantize(w, kind)
+    deq = np.asarray(dequantize(qt))
+    # error per element bounded by a quantization step: half a step for the
+    # round-to-nearest formats; a full step for q4_0 whose asymmetric
+    # [-8, 7] grid clips the positive extreme (inherent ggml q4_0 behavior).
+    scale = np.abs(np.asarray(qt.scales)).max()
+    tol = {"q4_0": scale, "q4_1": scale / 2, "q8_0": scale / 2}[kind]
+    assert np.abs(deq - w).max() <= tol + 1e-6
+    # relative matmul error is small
+    x = rng.standard_normal((4, 128), dtype=np.float32)
+    ref = x @ w
+    got = x @ deq
+    rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    assert rel < (0.15 if kind.startswith("q4") else 0.01)
+
+
+def test_zeros_block(kind):
+    w = np.zeros((QK, 4), dtype=np.float32)
+    qt = quantize(w, kind)
+    np.testing.assert_array_equal(np.asarray(dequantize(qt)), w)
+
+
+def test_block_axis_embedding(rng):
+    w = rng.standard_normal((10, 64), dtype=np.float32)
+    qt = quantize(w, "q4_0", block_axis=-1)
+    assert qt.codes.shape == (10, 64)
+    assert qt.scales.shape == (10, 64 // QK)
+    deq = np.asarray(dequantize(qt))
+    assert deq.shape == (10, 64)
+    # matches the transposed-matmul-layout quantization
+    qt2 = quantize(w.T, "q4_0", block_axis=-2)
+    np.testing.assert_allclose(deq, np.asarray(dequantize(qt2)).T, rtol=1e-6)
+    # gather_rows == dequantize-then-take
+    ids = jnp.array([[1, 3], [7, 0]])
+    got = np.asarray(gather_rows(qt, ids))
+    np.testing.assert_allclose(got, deq[np.asarray(ids)], rtol=1e-6)
+
+
+def test_ggml_q4_0_pack_roundtrip(rng):
+    w = rng.standard_normal((64, 6), dtype=np.float32)
+    q, d = quantize_q4_0(w)
+    buf = pack_ggml_q4_0(q, d)
+    # ggml block_q4_0 = 4 bytes scale + 16 bytes nibbles per 32 values
+    assert len(buf) == 6 * 2 * (4 + 16)
+    q2, d2 = unpack_ggml_q4_0(buf, 64, 6)
+    np.testing.assert_array_equal(q, q2)
+    np.testing.assert_array_equal(d, d2)
+
+
+def test_ggml_q8_0_pack_roundtrip(rng):
+    w = rng.standard_normal((96, 4), dtype=np.float32)
+    qt = quantize(w, "q8_0")
+    q, d = np.asarray(qt.codes), np.asarray(qt.scales)
+    buf = pack_ggml_q8_0(q, d)
+    q2, d2 = unpack_ggml_q8_0(buf, 96, 4)
+    np.testing.assert_array_equal(q, q2)
+    np.testing.assert_array_equal(d, d2)
+
+
+def test_nibble_histogram(rng):
+    w = rng.standard_normal((64, 4), dtype=np.float32)
+    q, _ = quantize_q4_0(w)
+    h = nibble_histogram(q)
+    assert h.sum() == q.size
+    assert len(h) == 16
+
+
+def test_quantized_tensor_pytree(rng):
+    w = rng.standard_normal((64, 8), dtype=np.float32)
+    qt = quantize(w, "q4_1")
+    leaves, treedef = jax.tree_util.tree_flatten(qt)
+    qt2 = jax.tree_util.tree_unflatten(treedef, leaves)
+    assert qt2.kind == "q4_1" and qt2.block_axis == -2
+    np.testing.assert_array_equal(np.asarray(qt2.codes), np.asarray(qt.codes))
+
+
+def test_stacked_quantize_matches_per_layer(rng):
+    """Quantizing stacked [NL, K, N] == stacking per-layer quantizations."""
+    w = rng.standard_normal((3, 64, 8), dtype=np.float32)
+    qt = quantize(w, "q4_0")
+    per = [quantize(w[i], "q4_0") for i in range(3)]
+    np.testing.assert_array_equal(
+        np.asarray(qt.codes), np.stack([np.asarray(p.codes) for p in per]))
+    np.testing.assert_allclose(
+        np.asarray(qt.scales), np.stack([np.asarray(p.scales) for p in per]))
+
+
+def test_int4_packing(rng):
+    w = rng.standard_normal((64, 8), dtype=np.float32)
+    qt8 = quantize(w, "q4_0", pack_int4=False)
+    qt4 = quantize(w, "q4_0", pack_int4=True)
+    assert qt4.codes.dtype == jnp.int4
+    np.testing.assert_allclose(np.asarray(dequantize(qt4)),
+                               np.asarray(dequantize(qt8)), rtol=1e-6)
