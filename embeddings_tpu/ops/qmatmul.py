@@ -35,6 +35,15 @@ from .quant import QK
 BM, BN, BK = 256, 256, 512
 
 
+def _fit(size: int, pref: int, step: int) -> int:
+    """Largest multiple of `step` that is <= pref and divides `size`."""
+    b = min(pref, size)
+    b -= b % step
+    while b > step and size % b != 0:
+        b -= step
+    return max(b, step)
+
+
 def _qmm_kernel(x_ref, c_ref, s_ref, m_ref, o_ref, acc_ref, *,
                 kind: str, n_k: int, compute_dtype):
     """One (i, j, k) grid step: acc += x[bm,bk] @ deq(c[bk,bn])."""
@@ -75,7 +84,15 @@ def qmatmul(x: jax.Array, codes: jax.Array, scales: jax.Array,
     M, K = x.shape
     K2, N = codes.shape
     assert K == K2, (x.shape, codes.shape)
-    bm, bn, bk = min(bm, M), min(bn, N), min(bk, K)
+    bm, bn = _fit(M, bm, 8), _fit(N, bn, 128)
+    # The scales operand has bk//32 sublanes; Mosaic requires sublane counts
+    # divisible by 8 (i.e. bk % 256 == 0) unless the block spans the full
+    # array (bk == K). BERT-family K's are small enough that full-K stripes
+    # fit VMEM comfortably, so that's the default.
+    if K <= 4096 or bk >= K:
+        bk = K
+    else:
+        bk = _fit(K, max(bk, 256), 256)
     assert M % bm == 0 and N % bn == 0 and K % bk == 0 and bk % QK == 0, (
         (M, N, K), (bm, bn, bk))
     n_k = K // bk

@@ -1,0 +1,155 @@
+"""The Engine: tokenizer + params + jit cache + batch scheduler.
+
+Public capability surface mirrors the reference C API (bert.h:33-90):
+
+  reference                      engine
+  ---------------------------   -------------------------------------
+  bert_load_from_file           load_model(path_or_dir, dtype=...)
+  bert_free                     (garbage collection)
+  bert_tokenize                 Engine.tokenize
+  bert_forward / _batch         Engine.forward (padded ids+mask in)
+  bert_encode / _batch          Engine.encode / Engine.encode_batch
+  bert_n_embd                   Engine.n_embd
+  bert_n_max_tokens             Engine.max_seq_len
+  bert_vocab_id_to_token        Engine.tokenizer.id_to_token
+
+Instead of ggml's per-call graph rebuild + arena resize
+(bert.cpp:788-810, 876-882), the Engine jits one forward and lets JAX cache
+one executable per (batch, seq) bucket; warmup() precompiles the standard
+grid. Optional mesh/shardings route the same jitted fn over a TPU mesh
+(parallel/sharding.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+from typing import Any, Sequence
+
+import jax
+import numpy as np
+
+from ..config import BertConfig, EngineConfig
+from ..models import bert, params as P
+from ..tokenizer import WordPieceTokenizer
+from .batching import pad_batch, pick_bucket, plan_batches
+
+
+class Engine:
+    def __init__(self, params: dict, config: BertConfig,
+                 tokenizer: WordPieceTokenizer,
+                 engine_config: EngineConfig | None = None,
+                 mesh: "jax.sharding.Mesh | None" = None):
+        self.config = config
+        self.tokenizer = tokenizer
+        self.engine_config = engine_config or EngineConfig()
+        self.mesh = mesh
+        if mesh is not None:
+            from ..parallel.sharding import shard_params, make_sharded_forward
+            self.params = shard_params(params, config, mesh)
+            self._forward = make_sharded_forward(config, mesh)
+        else:
+            self.params = params
+            self._forward = jax.jit(
+                lambda p, ids, mask: bert.encode_tokens(p, config, ids, mask))
+
+    # -- introspection (bert.h:78-88 equivalents) ---------------------------
+    @property
+    def n_embd(self) -> int:
+        return self.config.hidden_size
+
+    @property
+    def max_seq_len(self) -> int:
+        return min(self.engine_config.max_seq_len,
+                   self.config.max_position_embeddings)
+
+    # -- tokenize -----------------------------------------------------------
+    def tokenize(self, text: str) -> list[int]:
+        return self.tokenizer.encode(text, max_len=self.max_seq_len)
+
+    # -- forward on pre-tokenized, padded arrays ----------------------------
+    def forward(self, ids: np.ndarray, mask: np.ndarray) -> np.ndarray:
+        out = self._forward(self.params, ids, mask)
+        return np.asarray(out)
+
+    # -- encode (the primary API) --------------------------------------------
+    def encode(self, text: str | Sequence[str]) -> np.ndarray:
+        """Encode one string -> [E], or a list -> [N, E] (single device
+        batch, like bert_encode / bert_forward_batch)."""
+        single = isinstance(text, str)
+        texts = [text] if single else list(text)
+        out = self.encode_batch(texts, batch_size=max(len(texts), 1))
+        return out[0] if single else out
+
+    def encode_batch(self, texts: Sequence[str],
+                     batch_size: int | None = None) -> np.ndarray:
+        """Tokenize, length-sort into bucketed chunks, run, scatter back
+        (bert_encode_batch semantics, bert.cpp:1374-1444)."""
+        ec = self.engine_config
+        batch_size = batch_size or ec.batch_size
+        toks = [self.tokenize(t) for t in texts]
+        out = np.empty((len(texts), self.n_embd), np.float32)
+        plans = plan_batches([len(t) for t in toks], batch_size,
+                             self._seq_buckets(), ec.batch_buckets)
+        for plan in plans:
+            ids, mask = pad_batch([toks[i] for i in plan.indices],
+                                  plan.batch, plan.seq, self.tokenizer.pad_id)
+            emb = self.forward(ids, mask)
+            out[list(plan.indices)] = emb[: len(plan.indices)]
+        return out
+
+    # -- shape warmup --------------------------------------------------------
+    def warmup(self, batch_sizes: Sequence[int] | None = None,
+               seq_lens: Sequence[int] | None = None) -> int:
+        """Precompile the (batch, seq) bucket grid; returns #programs."""
+        ec = self.engine_config
+        n = 0
+        for b in batch_sizes or ec.batch_buckets:
+            for s in seq_lens or self._seq_buckets():
+                ids = np.zeros((b, s), np.int32)
+                mask = np.zeros((b, s), np.int32)
+                mask[:, 0] = 1
+                self.forward(ids, mask)
+                n += 1
+        return n
+
+    def _seq_buckets(self) -> tuple[int, ...]:
+        return tuple(b for b in self.engine_config.seq_buckets
+                     if b <= self.max_seq_len) or (self.max_seq_len,)
+
+
+def load_model(path: str | Path, *, dtype: str = "f32",
+               engine_config: EngineConfig | None = None,
+               mesh=None, tokenizer: WordPieceTokenizer | None = None,
+               pooling: str | None = None) -> Engine:
+    """Load an HF model directory or a native .npz checkpoint into an Engine.
+
+    dtype: f32 | bf16 | f16 | q4_0 | q4_1 | q8_0 — quantize/cast on load
+    (the reference selects dtype by model file, bert.cpp:499-521; we take a
+    flag and one checkpoint).
+    """
+    path = Path(path)
+    if path.is_dir():
+        params, config = P.load_hf_dir(path)
+        if tokenizer is None:
+            tokenizer = WordPieceTokenizer.from_pretrained(path)
+    else:
+        params, config = P.load_native(path)
+        if tokenizer is None:
+            vocab_file = path.parent / "vocab.txt"
+            if vocab_file.exists():
+                from ..tokenizer import WordPieceVocab
+                tokenizer = WordPieceTokenizer(
+                    WordPieceVocab.from_file(vocab_file))
+            else:
+                raise FileNotFoundError(
+                    f"no tokenizer: pass tokenizer= or put vocab.txt next to {path}")
+    if pooling is not None:
+        config = dataclasses.replace(config, pooling=pooling)
+    if dtype != "f32":
+        params = P.quantize_params(params, dtype)
+    config = dataclasses.replace(
+        config,
+        cls_token_id=tokenizer.cls_id, sep_token_id=tokenizer.sep_id,
+        unk_token_id=tokenizer.unk_id, pad_token_id=tokenizer.pad_id)
+    return Engine(params, config, tokenizer, engine_config, mesh)

@@ -1,0 +1,52 @@
+"""Pallas fused dequant-matmul kernel correctness (interpret mode on CPU;
+the same kernel runs compiled on TPU — exercised by bench.py and TPU CI)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from embeddings_tpu.ops.qmatmul import qmatmul
+from embeddings_tpu.ops.quant import dequantize, quantize
+
+
+@pytest.mark.parametrize("kind", ["q4_0", "q4_1", "q8_0"])
+@pytest.mark.parametrize("shape", [(8, 128, 128), (16, 256, 384)])
+def test_qmatmul_matches_dequant(kind, shape, rng):
+    M, K, N = shape
+    x = rng.standard_normal((M, K), dtype=np.float32)
+    w = rng.standard_normal((K, N), dtype=np.float32) * 0.05
+    qt = quantize(w, kind)
+    ref = np.asarray(jnp.dot(jnp.asarray(x).astype(jnp.bfloat16),
+                             dequantize(qt).astype(jnp.bfloat16),
+                             preferred_element_type=jnp.float32))
+    got = np.asarray(qmatmul(jnp.asarray(x), qt.codes, qt.scales, qt.mins,
+                             kind=kind, bm=8, bn=128, bk=128, interpret=True))
+    assert got.shape == (M, N)
+    np.testing.assert_allclose(got, ref, atol=0.05, rtol=0.05)
+
+
+def test_qmatmul_multi_ktile(rng):
+    """K spans multiple grid steps -> accumulator logic exercised."""
+    M, K, N = 8, 512, 128
+    x = rng.standard_normal((M, K), dtype=np.float32)
+    w = rng.standard_normal((K, N), dtype=np.float32) * 0.05
+    qt = quantize(w, "q4_0")
+    ref = np.asarray(jnp.dot(jnp.asarray(x), dequantize(qt),
+                             preferred_element_type=jnp.float32))
+    got = np.asarray(qmatmul(jnp.asarray(x), qt.codes, qt.scales, qt.mins,
+                             kind="q4_0", bm=8, bn=128, bk=128,
+                             compute_dtype=jnp.float32, interpret=True))
+    np.testing.assert_allclose(got, ref, atol=1e-3, rtol=1e-3)
+
+
+def test_linear_quantized_pallas_path(rng, monkeypatch):
+    """ops.linear uses the Pallas path when forced, including M padding."""
+    import importlib
+    linmod = importlib.import_module("embeddings_tpu.ops.linear")
+    x = jnp.asarray(rng.standard_normal((3, 5, 64), dtype=np.float32))
+    w = rng.standard_normal((64, 128), dtype=np.float32) * 0.1
+    qt = quantize(w, "q4_0")
+    ref = np.asarray(linmod.linear(x, qt))  # XLA fallback on CPU
+    got = np.asarray(linmod.quantized_matmul(
+        x.reshape(-1, 64), qt, interpret=True)).reshape(3, 5, 128)
+    np.testing.assert_allclose(got, ref, atol=0.02, rtol=0.05)

@@ -1,0 +1,100 @@
+"""Sharding: DP/TP over a virtual 8-device CPU mesh must compile, run, and
+match the single-device forward bit-for-bit (modulo reduction order)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from embeddings_tpu.config import BertConfig
+from embeddings_tpu.models import bert, params as P
+from embeddings_tpu.parallel import (make_mesh, make_sharded_forward,
+                                     param_pspecs, shard_params)
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 virtual devices")
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return BertConfig(vocab_size=256, hidden_size=64, num_hidden_layers=2,
+                      num_attention_heads=8, intermediate_size=128,
+                      max_position_embeddings=32)
+
+
+@pytest.fixture(scope="module")
+def dense_params(cfg):
+    return P.init_params(cfg, rng=0)
+
+
+def _batch(cfg, rng, B=8, L=16):
+    ids = rng.integers(5, cfg.vocab_size, (B, L)).astype(np.int32)
+    mask = np.ones((B, L), np.int32)
+    mask[0, 10:] = 0
+    return jnp.asarray(ids), jnp.asarray(mask)
+
+
+@pytest.mark.parametrize("dp,tp", [(8, 1), (4, 2), (2, 4), (1, 8)])
+def test_mesh_shapes(dp, tp):
+    mesh = make_mesh(dp=dp, tp=tp)
+    assert mesh.shape == {"data": dp, "model": tp}
+
+
+@pytest.mark.parametrize("dp,tp", [(8, 1), (4, 2), (2, 4)])
+def test_sharded_forward_matches_single(cfg, dense_params, rng, dp, tp):
+    ref = bert.encode_tokens(dense_params, cfg, *_batch(cfg, np.random.default_rng(1)))
+    mesh = make_mesh(dp=dp, tp=tp)
+    sp = shard_params(dense_params, cfg, mesh)
+    fwd = make_sharded_forward(cfg, mesh)
+    ids, mask = _batch(cfg, np.random.default_rng(1))
+    got = fwd(sp, ids, mask)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_sharded_quantized_forward(cfg, dense_params, rng):
+    qp = P.quantize_params(dense_params, "q4_0")
+    ref = bert.encode_tokens(qp, cfg, *_batch(cfg, np.random.default_rng(2)))
+    mesh = make_mesh(dp=2, tp=4)
+    sp = shard_params(qp, cfg, mesh)
+    fwd = make_sharded_forward(cfg, mesh)
+    ids, mask = _batch(cfg, np.random.default_rng(2))
+    got = fwd(sp, ids, mask)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_param_pspecs_congruent(cfg, dense_params):
+    specs = param_pspecs(dense_params, make_mesh(dp=2, tp=4))
+    # every leaf in params has a matching spec leaf
+    pl = jax.tree_util.tree_structure(dense_params)
+    sl = jax.tree_util.tree_structure(specs)
+    assert pl == sl
+
+
+def test_weights_actually_sharded(cfg, dense_params):
+    mesh = make_mesh(dp=1, tp=8)
+    sp = shard_params(dense_params, cfg, mesh)
+    w = sp["layers"]["mlp"]["up"]["w"]
+    # column-parallel: each device holds 1/8 of the output features
+    shard_shapes = {s.data.shape for s in w.addressable_shards}
+    NL, E, F = w.shape
+    assert shard_shapes == {(NL, E, F // 8)}
+
+
+def test_engine_with_mesh(cfg, dense_params, small_vocab):
+    import dataclasses
+    from embeddings_tpu.config import EngineConfig
+    from embeddings_tpu.runtime.engine import Engine
+    from embeddings_tpu.tokenizer import WordPieceTokenizer, WordPieceVocab
+    tok = WordPieceTokenizer(WordPieceVocab.from_tokens(small_vocab))
+    cfg2 = dataclasses.replace(cfg, vocab_size=len(small_vocab))
+    params = P.init_params(cfg2, rng=0)
+    mesh = make_mesh(dp=4, tp=2)
+    eng = Engine(params, cfg2, tok,
+                 EngineConfig(seq_buckets=(16,), max_seq_len=16,
+                              batch_size=8, batch_buckets=(8,)), mesh=mesh)
+    out = eng.encode_batch(["hello world"] * 5 + ["the quick brown fox"] * 3)
+    assert out.shape == (8, cfg2.hidden_size)
+    np.testing.assert_allclose(out[0], out[1], atol=1e-5)
