@@ -1,0 +1,227 @@
+"""Command-line interface.
+
+Mirrors the reference's flag surface (bert_params_parse, bert.cpp:140-193:
+-m/--model, -p/--prompt, -t/--threads, --port) and its example binaries
+(examples/main.cpp = `encode`, examples/server.cpp = `serve`,
+models/quantize.cpp = `quantize`, models/convert-to-ggml.py = `convert`),
+as subcommands of one tool:
+
+  embeddings-tpu encode   -m MODEL -p "text" [--dtype q4_0]
+  embeddings-tpu serve    -m MODEL [--port 8080] [--http-port 8081]
+  embeddings-tpu convert  HF_DIR OUT.npz [--dtype f32]
+  embeddings-tpu quantize IN.npz OUT.npz --dtype q4_0
+  embeddings-tpu bench    -m MODEL [--batch 128 --seq 256]
+  embeddings-tpu tokenize -m MODEL -p "text"
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _add_model_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("-m", "--model", required=True,
+                   help="HF model dir or native .npz checkpoint")
+    p.add_argument("--dtype", default="f32",
+                   choices=["f32", "bf16", "f16", "q4_0", "q4_1", "q8_0"])
+    p.add_argument("--pooling", default=None, choices=["mean", "cls", "max"])
+    p.add_argument("-t", "--threads", type=int, default=None,
+                   help="accepted for bert.h compatibility; XLA manages "
+                        "its own threading")
+    p.add_argument("--max-seq", type=int, default=512)
+    p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--dp", type=int, default=None,
+                   help="data-parallel mesh size (default: all devices)")
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel mesh size")
+
+
+def _load_engine(args):
+    from .config import EngineConfig
+    from .runtime.engine import load_model
+    mesh = None
+    if args.tp > 1 or (args.dp or 0) > 1:
+        from .parallel import make_mesh
+        mesh = make_mesh(dp=args.dp, tp=args.tp)
+    ec = EngineConfig(max_seq_len=args.max_seq, batch_size=args.batch_size)
+    return load_model(args.model, dtype=args.dtype, engine_config=ec,
+                      mesh=mesh, pooling=args.pooling)
+
+
+def cmd_encode(args) -> int:
+    t0 = time.time()
+    eng = _load_engine(args)
+    t_load = time.time() - t0
+    texts = args.prompt if args.prompt else [line.rstrip("\n")
+                                             for line in sys.stdin]
+    toks = eng.tokenize(texts[0])
+    t0 = time.time()
+    embs = eng.encode_batch(texts)
+    t_eval = time.time() - t0
+    if args.verbose:
+        print(f"tokens[0]: {toks}", file=sys.stderr)
+        print(f"  {[eng.tokenizer.id_to_token(t) for t in toks]}",
+              file=sys.stderr)
+    if args.format == "json":
+        json.dump({"embeddings": embs.tolist()}, sys.stdout)
+        print()
+    else:
+        for e in embs:
+            print(" ".join(f"{v:.6f}" for v in e))
+    print(f"load: {t_load*1e3:.0f} ms | eval: {t_eval*1e3:.0f} ms "
+          f"({len(texts)} texts)", file=sys.stderr)
+    return 0
+
+
+def cmd_tokenize(args) -> int:
+    eng = _load_engine(args)
+    for text in args.prompt:
+        ids = eng.tokenize(text)
+        print(ids)
+        print([eng.tokenizer.id_to_token(i) for i in ids])
+    return 0
+
+
+def cmd_serve(args) -> int:
+    import asyncio
+    from .runtime.server import serve_forever
+    eng = _load_engine(args)
+    eng.warmup(batch_sizes=(args.batch_size,), seq_lens=None)
+    try:
+        asyncio.run(serve_forever(
+            eng, host=args.host, tcp_port=args.port,
+            http_port=args.http_port, max_batch=args.batch_size,
+            max_wait_ms=args.max_wait_ms))
+    except KeyboardInterrupt:
+        pass
+    return 0
+
+
+def cmd_convert(args) -> int:
+    from .models import params as P
+    params, config = P.load_hf_dir(args.hf_dir)
+    if args.dtype != "f32":
+        params = P.quantize_params(params, args.dtype)
+    P.save_native(args.out, params, config)
+    size = __import__("os").path.getsize(args.out) / 1e6
+    print(f"wrote {args.out} ({size:.2f} MB, dtype={args.dtype})")
+    # copy vocab next to the checkpoint so load_model finds the tokenizer
+    import shutil
+    from pathlib import Path
+    vocab = Path(args.hf_dir) / "vocab.txt"
+    if vocab.exists():
+        shutil.copy(vocab, Path(args.out).parent / "vocab.txt")
+    return 0
+
+
+def cmd_quantize(args) -> int:
+    """Offline re-quantization of a native checkpoint (quantize.cpp:27-319
+    equivalent; prints per-kind histogram stats like the reference)."""
+    import numpy as np
+    from .models import params as P
+    from .ops.quant import QuantizedTensor, nibble_histogram
+    params, config = P.load_native(args.input)
+    qp = P.quantize_params(params, args.dtype)
+    P.save_native(args.out, qp, config)
+    if args.dtype.startswith("q4"):
+        import jax
+        hist = np.zeros(16, np.int64)
+        for leaf in jax.tree_util.tree_leaves(
+                qp, is_leaf=lambda x: isinstance(x, QuantizedTensor)):
+            if isinstance(leaf, QuantizedTensor):
+                hist += nibble_histogram(np.asarray(leaf.codes))
+        total = hist.sum()
+        print("nibble histogram:",
+              " ".join(f"{h/total:.3f}" for h in hist))
+    import os
+    print(f"wrote {args.out} "
+          f"({os.path.getsize(args.out)/1e6:.2f} MB, dtype={args.dtype})")
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import numpy as np
+    from .utils.benchmarking import device_time_us
+    eng = _load_engine(args)
+    import jax.numpy as jnp
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(0, eng.config.vocab_size,
+                                   (args.batch, args.seq)), jnp.int32)
+    mask = jnp.ones((args.batch, args.seq), jnp.int32)
+    from .models import bert
+    us = device_time_us(
+        lambda i, m: bert.encode_tokens(eng.params, eng.config, i, m),
+        (ids, mask), lo=5, hi=20)
+    print(json.dumps({
+        "metric": f"sentences/sec/chip {args.dtype} seq{args.seq} "
+                  f"batch{args.batch}",
+        "value": round(args.batch / (us * 1e-6), 1),
+        "unit": "sentences/s",
+    }))
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="embeddings-tpu",
+        description="TPU-native quantized embedding inference")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("encode", help="embed prompt(s), print vectors")
+    _add_model_args(p)
+    p.add_argument("-p", "--prompt", action="append", default=None)
+    p.add_argument("--format", choices=["text", "json"], default="text")
+    p.add_argument("-v", "--verbose", action="store_true")
+    p.set_defaults(fn=cmd_encode)
+
+    p = sub.add_parser("tokenize", help="print token ids for prompt(s)")
+    _add_model_args(p)
+    p.add_argument("-p", "--prompt", action="append", required=True)
+    p.set_defaults(fn=cmd_tokenize)
+
+    p = sub.add_parser("serve", help="run the embedding server")
+    _add_model_args(p)
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--port", type=int, default=8080,
+                   help="TCP (reference-protocol) port; -1 disables")
+    p.add_argument("--http-port", type=int, default=8081,
+                   help="HTTP JSON port; -1 disables")
+    p.add_argument("--max-wait-ms", type=float, default=2.0)
+    p.set_defaults(fn=cmd_serve)
+
+    p = sub.add_parser("convert", help="HF checkpoint -> native .npz")
+    p.add_argument("hf_dir")
+    p.add_argument("out")
+    p.add_argument("--dtype", default="f32",
+                   choices=["f32", "bf16", "f16", "q4_0", "q4_1", "q8_0"])
+    p.set_defaults(fn=cmd_convert)
+
+    p = sub.add_parser("quantize", help="requantize a native checkpoint")
+    p.add_argument("input")
+    p.add_argument("out")
+    p.add_argument("--dtype", required=True,
+                   choices=["q4_0", "q4_1", "q8_0"])
+    p.set_defaults(fn=cmd_quantize)
+
+    p = sub.add_parser("bench", help="device throughput microbenchmark")
+    _add_model_args(p)
+    p.add_argument("--batch", type=int, default=128)
+    p.add_argument("--seq", type=int, default=256)
+    p.set_defaults(fn=cmd_bench)
+    return ap
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.cmd == "serve" and args.port == -1:
+        args.port = None
+    if args.cmd == "serve" and args.http_port == -1:
+        args.http_port = None
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,230 @@
+"""Embedding service: continuous batching + TCP/HTTP front-ends.
+
+The reference's server (examples/server.cpp:26-124) is a blocking
+single-client socket loop: accept one connection, send int32 n_embd, then
+{recv <=32 KiB text -> bert_encode(batch=1) -> send n_embd floats}. No
+concurrency, no cross-request batching.
+
+This module is the TPU-native replacement:
+
+- ``BatchingService``: an asyncio micro-batcher. Requests from any number
+  of connections land in one queue; a scheduler drains up to
+  ``max_batch`` requests (waiting at most ``max_wait_ms`` for stragglers),
+  forms one bucket-padded device batch, runs it, and resolves futures.
+  This is real continuous batching — cross-client, arrival-driven — the
+  greenfield the survey calls out (SURVEY.md §3.4).
+- ``serve_tcp``: wire-compatible with the reference protocol so the
+  reference's ``sample_client.py`` works unmodified against this server.
+- ``serve_http``: JSON-over-HTTP (aiohttp) POST /embed + GET /healthz.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import logging
+import struct
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .engine import Engine
+
+log = logging.getLogger("embeddings_tpu.server")
+
+RECV_MAX = 32 * 1024  # reference server.cpp:27 buffer size
+
+
+@dataclass
+class ServiceStats:
+    requests: int = 0
+    batches: int = 0
+    tokens: int = 0
+    errors: int = 0
+
+    def as_dict(self) -> dict:
+        d = dict(requests=self.requests, batches=self.batches,
+                 tokens=self.tokens, errors=self.errors)
+        d["avg_batch"] = self.requests / self.batches if self.batches else 0.0
+        return d
+
+
+class BatchingService:
+    """Cross-connection micro-batching around an Engine."""
+
+    def __init__(self, engine: Engine, *, max_batch: int | None = None,
+                 max_wait_ms: float = 2.0):
+        self.engine = engine
+        self.max_batch = max_batch or engine.engine_config.batch_size
+        self.max_wait_ms = max_wait_ms
+        self.stats = ServiceStats()
+        self._queue: asyncio.Queue = asyncio.Queue()
+        self._task: asyncio.Task | None = None
+
+    async def start(self) -> None:
+        if self._task is None:
+            self._task = asyncio.create_task(self._scheduler())
+
+    async def stop(self) -> None:
+        if self._task is not None:
+            self._task.cancel()
+            try:
+                await self._task
+            except asyncio.CancelledError:
+                pass
+            self._task = None
+
+    async def embed(self, text: str) -> np.ndarray:
+        """Enqueue one text; resolves when its batch has run."""
+        fut: asyncio.Future = asyncio.get_running_loop().create_future()
+        await self._queue.put((text, fut))
+        return await fut
+
+    async def embed_many(self, texts: list[str]) -> np.ndarray:
+        outs = await asyncio.gather(*(self.embed(t) for t in texts))
+        return np.stack(outs)
+
+    async def _scheduler(self) -> None:
+        while True:
+            text, fut = await self._queue.get()
+            batch = [(text, fut)]
+            # straggler window: keep draining until max_batch or timeout
+            deadline = asyncio.get_running_loop().time() + self.max_wait_ms / 1e3
+            while len(batch) < self.max_batch:
+                timeout = deadline - asyncio.get_running_loop().time()
+                if timeout <= 0:
+                    break
+                try:
+                    batch.append(await asyncio.wait_for(self._queue.get(),
+                                                        timeout))
+                except asyncio.TimeoutError:
+                    break
+            await self._run_batch(batch)
+
+    async def _run_batch(self, batch: list) -> None:
+        texts = [t for t, _ in batch]
+        try:
+            # the device step runs in a worker thread so the event loop
+            # keeps accepting requests while the TPU is busy
+            embs = await asyncio.to_thread(
+                self.engine.encode_batch, texts, len(texts))
+            self.stats.requests += len(batch)
+            self.stats.batches += 1
+            for (_, fut), e in zip(batch, embs):
+                if not fut.done():
+                    fut.set_result(e)
+        except Exception as exc:  # resolve futures so clients see the error
+            self.stats.errors += len(batch)
+            for _, fut in batch:
+                if not fut.done():
+                    fut.set_exception(exc)
+
+
+# ---------------------------------------------------------------------------
+# TCP front-end (reference-compatible protocol)
+# ---------------------------------------------------------------------------
+
+async def _handle_tcp(service: BatchingService, reader: asyncio.StreamReader,
+                      writer: asyncio.StreamWriter) -> None:
+    peer = writer.get_extra_info("peername")
+    log.info("client connected: %s", peer)
+    try:
+        # greeting: int32 n_embd (server.cpp:107)
+        writer.write(struct.pack("<i", service.engine.n_embd))
+        await writer.drain()
+        while True:
+            data = await reader.read(RECV_MAX)
+            if not data:
+                break
+            text = data.decode("utf-8", errors="replace")
+            emb = await service.embed(text)
+            writer.write(np.asarray(emb, np.float32).tobytes())
+            await writer.drain()
+    except (ConnectionResetError, asyncio.IncompleteReadError):
+        pass
+    finally:
+        writer.close()
+        log.info("client disconnected: %s", peer)
+
+
+async def serve_tcp(engine_or_service, host: str = "0.0.0.0",
+                    port: int = 8080):
+    """Start the reference-protocol TCP server; returns (server, service)."""
+    service = (engine_or_service if isinstance(engine_or_service, BatchingService)
+               else BatchingService(engine_or_service))
+    await service.start()
+    server = await asyncio.start_server(
+        lambda r, w: _handle_tcp(service, r, w), host, port)
+    log.info("TCP server on %s:%d (n_embd=%d)", host, port,
+             service.engine.n_embd)
+    return server, service
+
+
+# ---------------------------------------------------------------------------
+# HTTP front-end
+# ---------------------------------------------------------------------------
+
+def make_http_app(service: BatchingService):
+    """aiohttp app: POST /embed {"texts": [...]} -> {"embeddings": [...]},
+    GET /healthz, GET /stats."""
+    from aiohttp import web
+
+    async def embed(request: web.Request) -> web.Response:
+        try:
+            body = await request.json()
+            texts = body["texts"] if "texts" in body else [body["text"]]
+            if not isinstance(texts, list) or not all(
+                    isinstance(t, str) for t in texts):
+                raise ValueError("texts must be a list of strings")
+        except (json.JSONDecodeError, KeyError, ValueError) as e:
+            return web.json_response({"error": str(e) or "bad request"},
+                                     status=400)
+        embs = await service.embed_many(texts)
+        return web.json_response({
+            "embeddings": [e.tolist() for e in embs],
+            "n_embd": service.engine.n_embd,
+        })
+
+    async def healthz(request):
+        return web.json_response({"status": "ok",
+                                  "n_embd": service.engine.n_embd})
+
+    async def stats(request):
+        return web.json_response(service.stats.as_dict())
+
+    app = web.Application()
+    app.router.add_post("/embed", embed)
+    app.router.add_get("/healthz", healthz)
+    app.router.add_get("/stats", stats)
+    return app
+
+
+async def serve_http(engine_or_service, host: str = "0.0.0.0",
+                     port: int = 8081):
+    from aiohttp import web
+    service = (engine_or_service if isinstance(engine_or_service, BatchingService)
+               else BatchingService(engine_or_service))
+    await service.start()
+    app = make_http_app(service)
+    runner = web.AppRunner(app)
+    await runner.setup()
+    site = web.TCPSite(runner, host, port)
+    await site.start()
+    log.info("HTTP server on %s:%d", host, port)
+    return runner, service
+
+
+async def serve_forever(engine: Engine, *, host: str = "0.0.0.0",
+                        tcp_port: int | None = 8080,
+                        http_port: int | None = 8081,
+                        max_batch: int | None = None,
+                        max_wait_ms: float = 2.0) -> None:
+    """Run TCP and/or HTTP front-ends over one shared batching service."""
+    service = BatchingService(engine, max_batch=max_batch,
+                              max_wait_ms=max_wait_ms)
+    await service.start()
+    if tcp_port is not None:
+        await serve_tcp(service, host, tcp_port)
+    if http_port is not None:
+        await serve_http(service, host, http_port)
+    await asyncio.Event().wait()  # run until cancelled

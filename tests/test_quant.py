@@ -18,9 +18,9 @@ def kind(request):
     return request.param
 
 
-def test_q4_0_semantics(rng):
+def test_q4_0_semantics():
     """d = signed-absmax / -8; codes in [-8, 7]; dequant error bounded."""
-    w = rng.standard_normal((64, 8), dtype=np.float32)
+    w = np.random.default_rng(7).standard_normal((64, 8), dtype=np.float32)
     q, d = quantize_q4_0(w)
     assert q.min() >= -8 and q.max() <= 7
     blocks = w.reshape(2, QK, 8)
@@ -31,7 +31,8 @@ def test_q4_0_semantics(rng):
     # q = clamp(x/d + 8.5) with x = -8d -> q-8 = -8 -> deq = -8d = x.
     deq = q.reshape(2, QK, 8) * d[:, None, :]
     err = np.abs(deq - blocks)
-    assert err.max() <= np.abs(d).max() / 2 + 1e-6
+    # full-step bound: the asymmetric [-8,7] grid clips the positive extreme
+    assert err.max() <= np.abs(d).max() + 1e-6
 
 
 def test_quant_roundtrip_error(kind, rng):

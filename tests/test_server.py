@@ -1,0 +1,153 @@
+"""Serving layer: continuous batching, reference-protocol TCP, HTTP JSON."""
+
+import asyncio
+import struct
+import threading
+
+import numpy as np
+import pytest
+
+from embeddings_tpu.config import BertConfig, EngineConfig
+from embeddings_tpu.models import params as P
+from embeddings_tpu.runtime.engine import Engine
+from embeddings_tpu.runtime.server import (BatchingService, serve_http,
+                                           serve_tcp)
+from embeddings_tpu.tokenizer import WordPieceTokenizer, WordPieceVocab
+
+
+@pytest.fixture(scope="module")
+def engine(small_vocab):
+    tok = WordPieceTokenizer(WordPieceVocab.from_tokens(small_vocab))
+    cfg = BertConfig(vocab_size=len(small_vocab), hidden_size=64,
+                     num_hidden_layers=2, num_attention_heads=4,
+                     intermediate_size=128, max_position_embeddings=64)
+    params = P.init_params(cfg, rng=0)
+    ec = EngineConfig(seq_buckets=(16, 32), max_seq_len=32, batch_size=8,
+                      batch_buckets=(1, 2, 4, 8))
+    return Engine(params, cfg, tok, ec)
+
+
+def run_async(coro):
+    return asyncio.run(coro)
+
+
+def test_batching_service_single(engine):
+    async def go():
+        svc = BatchingService(engine)
+        await svc.start()
+        emb = await svc.embed("hello world")
+        await svc.stop()
+        return emb
+    emb = run_async(go())
+    np.testing.assert_allclose(emb, engine.encode("hello world"), atol=1e-5)
+
+
+def test_batching_service_batches_concurrent_requests(engine):
+    async def go():
+        svc = BatchingService(engine, max_batch=8, max_wait_ms=50)
+        await svc.start()
+        texts = [f"hello world {'a ' * (i % 4)}" for i in range(16)]
+        outs = await svc.embed_many(texts)
+        await svc.stop()
+        return outs, svc.stats
+    outs, stats = run_async(go())
+    assert outs.shape == (16, engine.n_embd)
+    # 16 concurrent requests must coalesce into far fewer device batches
+    assert stats.batches <= 4, stats.as_dict()
+    assert stats.requests == 16
+    ref = engine.encode_batch([f"hello world {'a ' * (i % 4)}"
+                               for i in range(16)])
+    np.testing.assert_allclose(outs, ref, atol=1e-4)
+
+
+def test_batching_service_error_propagates(engine):
+    async def go():
+        svc = BatchingService(engine)
+        await svc.start()
+        try:
+            # engine.tokenize raises on non-strings inside the worker
+            await svc.embed(12345)  # type: ignore[arg-type]
+            return None
+        except Exception as e:
+            return e
+        finally:
+            await svc.stop()
+    err = run_async(go())
+    assert err is not None
+    assert run_async(_svc_ok(engine))  # service still usable after error
+
+
+async def _svc_ok(engine):
+    svc = BatchingService(engine)
+    await svc.start()
+    emb = await svc.embed("hello")
+    await svc.stop()
+    return emb.shape == (engine.n_embd,)
+
+
+def test_tcp_protocol_reference_compat(engine):
+    """Drive the TCP server with the reference sample_client.py protocol."""
+    from embeddings_tpu.runtime.client import TcpClient
+
+    async def go():
+        server, svc = await serve_tcp(engine, host="127.0.0.1", port=0)
+        port = server.sockets[0].getsockname()[1]
+        results = {}
+
+        def client():
+            with TcpClient("127.0.0.1", port) as c:
+                results["n_embd"] = c.n_embd
+                results["emb1"] = c.embed("hello world")
+                results["emb2"] = c.embed("the quick brown fox")
+
+        await asyncio.to_thread(client)
+        server.close()
+        await server.wait_closed()
+        await svc.stop()
+        return results
+
+    r = run_async(go())
+    assert r["n_embd"] == engine.n_embd
+    np.testing.assert_allclose(r["emb1"], engine.encode("hello world"),
+                               atol=1e-5)
+    np.testing.assert_allclose(r["emb2"],
+                               engine.encode("the quick brown fox"),
+                               atol=1e-5)
+
+
+def test_http_endpoints(engine):
+    pytest.importorskip("aiohttp")
+    from embeddings_tpu.runtime.client import HttpClient
+
+    async def go():
+        runner, svc = await serve_http(engine, host="127.0.0.1", port=0)
+        port = runner.addresses[0][1]
+        results = {}
+
+        def client():
+            c = HttpClient(f"http://127.0.0.1:{port}")
+            results["health"] = c.healthz()
+            results["one"] = c.embed("hello world")
+            results["many"] = c.embed(["hello world", "test"])
+            import urllib.request, urllib.error, json as j
+            try:
+                req = urllib.request.Request(
+                    f"http://127.0.0.1:{port}/embed", data=b"not json",
+                    headers={"Content-Type": "application/json"})
+                urllib.request.urlopen(req)
+                results["bad"] = None
+            except urllib.error.HTTPError as e:
+                results["bad"] = e.code
+
+        await asyncio.to_thread(client)
+        await runner.cleanup()
+        await svc.stop()
+        return results
+
+    r = run_async(go())
+    assert r["health"]["status"] == "ok"
+    assert r["one"].shape == (engine.n_embd,)
+    assert r["many"].shape == (2, engine.n_embd)
+    assert r["bad"] == 400
+    np.testing.assert_allclose(r["one"], engine.encode("hello world"),
+                               atol=1e-5)
