@@ -101,12 +101,29 @@ def cmd_serve(args) -> int:
 
 
 def cmd_convert(args) -> int:
+    import os
+    from pathlib import Path
     from .models import params as P
-    params, config = P.load_hf_dir(args.hf_dir)
+    src = Path(args.hf_dir)
+    if src.suffix == ".bin":
+        from .models.ggml_io import load_ggml_model
+        params, config, _ = load_ggml_model(src)
+    else:
+        params, config = P.load_hf_dir(src)
+    if args.out.endswith(".bin"):
+        # export in the reference's ggml .bin format (vocab embedded)
+        from .models.ggml_io import write_ggml
+        from .tokenizer import WordPieceVocab
+        vocab = WordPieceVocab.from_file(src / "vocab.txt")
+        tokens = [vocab.id_to_token[i] for i in range(len(vocab.id_to_token))]
+        write_ggml(args.out, params, config, tokens, dtype=args.dtype)
+        print(f"wrote {args.out} "
+              f"({os.path.getsize(args.out)/1e6:.2f} MB, ggml {args.dtype})")
+        return 0
     if args.dtype != "f32":
         params = P.quantize_params(params, args.dtype)
     P.save_native(args.out, params, config)
-    size = __import__("os").path.getsize(args.out) / 1e6
+    size = os.path.getsize(args.out) / 1e6
     print(f"wrote {args.out} ({size:.2f} MB, dtype={args.dtype})")
     # copy vocab next to the checkpoint so load_model finds the tokenizer
     import shutil

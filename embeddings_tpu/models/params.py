@@ -180,6 +180,52 @@ def load_hf_dir(model_dir: str | Path, dtype=jnp.float32,
     return from_hf_state_dict(sd, config, dtype), config
 
 
+def to_hf_state_dict(params: Params) -> dict[str, np.ndarray]:
+    """Inverse of from_hf_state_dict: our pytree -> HF-named f32 arrays
+    (linears transposed back to [out, in]). QuantizedTensors are
+    dequantized. Used by the ggml .bin writer and for HF export."""
+    from ..ops.quant import QuantizedTensor, dequantize
+
+    def dense(x) -> np.ndarray:
+        if isinstance(x, QuantizedTensor):
+            return np.asarray(dequantize(x), np.float32)
+        return np.asarray(x, np.float32)
+
+    emb = params["embeddings"]
+    sd: dict[str, np.ndarray] = {
+        "embeddings.word_embeddings.weight": dense(emb["word"]),
+        "embeddings.position_embeddings.weight": dense(emb["position"]),
+        "embeddings.token_type_embeddings.weight": dense(emb["token_type"]),
+        "embeddings.LayerNorm.weight": dense(emb["ln"]["scale"]),
+        "embeddings.LayerNorm.bias": dense(emb["ln"]["bias"]),
+    }
+    layers = params["layers"]
+    NL = len(dense(layers["attn"]["ln"]["scale"]))
+
+    def put_lin(fmt: str, v: dict) -> None:
+        w = dense(v["w"])   # [NL, in, out]
+        b = dense(v["b"])
+        for i in range(NL):
+            sd[fmt.format(i) + ".weight"] = np.ascontiguousarray(w[i].T)
+            sd[fmt.format(i) + ".bias"] = b[i]
+
+    def put_ln(fmt: str, v: dict) -> None:
+        s, b = dense(v["scale"]), dense(v["bias"])
+        for i in range(NL):
+            sd[fmt.format(i) + ".weight"] = s[i]
+            sd[fmt.format(i) + ".bias"] = b[i]
+
+    put_lin("encoder.layer.{}.attention.self.query", layers["attn"]["q"])
+    put_lin("encoder.layer.{}.attention.self.key", layers["attn"]["k"])
+    put_lin("encoder.layer.{}.attention.self.value", layers["attn"]["v"])
+    put_lin("encoder.layer.{}.attention.output.dense", layers["attn"]["o"])
+    put_ln("encoder.layer.{}.attention.output.LayerNorm", layers["attn"]["ln"])
+    put_lin("encoder.layer.{}.intermediate.dense", layers["mlp"]["up"])
+    put_lin("encoder.layer.{}.output.dense", layers["mlp"]["down"])
+    put_ln("encoder.layer.{}.output.LayerNorm", layers["mlp"]["ln"])
+    return sd
+
+
 # ---------------------------------------------------------------------------
 # Quantization over the pytree
 # ---------------------------------------------------------------------------

@@ -248,6 +248,44 @@ def unpack_ggml_q4_0(buf: bytes, K: int, N: int) -> tuple[np.ndarray, np.ndarray
     return q.reshape(N, K).T.copy(), d.T.copy()
 
 
+def pack_ggml_q4_1(codes_raw: np.ndarray, scales: np.ndarray,
+                   mins_raw: np.ndarray) -> bytes:
+    """ggml block_q4_1: {f32 d; f32 m; uint8 qs[16]}. Takes RAW ggml
+    semantics: codes in [0, 15] and unfolded mins (as quantize_q4_1
+    returns), for a [K, N] weight -> stream for the transposed ggml
+    tensor."""
+    K, N = codes_raw.shape
+    q = codes_raw.astype(np.uint8).T.reshape(N, K // QK, QK)
+    lo, hi = q[..., 0::2], q[..., 1::2]
+    packed = (lo | (hi << 4)).astype(np.uint8)
+    d = scales.T.astype(np.float32)
+    m = mins_raw.T.astype(np.float32)
+    out = bytearray()
+    for n in range(N):
+        for b in range(K // QK):
+            out += d[n, b].tobytes()
+            out += m[n, b].tobytes()
+            out += packed[n, b].tobytes()
+    return bytes(out)
+
+
+def unpack_ggml_q4_1(buf: bytes, K: int, N: int
+                     ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Inverse of pack_ggml_q4_1, returned in QuantizedTensor convention:
+    CENTERED codes in [-8, 7] and FOLDED mins (m + 8d), so
+    dequant = codes*d + mins."""
+    nb = K // QK
+    rec = np.dtype([("d", "<f4"), ("m", "<f4"), ("qs", "u1", (QK // 2,))])
+    arr = np.frombuffer(buf, dtype=rec, count=N * nb).reshape(N, nb)
+    d = arr["d"].astype(np.float32)
+    m = arr["m"].astype(np.float32) + 8.0 * d   # fold the centering shift
+    qs = arr["qs"]
+    q = np.empty((N, nb, QK), dtype=np.int8)
+    q[..., 0::2] = (qs & 0x0F).astype(np.int8) - 8
+    q[..., 1::2] = (qs >> 4).astype(np.int8) - 8
+    return q.reshape(N, K).T.copy(), d.T.copy(), m.T.copy()
+
+
 def pack_ggml_q8_0(codes: np.ndarray, scales: np.ndarray) -> bytes:
     """ggml block_q8_0: {f32 d; int8 qs[32]}."""
     K, N = codes.shape

@@ -133,6 +133,11 @@ def load_model(path: str | Path, *, dtype: str = "f32",
         params, config = P.load_hf_dir(path)
         if tokenizer is None:
             tokenizer = WordPieceTokenizer.from_pretrained(path)
+    elif path.suffix == ".bin":
+        # reference-format ggml model file (vocab embedded)
+        from ..models.ggml_io import load_ggml_model
+        params, config, file_tok = load_ggml_model(path)
+        tokenizer = tokenizer or file_tok
     else:
         params, config = P.load_native(path)
         if tokenizer is None:
@@ -146,7 +151,10 @@ def load_model(path: str | Path, *, dtype: str = "f32",
                     f"no tokenizer: pass tokenizer= or put vocab.txt next to {path}")
     if pooling is not None:
         config = dataclasses.replace(config, pooling=pooling)
-    if dtype != "f32":
+    from ..ops.quant import QuantizedTensor
+    already_quant = isinstance(params["layers"]["mlp"]["up"]["w"],
+                               QuantizedTensor)
+    if dtype != "f32" and not already_quant:
         params = P.quantize_params(params, dtype)
     config = dataclasses.replace(
         config,
