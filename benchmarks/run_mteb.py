@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""MTEB STSBenchmark harness (the reference's benchmarks/run_mteb.py
+equivalent, adapted to the TPU engine).
+
+For each mode in MODES, wraps the Engine as an MTEB model and runs the
+chosen tasks; results land in benchmarks/results/{model}_{mode}/ exactly
+like the reference layout so print_tables.py works on both.
+
+Requires `pip install mteb` and a real checkpoint — in an offline
+environment use benchmarks/dtype_parity.py for the quantization-quality
+gate instead.
+
+Usage:
+  python benchmarks/run_mteb.py -m models/bge-base-en-v1.5 \
+      [--modes q4_0 f16 f32 sbert] [--tasks STSBenchmark] [--batch 32]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+MODES = ["f32", "f16", "q4_0", "q4_0-batchless", "q4_1", "q8_0"]
+
+
+class EmbeddingsTpuModel:
+    """MTEB model protocol: encode(list[str], batch_size) -> ndarray.
+    Mirrors the reference's EmbeddingsCppModel (run_mteb.py:34-83)."""
+
+    def __init__(self, model_path: str, dtype: str, batch_size: int = 32,
+                 batchless: bool = False):
+        from embeddings_tpu.runtime.engine import load_model
+        self.engine = load_model(model_path, dtype=dtype)
+        self.batch_size = 1 if batchless else batch_size
+
+    def encode(self, sentences, batch_size: int = 32, **kwargs):
+        return self.engine.encode_batch(
+            list(sentences), batch_size=self.batch_size)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("-m", "--model", required=True)
+    ap.add_argument("--modes", nargs="+", default=MODES)
+    ap.add_argument("--tasks", nargs="+", default=["STSBenchmark"])
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--out", default=str(Path(__file__).parent / "results"))
+    args = ap.parse_args()
+
+    try:
+        import mteb
+    except ImportError:
+        print("mteb is not installed (offline environment?). Use "
+              "benchmarks/dtype_parity.py for the offline quality gate.",
+              file=sys.stderr)
+        return 2
+
+    model_name = Path(args.model).stem
+    for mode in args.modes:
+        if mode.startswith("sbert"):
+            from sentence_transformers import SentenceTransformer
+            model = SentenceTransformer(args.model)
+            if mode.endswith("batchless"):
+                enc = model.encode
+                model.encode = lambda s, **kw: enc(s, batch_size=1)
+        else:
+            dtype = mode.replace("-batchless", "")
+            model = EmbeddingsTpuModel(args.model, dtype, args.batch,
+                                       batchless=mode.endswith("batchless"))
+        evaluation = mteb.MTEB(tasks=args.tasks, task_langs=["en"])
+        out = Path(args.out) / f"{model_name}_{mode}"
+        evaluation.run(model, output_folder=str(out),
+                       eval_splits=["test"])
+        print(f"[{mode}] results -> {out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,72 @@
+"""Benchmark/eval harness smoke tests (offline paths only)."""
+
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def test_default_corpus_deterministic():
+    sys.path.insert(0, str(REPO / "benchmarks"))
+    import dtype_parity
+    a = dtype_parity.default_corpus(64)
+    b = dtype_parity.default_corpus(64)
+    assert a == b and len(a) == 64
+    assert any(any(ord(c) > 0x4E00 for c in s) for s in a)  # CJK included
+
+
+def test_dtype_parity_evaluate(small_vocab, tiny_config):
+    import dataclasses
+    sys.path.insert(0, str(REPO / "benchmarks"))
+    import dtype_parity
+    from embeddings_tpu.config import EngineConfig
+    from embeddings_tpu.models import params as P
+    from embeddings_tpu.runtime.engine import Engine
+    from embeddings_tpu.tokenizer import WordPieceTokenizer, WordPieceVocab
+
+    tok = WordPieceTokenizer(WordPieceVocab.from_tokens(small_vocab))
+    cfg = dataclasses.replace(tiny_config, vocab_size=len(small_vocab))
+    base = P.init_params(cfg, rng=0)
+
+    def make_engine(dt):
+        p = base if dt == "f32" else P.quantize_params(base, dt)
+        return Engine(p, cfg, tok, EngineConfig(batch_size=8))
+
+    corpus = ["hello world", "the quick brown fox", "walk talk run",
+              "a good new test", "an old big dog", "fire water earth"]
+    res = dtype_parity.evaluate(make_engine, corpus, ["q4_0"], batch_size=4)
+    assert res["q4_0"]["mean_cos_vs_f32"] > 0.98
+    assert res["q4_0"]["sts_proxy_spearman"] > 0.9
+
+
+def test_print_tables_parity_format(tmp_path, capsys):
+    sys.path.insert(0, str(REPO / "benchmarks"))
+    import print_tables
+    data = {"f32": {"eval_s": 1.0},
+            "q4_0": {"eval_s": 0.9, "mean_cos_vs_f32": 0.997,
+                     "min_cos_vs_f32": 0.99, "sts_proxy_spearman": 0.998,
+                     "sts_proxy_pearson": 0.9985}}
+    p = tmp_path / "parity.json"
+    p.write_text(json.dumps(data))
+    print_tables.print_parity(p)
+    out = capsys.readouterr().out
+    assert "q4_0" in out and "0.99800" in out
+
+
+def test_run_mteb_exits_cleanly_without_mteb():
+    """The MTEB harness must fail with a helpful message offline, not a
+    traceback."""
+    proc = subprocess.run(
+        [sys.executable, str(REPO / "benchmarks/run_mteb.py"),
+         "-m", "nonexistent"],
+        capture_output=True, text=True,
+        env={"PATH": "/usr/bin:/bin", "JAX_PLATFORMS": "cpu",
+             "PYTHONPATH": "/root/.axon_site"})
+    if proc.returncode == 2:
+        assert "mteb is not installed" in proc.stderr
+    else:
+        assert proc.returncode == 0  # mteb present: fine too
