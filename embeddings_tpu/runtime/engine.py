@@ -44,6 +44,10 @@ class Engine:
         self.tokenizer = tokenizer
         self.engine_config = engine_config or EngineConfig()
         self.mesh = mesh
+        # fast host-side tokenizer (native C++ ext) when built; the Python
+        # tokenizer remains the API surface (id_to_token, vocab, ...)
+        from ..tokenizer import native as _native
+        self._fast_tokenizer = _native.NativeWordPieceTokenizer.wrap(tokenizer)
         if mesh is not None:
             from ..parallel.sharding import shard_params, make_sharded_forward
             self.params = shard_params(params, config, mesh)
@@ -65,7 +69,8 @@ class Engine:
 
     # -- tokenize -----------------------------------------------------------
     def tokenize(self, text: str) -> list[int]:
-        return self.tokenizer.encode(text, max_len=self.max_seq_len)
+        tok = self._fast_tokenizer or self.tokenizer
+        return tok.encode(text, max_len=self.max_seq_len)
 
     # -- forward on pre-tokenized, padded arrays ----------------------------
     def forward(self, ids: np.ndarray, mask: np.ndarray) -> np.ndarray:

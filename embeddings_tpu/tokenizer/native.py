@@ -1,0 +1,105 @@
+"""ctypes binding for the native C++ tokenizer (native/tokenizer.cpp).
+
+Drop-in replacement for the hot path of WordPieceTokenizer.encode: same
+algorithm, same tables (generated from the same unicodedata), ~10-30x
+faster on long batches. Falls back cleanly when the .so isn't built:
+
+    tok = WordPieceTokenizer(vocab)
+    ntok = NativeWordPieceTokenizer.wrap(tok)   # or None if unavailable
+"""
+
+from __future__ import annotations
+
+import ctypes
+from pathlib import Path
+
+import numpy as np
+
+_LIB_PATHS = [
+    Path(__file__).resolve().parent.parent.parent / "native/build/libetok.so",
+    Path(__file__).resolve().parent / "libetok.so",
+]
+
+_lib = None
+
+
+def _load_lib():
+    global _lib
+    if _lib is not None:
+        return _lib
+    for p in _LIB_PATHS:
+        if p.exists():
+            lib = ctypes.CDLL(str(p))
+            lib.etok_new.restype = ctypes.c_void_p
+            lib.etok_new.argtypes = [ctypes.POINTER(ctypes.c_char_p),
+                                     ctypes.c_int32, ctypes.c_int32,
+                                     ctypes.c_int32]
+            lib.etok_free.argtypes = [ctypes.c_void_p]
+            lib.etok_encode.restype = ctypes.c_int32
+            lib.etok_encode.argtypes = [
+                ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+                ctypes.c_int32]
+            for name in ("cls", "sep", "unk", "pad"):
+                fn = getattr(lib, f"etok_{name}_id")
+                fn.restype = ctypes.c_int32
+                fn.argtypes = [ctypes.c_void_p]
+            _lib = lib
+            return lib
+    return None
+
+
+def available() -> bool:
+    return _load_lib() is not None
+
+
+class NativeWordPieceTokenizer:
+    """Same interface subset as WordPieceTokenizer (encode/encode_batch)."""
+
+    def __init__(self, tokens: list[str], *, lowercase: bool = True,
+                 tokenize_chinese_chars: bool = True):
+        lib = _load_lib()
+        if lib is None:
+            raise RuntimeError(
+                "native tokenizer not built (run `make -C native`)")
+        self._lib = lib
+        arr = (ctypes.c_char_p * len(tokens))(
+            *[t.encode("utf-8") for t in tokens])
+        self._ctx = lib.etok_new(arr, len(tokens), int(lowercase),
+                                 int(tokenize_chinese_chars))
+        self.cls_id = lib.etok_cls_id(self._ctx)
+        self.sep_id = lib.etok_sep_id(self._ctx)
+        self.unk_id = lib.etok_unk_id(self._ctx)
+        self.pad_id = lib.etok_pad_id(self._ctx)
+        self._buf = (ctypes.c_int32 * 8192)()
+
+    @classmethod
+    def wrap(cls, tok) -> "NativeWordPieceTokenizer | None":
+        """Build from a WordPieceTokenizer if the lib is available."""
+        if not available():
+            return None
+        n = len(tok.vocab.id_to_token)
+        return cls(tok.vocab.id_to_token,
+                   lowercase=tok.lowercase,
+                   tokenize_chinese_chars=tok.tokenize_chinese_chars)
+
+    def encode(self, text: str, max_len: int | None = None) -> list[int]:
+        data = text.encode("utf-8")
+        n = self._lib.etok_encode(self._ctx, data, len(data), self._buf,
+                                  len(self._buf), max_len or -1)
+        if n < 0:
+            big = (ctypes.c_int32 * (len(data) + 2))()
+            n = self._lib.etok_encode(self._ctx, data, len(data), big,
+                                      len(big), max_len or -1)
+            return list(big[:n])
+        return list(self._buf[:n])
+
+    def encode_batch(self, texts, max_len: int | None = None):
+        return [self.encode(t, max_len) for t in texts]
+
+    def __del__(self):
+        try:
+            if getattr(self, "_ctx", None):
+                self._lib.etok_free(self._ctx)
+        except Exception:
+            pass

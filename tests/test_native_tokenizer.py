@@ -1,0 +1,63 @@
+"""Native C++ tokenizer: token-for-token conformance with the Python
+implementation (which is itself HF-conformant) + throughput sanity."""
+
+import time
+
+import pytest
+
+from embeddings_tpu.tokenizer import WordPieceTokenizer, WordPieceVocab
+from embeddings_tpu.tokenizer import native as nat
+
+pytestmark = pytest.mark.skipif(
+    not nat.available(), reason="native tokenizer not built (make -C native)")
+
+from tests.test_tokenizer import PROMPTS  # same conformance prompt set
+
+
+@pytest.fixture(scope="module")
+def pair(small_vocab):
+    py = WordPieceTokenizer(WordPieceVocab.from_tokens(small_vocab))
+    cc = nat.NativeWordPieceTokenizer.wrap(py)
+    assert cc is not None
+    return py, cc
+
+
+@pytest.mark.parametrize("text", PROMPTS, ids=range(len(PROMPTS)))
+def test_native_matches_python(pair, text):
+    py, cc = pair
+    assert cc.encode(text) == py.encode(text)
+
+
+def test_native_matches_python_truncation(pair):
+    py, cc = pair
+    for max_len in (4, 16, 64):
+        t = "the quick brown fox " * 30
+        assert cc.encode(t, max_len=max_len) == py.encode(t, max_len=max_len)
+
+
+def test_special_ids(pair, small_vocab):
+    _, cc = pair
+    assert cc.cls_id == small_vocab.index("[CLS]")
+    assert cc.pad_id == small_vocab.index("[PAD]")
+
+
+def test_large_input_regrows_buffer(pair):
+    py, cc = pair
+    t = "the " * 20000  # body exceeds the 8192-token scratch buffer
+    assert cc.encode(t) == py.encode(t)
+
+
+def test_native_is_faster(pair):
+    py, cc = pair
+    corpus = ["the quick brown fox jumps over the lazy dog 你好 world! " * 4
+              ] * 300
+
+    t0 = time.perf_counter()
+    a = [py.encode(t) for t in corpus]
+    t_py = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    b = [cc.encode(t) for t in corpus]
+    t_cc = time.perf_counter() - t0
+    assert a == b
+    # native must be decisively faster (it's the point of having it)
+    assert t_cc < t_py / 2, (t_py, t_cc)
