@@ -31,7 +31,7 @@ def main() -> None:
 
     cfg = BertConfig(**{**KNOWN_MODELS["bge-base-en-v1.5"],
                         "vocab_size": 30528})
-    params = P.quantize_params(P.init_params(cfg, rng=0), "q4_0")
+    params = P.fuse_qkv(P.quantize_params(P.init_params(cfg, rng=0), "q4_0"))
 
     B, L = 128, 256
     rng = np.random.default_rng(0)
@@ -41,7 +41,8 @@ def main() -> None:
     def step(ids_c, mask):
         # ids_c is the timing carry: the forward must consume it so XLA
         # cannot hoist the loop-invariant computation.
-        return bert.encode_tokens(params, cfg, ids_c, mask)
+        return bert.encode_tokens(params, cfg, ids_c, mask,
+                                  compute_dtype="bfloat16")
 
     us = device_time_us(step, (ids, mask), lo=5, hi=20, reps=3)
     sent_per_s = B / (us * 1e-6)

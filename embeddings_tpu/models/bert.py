@@ -74,9 +74,17 @@ def attention(layer: Params, config: BertConfig, x: jax.Array,
     B, L, E = x.shape
     H, D = config.num_attention_heads, config.head_dim
     a = layer["attn"]
-    q = linear(x, a["q"]["w"], a["q"]["b"]).reshape(B, L, H, D)
-    k = linear(x, a["k"]["w"], a["k"]["b"]).reshape(B, L, H, D)
-    v = linear(x, a["v"]["w"], a["v"]["b"]).reshape(B, L, H, D)
+    if "qkv" in a:
+        # fused projection (params.fuse_qkv): one matmul, x read once;
+        # contiguous column slices (a strided 5-D reshape costs ~1ms here)
+        qkv = linear(x, a["qkv"]["w"], a["qkv"]["b"])  # [B, L, 3E]
+        q = qkv[..., :E].reshape(B, L, H, D)
+        k = qkv[..., E:2 * E].reshape(B, L, H, D)
+        v = qkv[..., 2 * E:].reshape(B, L, H, D)
+    else:
+        q = linear(x, a["q"]["w"], a["q"]["b"]).reshape(B, L, H, D)
+        k = linear(x, a["k"]["w"], a["k"]["b"]).reshape(B, L, H, D)
+        v = linear(x, a["v"]["w"], a["v"]["b"]).reshape(B, L, H, D)
     # scores: [B, H, L, L] on the MXU; accumulate in f32.
     scores = jnp.einsum("blhd,bmhd->bhlm", q, k,
                         preferred_element_type=jnp.float32)
@@ -94,8 +102,8 @@ def encoder_layer(layer: Params, config: BertConfig, x: jax.Array,
     a, m = layer["attn"], layer["mlp"]
     x = layer_norm(x + attention(layer, config, x, mask_bias),
                    a["ln"]["scale"], a["ln"]["bias"], config.layer_norm_eps)
-    h = linear(x, m["up"]["w"], m["up"]["b"])
-    h = gelu(h, approximate=(config.hidden_act == "gelu_tanh"))
+    act = "gelu_tanh" if config.hidden_act == "gelu_tanh" else "gelu"
+    h = linear(x, m["up"]["w"], m["up"]["b"], act=act)  # GELU fused in-kernel
     h = linear(h, m["down"]["w"], m["down"]["b"])
     return layer_norm(x + h, m["ln"]["scale"], m["ln"]["bias"],
                       config.layer_norm_eps)
@@ -105,6 +113,7 @@ def encode_tokens(params: Params, config: BertConfig, token_ids: jax.Array,
                   attention_mask: jax.Array, *, pooling: str | None = None,
                   normalize: bool | None = None,
                   mask_value: float = -1e9,
+                  compute_dtype: str | None = None,
                   return_hidden: bool = False) -> jax.Array:
     """Full forward: token ids + mask -> pooled, normalized embeddings.
 
@@ -124,6 +133,10 @@ def encode_tokens(params: Params, config: BertConfig, token_ids: jax.Array,
     mask_bias = ((1.0 - mask) * mask_value)[:, None, None, :]  # [B,1,1,L]
 
     x = embed(params, config, token_ids)
+    # Activation dtype: bf16 keeps every matmul on the MXU's native path
+    # (LayerNorm/softmax still accumulate in f32); f32 for parity tests.
+    if compute_dtype is not None:
+        x = x.astype(jnp.dtype(compute_dtype))
 
     # lax.scan over stacked layer params: one compiled block for all layers.
     def body(h, layer):

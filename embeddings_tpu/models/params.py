@@ -285,6 +285,36 @@ def cast_params(params: Params, kind: str) -> Params:
         cast, params, is_leaf=lambda x: isinstance(x, QuantizedTensor))
 
 
+def fuse_qkv(params: Params) -> Params:
+    """Merge the q/k/v projections into one [E, 3E] matmul (single-device
+    optimization: one kernel launch, x read from HBM once). The layout is
+    [..., 3, H, D] on the output axis so the forward can split by slicing.
+    Not used with tensor parallelism (the concat axis would shard across
+    the q/k/v boundary)."""
+    attn = params["layers"]["attn"]
+    if "qkv" in attn:
+        return params
+    q, k, v = attn["q"], attn["k"], attn["v"]
+
+    def cat(xs, axis):
+        if isinstance(xs[0], QuantizedTensor):
+            return QuantizedTensor(
+                jnp.concatenate([x.codes for x in xs], axis=axis),
+                jnp.concatenate([x.scales for x in xs], axis=axis),
+                (jnp.concatenate([x.mins for x in xs], axis=axis)
+                 if xs[0].mins is not None else None),
+                xs[0].kind, xs[0].block_axis)
+        return jnp.concatenate(xs, axis=axis)
+
+    fused = {"w": cat([q["w"], k["w"], v["w"]], axis=-1),
+             "b": jnp.concatenate([q["b"], k["b"], v["b"]], axis=-1)}
+    new_attn = {n: x for n, x in attn.items() if n not in ("q", "k", "v")}
+    new_attn["qkv"] = fused
+    out = dict(params)
+    out["layers"] = {"attn": new_attn, "mlp": params["layers"]["mlp"]}
+    return out
+
+
 def param_bytes(params: Params) -> int:
     return sum(x.size * x.dtype.itemsize
                for x in jax.tree_util.tree_leaves(params))

@@ -50,33 +50,46 @@ def _pad_dim(x: jax.Array, axis: int, multiple: int) -> jax.Array:
 
 
 def quantized_matmul(x2d: jax.Array, w: QuantizedTensor,
+                     b: jax.Array | None = None, act: str | None = None,
                      interpret: bool = False) -> jax.Array:
-    """[M, K] @ quantized [K, N] -> [M, N] f32, padding M to the tile size."""
+    """[M, K] @ quantized [K, N] (+bias, +act) -> [M, N] in x2d.dtype,
+    padding M to the tile size. Bias/activation run fused in the kernel."""
     assert w.block_axis == -2
     M, K = x2d.shape
     _, N = w.shape
     if _use_pallas() or interpret:
-        bm = min(_qmm.BM, max(8, -(-M // 8) * 8))  # small-M friendliness
+        bm = min(256, max(8, -(-M // 8) * 8))  # small-M friendliness
         xp = _pad_dim(x2d, 0, bm)
-        out = _qmm.qmatmul(xp, w.codes, w.scales, w.mins, kind=w.kind,
-                           bm=bm, interpret=interpret)
+        epi = {None: None, "gelu": "bias_gelu",
+               "gelu_tanh": "bias_gelu_tanh"}[act]
+        out = _qmm.qmatmul(xp, w.codes, w.scales, w.mins, b, kind=w.kind,
+                           epilogue=epi, bm=bm, interpret=interpret)
         return out[:M]
-    return jnp.dot(x2d, dequantize(w), preferred_element_type=jnp.float32)
+    y = jnp.dot(x2d, dequantize(w), preferred_element_type=jnp.float32)
+    if b is not None:
+        y = y + b
+    if act is not None:
+        y = jax.nn.gelu(y, approximate=(act == "gelu_tanh"))
+    return y.astype(x2d.dtype)
 
 
-def linear(x: jax.Array, w, b: jax.Array | None = None) -> jax.Array:
-    """y = x @ w + b with w either a dense [K, N] array or QuantizedTensor.
+def linear(x: jax.Array, w, b: jax.Array | None = None,
+           act: str | None = None) -> jax.Array:
+    """y = act(x @ w + b) with w either dense [K, N] or QuantizedTensor.
 
-    x: [..., K]. Returns [..., N] in x.dtype (f32 accumulation on the MXU).
+    x: [..., K]. Returns [..., N] in x.dtype (f32 accumulation on the MXU;
+    bias added at accumulator precision). act: None | "gelu" | "gelu_tanh"
+    — fused into the Pallas kernel on the quantized path.
     """
     lead = x.shape[:-1]
     K = x.shape[-1]
     if isinstance(w, QuantizedTensor):
         x2d = x.reshape(-1, K)
-        y = quantized_matmul(x2d, w)
-        y = y.reshape(*lead, y.shape[-1]).astype(x.dtype)
-    else:
-        y = jnp.dot(x, w, preferred_element_type=jnp.float32).astype(x.dtype)
+        y = quantized_matmul(x2d, w, b, act)
+        return y.reshape(*lead, y.shape[-1]).astype(x.dtype)
+    y = jnp.dot(x, w, preferred_element_type=jnp.float32)
     if b is not None:
-        y = y + b
-    return y
+        y = y + b  # bias added at accumulator precision
+    if act is not None:
+        y = jax.nn.gelu(y, approximate=(act == "gelu_tanh"))
+    return y.astype(x.dtype)

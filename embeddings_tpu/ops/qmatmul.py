@@ -4,19 +4,22 @@ This is the TPU-native replacement for ggml's quantized ``ggml_mul_mat``
 SIMD kernels (``ggml_vec_dot_q4_0`` etc. — /root/reference pins ggml as a
 submodule; the dispatch sites are bert.cpp:994-1069). Design:
 
-- weights stay quantized in HBM (int4/int8 codes + f32 per-block scales);
-  dequantization happens in VMEM, fused into the matmul — the f32 weight
-  matrix never exists in HBM, so weight traffic is 4-8x smaller than f32.
-- grid (M/bm, N/bn, K/bk) with K innermost; Mosaic double-buffers the HBM->
-  VMEM streams across grid steps automatically. An f32 VMEM scratch
-  accumulates partial products; the MXU runs bf16 x bf16 -> f32.
-- per-32 block scales are applied to the *x tile* contraction blocks? No —
-  scales vary per (k-block, n), so they're applied to the dequantized weight
-  tile: codes [bk, bn] -> reshape [bk/32, 32, bn] * scales [bk/32, 1, bn].
+- weights stay quantized in HBM (int8-coded int4 values + f32 per-block
+  scales); the f32/bf16 weight matrix never exists in HBM, so weight
+  traffic is 4-8x smaller than dense.
+- grid (N/bn, M/bm) with M innermost. Each weight tile [K, bn] is
+  dequantized into a VMEM scratch ONCE (at i==0) and reused for every M
+  tile — dequantization cost is amortized M/bm times, so large-batch
+  throughput approaches the dense-matmul roofline while small-batch stays
+  HBM-bound at the 4-bit footprint.
+- full-K stripes (K fits VMEM for every BERT-family dim up to 4096), so
+  there is no K-accumulator: one MXU dot per grid step.
+- per-32 block scales broadcast over the codes tile:
+  codes [K, bn] -> [K/32, 32, bn] * scales [K/32, 1, bn].
 
-Shapes must be multiples of the tile sizes; the caller (ops/linear.py) pads
-M (tokens) and asserts K, N alignment (model dims are all multiples of 128;
-the reference similarly requires ne[0] % 64 == 0, bert.cpp:730).
+Shapes must be multiples of the tile sizes; the caller (ops/linear.py)
+pads M (tokens) and asserts K, N alignment (model dims are all multiples
+of 128; the reference similarly requires ne[0] % 64 == 0, bert.cpp:730).
 """
 
 from __future__ import annotations
@@ -30,13 +33,28 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .quant import QK
 
-# Default tile sizes. bk must be a multiple of QK(=32) and of the bf16 tile
-# (16,128) sublane requirement; 128 divides every BERT-family dim we serve.
-BM, BN, BK = 256, 256, 512
+# Total VMEM budget (per-core VMEM is 16 MB; leave headroom for Mosaic).
+_VMEM_BUDGET = 13 * 1024 * 1024
+
+
+def _pick_bn(K: int, N: int, bm: int, requested: int | None) -> int:
+    """Largest bn (multiple of 128, divisor of N) fitting the VMEM budget.
+
+    Accounts for: x tile (bm*K bf16, double-buffered), codes tile
+    (K*bn int8, double-buffered), dequant scratch (K*bn bf16), scales+mins
+    tiles (2 * K/32 * bn f32, double-buffered), out tile (bm*bn f32,
+    double-buffered)."""
+    fixed = bm * K * 2 * 2
+    per_bn = K * 1 * 2 + K * 2 + 2 * (K // QK) * 4 * 2 + bm * 4 * 2
+    cap = max((_VMEM_BUDGET - fixed) // per_bn, 128)
+    bn = min(N, requested or cap, cap)
+    bn -= bn % 128
+    while bn > 128 and N % bn != 0:
+        bn -= 128
+    return max(bn, 128)
 
 
 def _fit(size: int, pref: int, step: int) -> int:
-    """Largest multiple of `step` that is <= pref and divides `size`."""
     b = min(pref, size)
     b -= b % step
     while b > step and size % b != 0:
@@ -44,89 +62,112 @@ def _fit(size: int, pref: int, step: int) -> int:
     return max(b, step)
 
 
-def _qmm_kernel(x_ref, c_ref, s_ref, m_ref, o_ref, acc_ref, *,
-                kind: str, n_k: int, compute_dtype):
-    """One (i, j, k) grid step: acc += x[bm,bk] @ deq(c[bk,bn])."""
-    k = pl.program_id(2)
+def _qmm_kernel(x_ref, c_ref, s_ref, m_ref, b_ref, o_ref, w_ref, *,
+                kind: str, compute_dtype, epilogue: str):
+    """Grid (N/bn, M/bm), M innermost. w_ref: [K, bn] dequant scratch."""
+    i = pl.program_id(1)
 
-    @pl.when(k == 0)
+    @pl.when(i == 0)
     def _():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
+        K, bn = c_ref.shape
+        codes = c_ref[:].astype(compute_dtype).reshape(K // QK, QK, bn)
+        scales = s_ref[:].astype(compute_dtype)[:, None, :]
+        w = codes * scales
+        if kind == "q4_1":
+            w = w + m_ref[:].astype(compute_dtype)[:, None, :]
+        w_ref[:] = w.reshape(K, bn)
 
-    bk, bn = c_ref.shape
-    codes = c_ref[:].astype(compute_dtype).reshape(bk // QK, QK, bn)
-    scales = s_ref[:].astype(compute_dtype)[:, None, :]
-    w = codes * scales
-    if kind == "q4_1":
-        w = w + m_ref[:].astype(compute_dtype)[:, None, :]
-    w = w.reshape(bk, bn)
-    acc_ref[:] += jnp.dot(x_ref[:].astype(compute_dtype), w,
-                          preferred_element_type=jnp.float32)
+    acc = jnp.dot(x_ref[:].astype(compute_dtype), w_ref[:],
+                  preferred_element_type=jnp.float32)
+    if epilogue != "none":
+        acc = acc + b_ref[:].astype(jnp.float32)  # fused bias (f32 add)
+    if epilogue == "bias_gelu":
+        # erf-GELU. Mosaic has no erf/erfc primitive; use the
+        # Abramowitz-Stegun 7.1.26 rational approximation (|err| < 1.5e-7,
+        # ~4 orders below bf16 resolution).
+        acc = acc * 0.5 * (1.0 + _erf_approx(acc * 0.7071067811865476))
+    elif epilogue == "bias_gelu_tanh":
+        acc = jax.nn.gelu(acc, approximate=True)
+    o_ref[:] = acc.astype(o_ref.dtype)
 
-    @pl.when(k == n_k - 1)
-    def _():
-        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+def _erf_approx(x):
+    a1, a2, a3 = 0.254829592, -0.284496736, 1.421413741
+    a4, a5, p = -1.453152027, 1.061405429, 0.3275911
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
+    y = 1.0 - poly * jnp.exp(-ax * ax)
+    return jnp.sign(x) * y
 
 
-@functools.partial(jax.jit, static_argnames=("kind", "bm", "bn", "bk",
+@functools.partial(jax.jit, static_argnames=("kind", "bm", "bn", "epilogue",
                                              "compute_dtype", "out_dtype",
                                              "interpret"))
 def qmatmul(x: jax.Array, codes: jax.Array, scales: jax.Array,
-            mins: jax.Array | None = None, *, kind: str = "q4_0",
-            bm: int = BM, bn: int = BN, bk: int = BK,
-            compute_dtype=jnp.bfloat16, out_dtype=jnp.float32,
+            mins: jax.Array | None = None, bias: jax.Array | None = None,
+            *, kind: str = "q4_0", epilogue: str | None = None,
+            bm: int = 256, bn: int | None = None,
+            compute_dtype=jnp.bfloat16, out_dtype=None,
             interpret: bool = False) -> jax.Array:
     """x [M, K] @ dequant(codes [K, N], scales [K//32, N]) -> [M, N].
 
-    M, K, N must be multiples of (bm, bk, bn); use ops.linear for the
-    padded/general entry point.
+    Optional fused epilogue (HBM-traffic saver): "bias" adds bias [N] at
+    f32 accumulator precision; "bias_gelu"/"bias_gelu_tanh" additionally
+    apply GELU — the FFN up-projection never materializes its f32
+    pre-activation in HBM. out_dtype defaults to x.dtype.
+
+    M must be a multiple of bm (the engine's bucketed batches are; use
+    ops.linear for the padded/general entry point) and K % 32 == 0.
     """
     M, K = x.shape
     K2, N = codes.shape
     assert K == K2, (x.shape, codes.shape)
-    bm, bn = _fit(M, bm, 8), _fit(N, bn, 128)
-    # The scales operand has bk//32 sublanes; Mosaic requires sublane counts
-    # divisible by 8 (i.e. bk % 256 == 0) unless the block spans the full
-    # array (bk == K). BERT-family K's are small enough that full-K stripes
-    # fit VMEM comfortably, so that's the default.
-    if K <= 4096 or bk >= K:
-        bk = K
-    else:
-        bk = _fit(K, max(bk, 256), 256)
-    assert M % bm == 0 and N % bn == 0 and K % bk == 0 and bk % QK == 0, (
-        (M, N, K), (bm, bn, bk))
-    n_k = K // bk
+    assert K % QK == 0, K
+    if epilogue is None:
+        epilogue = "none" if bias is None else "bias"
+    assert epilogue in ("none", "bias", "bias_gelu", "bias_gelu_tanh")
+    out_dtype = out_dtype or x.dtype
+    bm = _fit(M, bm, 8)
+    bn = _pick_bn(K, N, bm, bn)
+    assert M % bm == 0 and N % bn == 0, ((M, N, K), (bm, bn))
 
     if mins is None:
         mins = jnp.zeros((K // QK, N), scales.dtype)  # unused for q4_0/q8_0
+    if bias is None:
+        bias = jnp.zeros((N,), jnp.float32)
+    bias2d = bias.reshape(1, N).astype(jnp.float32)
 
-    kernel = functools.partial(_qmm_kernel, kind=kind, n_k=n_k,
+    kernel = functools.partial(_qmm_kernel, kind=kind, epilogue=epilogue,
                                compute_dtype=compute_dtype)
     flops = 2 * M * N * K
     bytes_accessed = (M * K * x.dtype.itemsize + K * N * codes.dtype.itemsize
-                      + (K // QK) * N * 4 + M * N * 4)
+                      + (K // QK) * N * 4
+                      + M * N * jnp.dtype(out_dtype).itemsize)
     return pl.pallas_call(
         kernel,
-        grid=(M // bm, N // bn, n_k),
+        grid=(N // bn, M // bm),
         in_specs=[
-            pl.BlockSpec((bm, bk), lambda i, j, k: (i, k),
+            pl.BlockSpec((bm, K), lambda j, i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bk, bn), lambda i, j, k: (k, j),
+            pl.BlockSpec((K, bn), lambda j, i: (0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bk // QK, bn), lambda i, j, k: (k, j),
+            pl.BlockSpec((K // QK, bn), lambda j, i: (0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bk // QK, bn), lambda i, j, k: (k, j),
+            pl.BlockSpec((K // QK, bn), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda j, i: (0, j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j),
+        out_specs=pl.BlockSpec((bm, bn), lambda j, i: (i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
-        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((K, bn), compute_dtype)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            dimension_semantics=("arbitrary", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(flops=flops,
                                       bytes_accessed=bytes_accessed,
                                       transcendentals=0),
         interpret=interpret,
-    )(x, codes, scales, mins)
+    )(x, codes, scales, mins, bias2d)

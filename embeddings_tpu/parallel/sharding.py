@@ -116,13 +116,15 @@ def shard_params(params: Params, config: BertConfig, mesh: Mesh) -> Params:
 
 
 def make_sharded_forward(config: BertConfig, mesh: Mesh, *,
-                         pooling: str | None = None):
+                         pooling: str | None = None,
+                         compute_dtype: str | None = None):
     """jitted (params, ids, mask) -> [B, E] with batch over DATA_AXIS and
     Megatron TP over MODEL_AXIS; collectives inserted by XLA."""
     data = NamedSharding(mesh, P(DATA_AXIS, None))
     out_s = NamedSharding(mesh, P(DATA_AXIS, None))
 
     def fwd(params, ids, mask):
-        return bert.encode_tokens(params, config, ids, mask, pooling=pooling)
+        return bert.encode_tokens(params, config, ids, mask, pooling=pooling,
+                                  compute_dtype=compute_dtype)
 
     return jax.jit(fwd, in_shardings=(None, data, data), out_shardings=out_s)

@@ -48,14 +48,22 @@ class Engine:
         # tokenizer remains the API surface (id_to_token, vocab, ...)
         from ..tokenizer import native as _native
         self._fast_tokenizer = _native.NativeWordPieceTokenizer.wrap(tokenizer)
+        cd = self.engine_config.compute_dtype
+        if cd is None and jax.default_backend() == "tpu":
+            cd = "bfloat16"
+        if cd == "bf16":
+            cd = "bfloat16"
         if mesh is not None:
             from ..parallel.sharding import shard_params, make_sharded_forward
             self.params = shard_params(params, config, mesh)
-            self._forward = make_sharded_forward(config, mesh)
+            self._forward = make_sharded_forward(config, mesh,
+                                                 compute_dtype=cd)
         else:
-            self.params = params
+            self.params = P.fuse_qkv(params)  # single-device: merge q/k/v
+            params = self.params
             self._forward = jax.jit(
-                lambda p, ids, mask: bert.encode_tokens(p, config, ids, mask))
+                lambda p, ids, mask: bert.encode_tokens(
+                    p, config, ids, mask, compute_dtype=cd))
 
     # -- introspection (bert.h:78-88 equivalents) ---------------------------
     @property

@@ -164,3 +164,20 @@ def test_gelu_variants(hf_model_and_params, rng):
     a_op = np.asarray(bert.gelu(x, approximate=False))
     b_op = np.asarray(bert.gelu(x, approximate=True))
     assert np.abs(a_op - b_op).max() > 1e-4
+
+
+def test_fuse_qkv_matches(hf_model_and_params, rng):
+    """Merged q/k/v projection must be numerically identical."""
+    _, our, cfg = hf_model_and_params
+    from embeddings_tpu.models.params import fuse_qkv
+    ids, mask = _rand_batch(rng, cfg)
+    ref = np.asarray(bert.encode_tokens(our, cfg, jnp.asarray(ids), jnp.asarray(mask)))
+    fused = fuse_qkv(our)
+    assert "qkv" in fused["layers"]["attn"]
+    got = np.asarray(bert.encode_tokens(fused, cfg, jnp.asarray(ids), jnp.asarray(mask)))
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+    # quantized variant too
+    qp = __import__("embeddings_tpu.models.params", fromlist=["x"]).quantize_params(our, "q4_0")
+    a = np.asarray(bert.encode_tokens(qp, cfg, jnp.asarray(ids), jnp.asarray(mask)))
+    b = np.asarray(bert.encode_tokens(fuse_qkv(qp), cfg, jnp.asarray(ids), jnp.asarray(mask)))
+    np.testing.assert_allclose(a, b, atol=1e-5)

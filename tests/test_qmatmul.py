@@ -20,7 +20,7 @@ def test_qmatmul_matches_dequant(kind, shape, rng):
                              dequantize(qt).astype(jnp.bfloat16),
                              preferred_element_type=jnp.float32))
     got = np.asarray(qmatmul(jnp.asarray(x), qt.codes, qt.scales, qt.mins,
-                             kind=kind, bm=8, bn=128, bk=128, interpret=True))
+                             kind=kind, bm=8, bn=128, interpret=True))
     assert got.shape == (M, N)
     np.testing.assert_allclose(got, ref, atol=0.05, rtol=0.05)
 
@@ -34,7 +34,7 @@ def test_qmatmul_multi_ktile(rng):
     ref = np.asarray(jnp.dot(jnp.asarray(x), dequantize(qt),
                              preferred_element_type=jnp.float32))
     got = np.asarray(qmatmul(jnp.asarray(x), qt.codes, qt.scales, qt.mins,
-                             kind="q4_0", bm=8, bn=128, bk=128,
+                             kind="q4_0", bm=8, bn=128,
                              compute_dtype=jnp.float32, interpret=True))
     np.testing.assert_allclose(got, ref, atol=1e-3, rtol=1e-3)
 
@@ -50,3 +50,25 @@ def test_linear_quantized_pallas_path(rng, monkeypatch):
     got = np.asarray(linmod.quantized_matmul(
         x.reshape(-1, 64), qt, interpret=True)).reshape(3, 5, 128)
     np.testing.assert_allclose(got, ref, atol=0.02, rtol=0.05)
+
+
+def test_qmatmul_fused_bias_gelu(rng):
+    """Fused bias+GELU epilogue (incl. the in-kernel erf approximation)
+    matches the unfused reference within approximation error."""
+    import jax
+    M, K, N = 8, 128, 128
+    x = rng.standard_normal((M, K), dtype=np.float32)
+    w = rng.standard_normal((K, N), dtype=np.float32) * 0.05
+    b = rng.standard_normal(N, dtype=np.float32) * 0.1
+    qt = quantize(w, "q4_0")
+    base = jnp.dot(jnp.asarray(x), dequantize(qt),
+                   preferred_element_type=jnp.float32) + b
+    for epi, ref in [("bias", base),
+                     ("bias_gelu", jax.nn.gelu(base, approximate=False)),
+                     ("bias_gelu_tanh", jax.nn.gelu(base, approximate=True))]:
+        got = qmatmul(jnp.asarray(x), qt.codes, qt.scales, None,
+                      jnp.asarray(b), kind="q4_0", epilogue=epi,
+                      bm=8, bn=128, compute_dtype=jnp.float32,
+                      out_dtype=jnp.float32, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-3, rtol=1e-3), epi
