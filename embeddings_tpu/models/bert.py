@@ -69,8 +69,10 @@ def embed(params: Params, config: BertConfig, token_ids: jax.Array,
 
 
 def attention(layer: Params, config: BertConfig, x: jax.Array,
-              mask_bias: jax.Array) -> jax.Array:
+              mask_bias: jax.Array, lengths: jax.Array | None = None) -> jax.Array:
     """Pad-masked multi-head self-attention (bert.cpp:994-1056)."""
+    from ..ops import attention as attn_ops
+    from ..ops.linear import _use_pallas
     B, L, E = x.shape
     H, D = config.num_attention_heads, config.head_dim
     a = layer["attn"]
@@ -78,6 +80,12 @@ def attention(layer: Params, config: BertConfig, x: jax.Array,
         # fused projection (params.fuse_qkv): one matmul, x read once;
         # contiguous column slices (a strided 5-D reshape costs ~1ms here)
         qkv = linear(x, a["qkv"]["w"], a["qkv"]["b"])  # [B, L, 3E]
+        if (lengths is not None and _use_pallas()
+                and attn_ops.supported(L, H, D)):
+            # fully fused VMEM attention: scores/probs never touch HBM
+            ctx = attn_ops.fused_attention(
+                qkv.reshape(B * L, 3 * E), lengths, B=B, L=L, H=H, D=D)
+            return linear(ctx.reshape(B, L, E), a["o"]["w"], a["o"]["b"])
         q = qkv[..., :E].reshape(B, L, H, D)
         k = qkv[..., E:2 * E].reshape(B, L, H, D)
         v = qkv[..., 2 * E:].reshape(B, L, H, D)
@@ -97,10 +105,11 @@ def attention(layer: Params, config: BertConfig, x: jax.Array,
 
 
 def encoder_layer(layer: Params, config: BertConfig, x: jax.Array,
-                  mask_bias: jax.Array) -> jax.Array:
+                  mask_bias: jax.Array,
+                  lengths: jax.Array | None = None) -> jax.Array:
     """One transformer encoder block (post-LN, bert.cpp:987-1084)."""
     a, m = layer["attn"], layer["mlp"]
-    x = layer_norm(x + attention(layer, config, x, mask_bias),
+    x = layer_norm(x + attention(layer, config, x, mask_bias, lengths),
                    a["ln"]["scale"], a["ln"]["bias"], config.layer_norm_eps)
     act = "gelu_tanh" if config.hidden_act == "gelu_tanh" else "gelu"
     h = linear(x, m["up"]["w"], m["up"]["b"], act=act)  # GELU fused in-kernel
@@ -138,9 +147,12 @@ def encode_tokens(params: Params, config: BertConfig, token_ids: jax.Array,
     if compute_dtype is not None:
         x = x.astype(jnp.dtype(compute_dtype))
 
+    # prefix lengths for the fused-attention kernel's in-kernel mask
+    lengths = jnp.sum(attention_mask.astype(jnp.int32), axis=1)
+
     # lax.scan over stacked layer params: one compiled block for all layers.
     def body(h, layer):
-        return encoder_layer(layer, config, h, mask_bias), None
+        return encoder_layer(layer, config, h, mask_bias, lengths), None
 
     x, _ = lax.scan(body, x, params["layers"])
 

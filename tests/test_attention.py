@@ -1,0 +1,89 @@
+"""Fused attention kernel: interpret-mode parity vs the einsum path."""
+
+import math
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from embeddings_tpu.ops.attention import fused_attention, supported
+
+
+def einsum_ref(qkv, lengths, B, L, H, D, mask_value=-1e9):
+    E = H * D
+    q = qkv[:, :E].reshape(B, L, H, D)
+    k = qkv[:, E:2 * E].reshape(B, L, H, D)
+    v = qkv[:, 2 * E:].reshape(B, L, H, D)
+    mask = (np.arange(L)[None, :] < np.asarray(lengths)[:, None])
+    bias = np.where(mask, 0.0, mask_value)[:, None, None, :]
+    s = jnp.einsum("blhd,bmhd->bhlm", q, k,
+                   preferred_element_type=jnp.float32)
+    s = s / math.sqrt(D) + bias
+    p = jax.nn.softmax(s, axis=-1).astype(q.dtype)
+    ctx = jnp.einsum("bhlm,bmhd->blhd", p, v,
+                     preferred_element_type=jnp.float32)
+    return np.asarray(ctx.reshape(B * L, E), np.float32)
+
+
+@pytest.mark.parametrize("B,L,H,D", [(2, 16, 4, 32), (1, 32, 2, 64),
+                                     (3, 8, 1, 128)])
+def test_fused_attention_matches_einsum(B, L, H, D, rng):
+    assert supported(L, H, D)
+    E = H * D
+    qkv = jnp.asarray(rng.standard_normal((B * L, 3 * E)), jnp.float32)
+    lengths = jnp.asarray([max(1, L - 3 * i) for i in range(B)], jnp.int32)
+    got = np.asarray(fused_attention(qkv, lengths, B=B, L=L, H=H, D=D,
+                                     interpret=True), np.float32)
+    ref = einsum_ref(np.asarray(qkv), lengths, B, L, H, D)
+    # compare only valid query rows (both compute garbage on pad queries,
+    # but different garbage is fine — pooling drops those rows)
+    for b in range(B):
+        n = int(lengths[b])
+        g = got[b * L: b * L + n]
+        r = ref[b * L: b * L + n]
+        np.testing.assert_allclose(g, r, atol=2e-3, rtol=1e-2)
+
+
+def test_supported_predicate():
+    assert supported(256, 12, 64)   # bge-base
+    assert supported(512, 16, 64)   # bge-large
+    assert supported(128, 12, 32)   # MiniLM
+    assert not supported(256, 12, 96)   # lane misalignment
+    assert not supported(250, 12, 64)   # L % 8
+    assert not supported(256, 5, 64)    # H % head-group
+
+
+def test_full_forward_uses_fused_attention(rng, tiny_config):
+    """encode_tokens with fused qkv + pallas forced matches einsum path."""
+    import dataclasses
+    from embeddings_tpu.models import bert, params as P
+    from embeddings_tpu.ops import linear as linmod_names  # noqa: F401
+    import importlib
+    linmod = importlib.import_module("embeddings_tpu.ops.linear")
+
+    cfg = dataclasses.replace(tiny_config, num_attention_heads=2,
+                              hidden_size=64)  # D = 32 -> supported
+    params = P.fuse_qkv(P.init_params(cfg, rng=0))
+    ids = rng.integers(5, cfg.vocab_size, (2, 16)).astype(np.int32)
+    mask = np.ones((2, 16), np.int32)
+    mask[1, 9:] = 0
+    ref = np.asarray(bert.encode_tokens(params, cfg, jnp.asarray(ids),
+                                        jnp.asarray(mask)))
+    # force the pallas path (interpret mode runs it on CPU)
+    linmod.set_pallas_mode("always")
+    try:
+        import embeddings_tpu.ops.attention as attn_ops
+        import functools
+        orig = attn_ops.fused_attention
+        attn_ops.fused_attention = functools.partial(orig, interpret=True)
+        try:
+            got = np.asarray(bert.encode_tokens(
+                params, cfg, jnp.asarray(ids), jnp.asarray(mask)))
+        finally:
+            attn_ops.fused_attention = orig
+    finally:
+        linmod.set_pallas_mode("auto")
+    cos = (got * ref).sum(-1)
+    assert cos.min() > 0.999, cos
