@@ -11,6 +11,17 @@ continuous-batching embedding server.
 
 __version__ = "0.1.0"
 
+import os as _os
+
+if _os.environ.get("EMBEDDINGS_TPU_PLATFORM"):
+    # Force a JAX backend (e.g. =cpu for smoke tests on a TPU host). The
+    # plain JAX_PLATFORMS env var can be pinned by site startup hooks that
+    # import jax before user code runs, so route through the config API.
+    import jax as _jax
+
+    _jax.config.update("jax_platforms",
+                       _os.environ["EMBEDDINGS_TPU_PLATFORM"])
+
 from .config import BertConfig, EngineConfig, KNOWN_MODELS
 from .tokenizer import WordPieceTokenizer, WordPieceVocab
 
