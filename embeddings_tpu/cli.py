@@ -94,7 +94,8 @@ def cmd_serve(args) -> int:
         asyncio.run(serve_forever(
             eng, host=args.host, tcp_port=args.port,
             http_port=args.http_port, max_batch=args.batch_size,
-            max_wait_ms=args.max_wait_ms))
+            max_wait_ms=args.max_wait_ms,
+            request_timeout_s=args.request_timeout))
     except KeyboardInterrupt:
         pass
     return 0
@@ -160,18 +161,27 @@ def cmd_quantize(args) -> int:
 
 
 def cmd_bench(args) -> int:
+    import contextlib
+
     import numpy as np
     from .utils.benchmarking import device_time_us
     eng = _load_engine(args)
+    import jax
     import jax.numpy as jnp
     rng = np.random.default_rng(0)
     ids = jnp.asarray(rng.integers(0, eng.config.vocab_size,
                                    (args.batch, args.seq)), jnp.int32)
     mask = jnp.ones((args.batch, args.seq), jnp.int32)
     from .models import bert
-    us = device_time_us(
-        lambda i, m: bert.encode_tokens(eng.params, eng.config, i, m),
-        (ids, mask), lo=5, hi=20)
+    trace = (jax.profiler.trace(args.profile) if args.profile
+             else contextlib.nullcontext())
+    with trace:
+        us = device_time_us(
+            lambda i, m: bert.encode_tokens(eng.params, eng.config, i, m),
+            (ids, mask), lo=5, hi=20)
+    if args.profile:
+        print(f"profiler trace written to {args.profile} "
+              f"(view with xprof/tensorboard)", file=sys.stderr)
     print(json.dumps({
         "metric": f"sentences/sec/chip {args.dtype} seq{args.seq} "
                   f"batch{args.batch}",
@@ -207,6 +217,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--http-port", type=int, default=8081,
                    help="HTTP JSON port; -1 disables")
     p.add_argument("--max-wait-ms", type=float, default=2.0)
+    p.add_argument("--request-timeout", type=float, default=None,
+                   help="per-request timeout in seconds (default: none)")
     p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("convert", help="HF checkpoint -> native .npz")
@@ -227,6 +239,8 @@ def build_parser() -> argparse.ArgumentParser:
     _add_model_args(p)
     p.add_argument("--batch", type=int, default=128)
     p.add_argument("--seq", type=int, default=256)
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="write a jax.profiler trace (xprof) to DIR")
     p.set_defaults(fn=cmd_bench)
     return ap
 

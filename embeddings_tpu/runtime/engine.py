@@ -126,6 +126,12 @@ class Engine:
                 n += 1
         return n
 
+    def profile(self, out_dir: str):
+        """Context manager: capture a jax.profiler (xprof) device trace of
+        everything run inside — the TPU analogue of the reference's
+        GGML_PERF per-op timing dumps (bert.cpp:1128-1132)."""
+        return jax.profiler.trace(str(out_dir))
+
     def _seq_buckets(self) -> tuple[int, ...]:
         return tuple(b for b in self.engine_config.seq_buckets
                      if b <= self.max_seq_len) or (self.max_seq_len,)

@@ -24,6 +24,7 @@ import asyncio
 import json
 import logging
 import struct
+from collections import deque
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -41,11 +42,28 @@ class ServiceStats:
     batches: int = 0
     tokens: int = 0
     errors: int = 0
+    timeouts: int = 0
+    # ring buffer of recent end-to-end request latencies (seconds)
+    latencies: deque = field(default_factory=lambda: deque(maxlen=2048))
+
+    def observe_latency(self, seconds: float) -> None:
+        self.latencies.append(seconds)
+
+    def latency_ms(self) -> dict:
+        if not self.latencies:
+            return {}
+        xs = np.sort(np.asarray(self.latencies))
+        pct = lambda p: float(xs[min(len(xs) - 1, int(p / 100 * len(xs)))])
+        return {"mean": float(xs.mean() * 1e3),
+                "p50": pct(50) * 1e3, "p90": pct(90) * 1e3,
+                "p99": pct(99) * 1e3, "max": float(xs[-1] * 1e3)}
 
     def as_dict(self) -> dict:
         d = dict(requests=self.requests, batches=self.batches,
-                 tokens=self.tokens, errors=self.errors)
+                 tokens=self.tokens, errors=self.errors,
+                 timeouts=self.timeouts)
         d["avg_batch"] = self.requests / self.batches if self.batches else 0.0
+        d["latency_ms"] = self.latency_ms()
         return d
 
 
@@ -53,10 +71,12 @@ class BatchingService:
     """Cross-connection micro-batching around an Engine."""
 
     def __init__(self, engine: Engine, *, max_batch: int | None = None,
-                 max_wait_ms: float = 2.0):
+                 max_wait_ms: float = 2.0,
+                 request_timeout_s: float | None = None):
         self.engine = engine
         self.max_batch = max_batch or engine.engine_config.batch_size
         self.max_wait_ms = max_wait_ms
+        self.request_timeout_s = request_timeout_s
         self.stats = ServiceStats()
         self._queue: asyncio.Queue = asyncio.Queue()
         self._task: asyncio.Task | None = None
@@ -75,10 +95,25 @@ class BatchingService:
             self._task = None
 
     async def embed(self, text: str) -> np.ndarray:
-        """Enqueue one text; resolves when its batch has run."""
-        fut: asyncio.Future = asyncio.get_running_loop().create_future()
+        """Enqueue one text; resolves when its batch has run. Raises
+        TimeoutError if request_timeout_s elapses first (the request is
+        dropped — its batch slot still runs but the result is discarded)."""
+        loop = asyncio.get_running_loop()
+        fut: asyncio.Future = loop.create_future()
+        t0 = loop.time()
         await self._queue.put((text, fut))
-        return await fut
+        try:
+            if self.request_timeout_s is not None:
+                out = await asyncio.wait_for(
+                    asyncio.shield(fut), self.request_timeout_s)
+            else:
+                out = await fut
+        except asyncio.TimeoutError:
+            self.stats.timeouts += 1
+            raise TimeoutError(
+                f"embed request timed out after {self.request_timeout_s}s")
+        self.stats.observe_latency(loop.time() - t0)
+        return out
 
     async def embed_many(self, texts: list[str]) -> np.ndarray:
         outs = await asyncio.gather(*(self.embed(t) for t in texts))
@@ -179,7 +214,10 @@ def make_http_app(service: BatchingService):
         except (json.JSONDecodeError, KeyError, ValueError) as e:
             return web.json_response({"error": str(e) or "bad request"},
                                      status=400)
-        embs = await service.embed_many(texts)
+        try:
+            embs = await service.embed_many(texts)
+        except TimeoutError as e:
+            return web.json_response({"error": str(e)}, status=504)
         return web.json_response({
             "embeddings": [e.tolist() for e in embs],
             "n_embd": service.engine.n_embd,
@@ -218,10 +256,12 @@ async def serve_forever(engine: Engine, *, host: str = "0.0.0.0",
                         tcp_port: int | None = 8080,
                         http_port: int | None = 8081,
                         max_batch: int | None = None,
-                        max_wait_ms: float = 2.0) -> None:
+                        max_wait_ms: float = 2.0,
+                        request_timeout_s: float | None = None) -> None:
     """Run TCP and/or HTTP front-ends over one shared batching service."""
     service = BatchingService(engine, max_batch=max_batch,
-                              max_wait_ms=max_wait_ms)
+                              max_wait_ms=max_wait_ms,
+                              request_timeout_s=request_timeout_s)
     await service.start()
     if tcp_port is not None:
         await serve_tcp(service, host, tcp_port)

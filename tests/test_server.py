@@ -85,6 +85,34 @@ async def _svc_ok(engine):
     return emb.shape == (engine.n_embd,)
 
 
+def test_latency_metrics_recorded(engine):
+    async def go():
+        svc = BatchingService(engine, max_batch=4, max_wait_ms=10)
+        await svc.start()
+        await svc.embed_many(["hello world"] * 6)
+        await svc.stop()
+        return svc.stats.as_dict()
+    stats = run_async(go())
+    lat = stats["latency_ms"]
+    assert lat and lat["p50"] > 0 and lat["p99"] >= lat["p50"]
+    assert lat["max"] >= lat["p99"]
+    assert stats["timeouts"] == 0
+
+
+def test_request_timeout(engine):
+    async def go():
+        # scheduler never started -> requests can only time out
+        svc = BatchingService(engine, request_timeout_s=0.05)
+        try:
+            await svc.embed("hello")
+            return None
+        except TimeoutError as e:
+            return e, svc.stats.timeouts
+    err, timeouts = run_async(go())
+    assert err is not None and "timed out" in str(err)
+    assert timeouts == 1
+
+
 def test_tcp_protocol_reference_compat(engine):
     """Drive the TCP server with the reference sample_client.py protocol."""
     from embeddings_tpu.runtime.client import TcpClient
