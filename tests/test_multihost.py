@@ -1,0 +1,45 @@
+"""Multi-host helpers: shard math, single-process equivalence of the
+distributed batch encode, and auto_initialize no-op behavior."""
+
+import numpy as np
+import pytest
+
+from embeddings_tpu.config import BertConfig, EngineConfig
+from embeddings_tpu.models import params as P
+from embeddings_tpu.parallel.multihost import (auto_initialize,
+                                               distributed_encode_batch,
+                                               process_shard)
+from embeddings_tpu.runtime.engine import Engine
+from embeddings_tpu.tokenizer import WordPieceTokenizer, WordPieceVocab
+
+
+def test_process_shard_covers_everything():
+    for n in (0, 1, 7, 16, 100):
+        for count in (1, 2, 3, 8):
+            got = []
+            sizes = []
+            for idx in range(count):
+                s = process_shard(n, count=count, index=idx)
+                got.extend(range(n)[s])
+                sizes.append(s.stop - s.start)
+            assert got == list(range(n)), (n, count)
+            # balanced: sizes differ by at most one, sorted descending
+            assert max(sizes) - min(sizes) <= 1, (n, count, sizes)
+
+
+def test_auto_initialize_single_process_noop():
+    assert auto_initialize(num_processes=1) is False
+    assert auto_initialize() in (False,)  # no env, no pod metadata
+
+
+def test_distributed_encode_matches_local(small_vocab):
+    tok = WordPieceTokenizer(WordPieceVocab.from_tokens(small_vocab))
+    cfg = BertConfig(vocab_size=len(small_vocab), hidden_size=64,
+                     num_hidden_layers=2, num_attention_heads=4,
+                     intermediate_size=128, max_position_embeddings=64)
+    eng = Engine(P.init_params(cfg, rng=0), cfg, tok,
+                 EngineConfig(seq_buckets=(16, 32), max_seq_len=32,
+                              batch_size=8, batch_buckets=(1, 2, 4, 8)))
+    texts = ["hello world", "the quick brown fox", "a lazy dog"] * 3
+    out = distributed_encode_batch(eng, texts)
+    np.testing.assert_allclose(out, eng.encode_batch(texts), atol=1e-6)
