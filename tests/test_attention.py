@@ -50,9 +50,11 @@ def test_supported_predicate():
     assert supported(256, 12, 64)   # bge-base
     assert supported(512, 16, 64)   # bge-large
     assert supported(128, 12, 32)   # MiniLM
-    assert not supported(256, 12, 96)   # lane misalignment
+    assert supported(256, 12, 96)   # any D <= 128 (per-head slicing)
+    assert supported(256, 5, 64)    # no head-group divisibility needed
     assert not supported(250, 12, 64)   # L % 8
-    assert not supported(256, 5, 64)    # H % head-group
+    assert not supported(256, 12, 160)  # ones column must fit 2D <= 256...
+    # (D > LANE exceeds the v-tile augmentation layout)
 
 
 def test_full_forward_uses_fused_attention(rng, tiny_config):
