@@ -68,9 +68,11 @@ def embed(params: Params, config: BertConfig, token_ids: jax.Array,
     return layer_norm(x, emb["ln"]["scale"], emb["ln"]["bias"], config.layer_norm_eps)
 
 
-def attention(layer: Params, config: BertConfig, x: jax.Array,
-              mask_bias: jax.Array, lengths: jax.Array | None = None) -> jax.Array:
-    """Pad-masked multi-head self-attention (bert.cpp:994-1056)."""
+def attention_context(layer: Params, config: BertConfig, x: jax.Array,
+                      mask_bias: jax.Array,
+                      lengths: jax.Array | None = None) -> jax.Array:
+    """Pad-masked multi-head self-attention, up to (not including) the
+    output projection (bert.cpp:994-1036). Returns [B, L, E] context."""
     from ..ops import attention as attn_ops
     from ..ops.linear import _use_pallas
     B, L, E = x.shape
@@ -85,7 +87,7 @@ def attention(layer: Params, config: BertConfig, x: jax.Array,
             # fully fused VMEM attention: scores/probs never touch HBM
             ctx = attn_ops.fused_attention(
                 qkv.reshape(B * L, 3 * E), lengths, B=B, L=L, H=H, D=D)
-            return linear(ctx.reshape(B, L, E), a["o"]["w"], a["o"]["b"])
+            return ctx.reshape(B, L, E)
         q = qkv[..., :E].reshape(B, L, H, D)
         k = qkv[..., E:2 * E].reshape(B, L, H, D)
         v = qkv[..., 2 * E:].reshape(B, L, H, D)
@@ -100,22 +102,36 @@ def attention(layer: Params, config: BertConfig, x: jax.Array,
     probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
     ctx = jnp.einsum("bhlm,bmhd->blhd", probs, v,
                      preferred_element_type=jnp.float32).astype(x.dtype)
-    ctx = ctx.reshape(B, L, E)
+    return ctx.reshape(B, L, E)
+
+
+def attention(layer: Params, config: BertConfig, x: jax.Array,
+              mask_bias: jax.Array, lengths: jax.Array | None = None) -> jax.Array:
+    """Full attention incl. output projection (bert.cpp:994-1056)."""
+    ctx = attention_context(layer, config, x, mask_bias, lengths)
+    a = layer["attn"]
     return linear(ctx, a["o"]["w"], a["o"]["b"])
 
 
 def encoder_layer(layer: Params, config: BertConfig, x: jax.Array,
                   mask_bias: jax.Array,
                   lengths: jax.Array | None = None) -> jax.Array:
-    """One transformer encoder block (post-LN, bert.cpp:987-1084)."""
+    """One transformer encoder block (post-LN, bert.cpp:987-1084).
+
+    The two residual+LayerNorm steps run fused inside the o-proj /
+    FFN-down matmul kernels when possible (ops/linear.py
+    linear_residual_ln), saving two [B·L, E] HBM round trips per layer.
+    """
+    from ..ops.linear import linear_residual_ln
     a, m = layer["attn"], layer["mlp"]
-    x = layer_norm(x + attention(layer, config, x, mask_bias, lengths),
-                   a["ln"]["scale"], a["ln"]["bias"], config.layer_norm_eps)
+    eps = config.layer_norm_eps
+    ctx = attention_context(layer, config, x, mask_bias, lengths)
+    x = linear_residual_ln(ctx, a["o"]["w"], a["o"]["b"], x,
+                           a["ln"]["scale"], a["ln"]["bias"], eps)
     act = "gelu_tanh" if config.hidden_act == "gelu_tanh" else "gelu"
     h = linear(x, m["up"]["w"], m["up"]["b"], act=act)  # GELU fused in-kernel
-    h = linear(h, m["down"]["w"], m["down"]["b"])
-    return layer_norm(x + h, m["ln"]["scale"], m["ln"]["bias"],
-                      config.layer_norm_eps)
+    return linear_residual_ln(h, m["down"]["w"], m["down"]["b"], x,
+                              m["ln"]["scale"], m["ln"]["bias"], eps)
 
 
 def encode_tokens(params: Params, config: BertConfig, token_ids: jax.Array,

@@ -73,6 +73,40 @@ def quantized_matmul(x2d: jax.Array, w: QuantizedTensor,
     return y.astype(x2d.dtype)
 
 
+def linear_residual_ln(x: jax.Array, w, b, residual: jax.Array,
+                       ln_scale: jax.Array, ln_bias: jax.Array,
+                       eps: float, interpret: bool = False) -> jax.Array:
+    """LayerNorm(residual + x @ w + b) — the post-attention / post-FFN
+    step (bert.cpp:1040-1082). On the quantized TPU path the residual-add
+    and LayerNorm run inside the matmul kernel epilogue (saves one [M, N]
+    HBM write+read round trip per call); elsewhere it's the composed ops.
+
+    x: [..., K]; residual: [..., N]. Returns [..., N] in x.dtype.
+    """
+    from ..models.bert import layer_norm  # late import: avoids a cycle
+    lead = x.shape[:-1]
+    K = x.shape[-1]
+    N = residual.shape[-1]
+    if (isinstance(w, QuantizedTensor) and w.block_axis == -2
+            and (_use_pallas() or interpret)):
+        x2d = x.reshape(-1, K)
+        M = x2d.shape[0]
+        # shrink bm if the full-row LN tile doesn't fit VMEM at 256
+        # (e.g. FFN-down K=3072 N=768 fits at bm=128)
+        for bm in (min(256, max(8, -(-M // 8) * 8)), 128, 64):
+            if bm <= M + 8 and _qmm.residual_ln_fits(K, N, bm):
+                xp = _pad_dim(x2d, 0, bm)
+                rp = _pad_dim(residual.reshape(-1, N).astype(x.dtype), 0, bm)
+                out = _qmm.qmatmul(
+                    xp, w.codes, w.scales, w.mins, b, kind=w.kind,
+                    epilogue="bias_residual_ln", residual=rp,
+                    ln_scale=ln_scale, ln_bias=ln_bias, ln_eps=eps,
+                    bm=bm, interpret=interpret)
+                return out[:M].reshape(*lead, N).astype(x.dtype)
+    y = linear(x, w, b)
+    return layer_norm(residual + y, ln_scale, ln_bias, eps)
+
+
 def linear(x: jax.Array, w, b: jax.Array | None = None,
            act: str | None = None) -> jax.Array:
     """y = act(x @ w + b) with w either dense [K, N] or QuantizedTensor.

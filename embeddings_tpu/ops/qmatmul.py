@@ -37,15 +37,18 @@ from .quant import QK
 _VMEM_BUDGET = 13 * 1024 * 1024
 
 
-def _pick_bn(K: int, N: int, bm: int, requested: int | None) -> int:
+def _pick_bn(K: int, N: int, bm: int, requested: int | None,
+             with_residual: bool = False) -> int:
     """Largest bn (multiple of 128, divisor of N) fitting the VMEM budget.
 
     Accounts for: x tile (bm*K bf16, double-buffered), codes tile
     (K*bn int8, double-buffered), dequant scratch (K*bn bf16), scales+mins
     tiles (2 * K/32 * bn f32, double-buffered), out tile (bm*bn f32,
-    double-buffered)."""
+    double-buffered), and the residual tile when the LN epilogue is on."""
     fixed = bm * K * 2 * 2
     per_bn = K * 1 * 2 + K * 2 + 2 * (K // QK) * 4 * 2 + bm * 4 * 2
+    if with_residual:
+        per_bn += bm * 2 * 2
     cap = max((_VMEM_BUDGET - fixed) // per_bn, 128)
     bn = min(N, requested or cap, cap)
     bn -= bn % 128
@@ -63,7 +66,8 @@ def _fit(size: int, pref: int, step: int) -> int:
 
 
 def _qmm_kernel(x_ref, c_ref, s_ref, m_ref, b_ref, o_ref, w_ref, *,
-                kind: str, compute_dtype, epilogue: str):
+                kind: str, compute_dtype, epilogue: str,
+                res_ref=None, lns_ref=None, lnb_ref=None, ln_eps=0.0):
     """Grid (N/bn, M/bm), M innermost. w_ref: [K, bn] dequant scratch."""
     i = pl.program_id(1)
 
@@ -90,15 +94,34 @@ def _qmm_kernel(x_ref, c_ref, s_ref, m_ref, b_ref, o_ref, w_ref, *,
         # is a single fast transcendental). The unfused XLA fallback
         # (ops/linear.py) keeps exact erf for f32 parity testing.
         acc = jax.nn.gelu(acc, approximate=True)
+    elif epilogue == "bias_residual_ln":
+        # y = LayerNorm(residual + acc): the post-attention / post-FFN
+        # residual+LN (bert.cpp:1040-1082) runs inside the matmul kernel,
+        # saving a full [M, N] HBM write + read round trip per layer pair.
+        # Requires bn == N (LN normalizes over the whole hidden axis).
+        y = acc + res_ref[:].astype(jnp.float32)
+        mean = jnp.mean(y, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(y - mean), axis=-1, keepdims=True)
+        acc = ((y - mean) * jax.lax.rsqrt(var + ln_eps)
+               * lns_ref[:].astype(jnp.float32)
+               + lnb_ref[:].astype(jnp.float32))
     o_ref[:] = acc.astype(o_ref.dtype)
+
+
+def residual_ln_fits(K: int, N: int, bm: int = 256) -> bool:
+    """Can the bias_residual_ln epilogue run (bn == N must fit VMEM)?"""
+    return N % 128 == 0 and _pick_bn(K, N, bm, None, True) >= N
 
 
 @functools.partial(jax.jit, static_argnames=("kind", "bm", "bn", "epilogue",
                                              "compute_dtype", "out_dtype",
-                                             "interpret"))
+                                             "ln_eps", "interpret"))
 def qmatmul(x: jax.Array, codes: jax.Array, scales: jax.Array,
             mins: jax.Array | None = None, bias: jax.Array | None = None,
             *, kind: str = "q4_0", epilogue: str | None = None,
+            residual: jax.Array | None = None,
+            ln_scale: jax.Array | None = None,
+            ln_bias: jax.Array | None = None, ln_eps: float = 1e-12,
             bm: int = 256, bn: int | None = None,
             compute_dtype=jnp.bfloat16, out_dtype=None,
             interpret: bool = False) -> jax.Array:
@@ -107,7 +130,9 @@ def qmatmul(x: jax.Array, codes: jax.Array, scales: jax.Array,
     Optional fused epilogue (HBM-traffic saver): "bias" adds bias [N] at
     f32 accumulator precision; "bias_gelu"/"bias_gelu_tanh" additionally
     apply GELU — the FFN up-projection never materializes its f32
-    pre-activation in HBM. out_dtype defaults to x.dtype.
+    pre-activation in HBM. "bias_residual_ln" computes
+    LayerNorm(residual + x@w + bias) in-kernel (needs bn == N; check
+    residual_ln_fits). out_dtype defaults to x.dtype.
 
     M must be a multiple of bm (the engine's bucketed batches are; use
     ops.linear for the padded/general entry point) and K % 32 == 0.
@@ -118,10 +143,19 @@ def qmatmul(x: jax.Array, codes: jax.Array, scales: jax.Array,
     assert K % QK == 0, K
     if epilogue is None:
         epilogue = "none" if bias is None else "bias"
-    assert epilogue in ("none", "bias", "bias_gelu", "bias_gelu_tanh")
+    assert epilogue in ("none", "bias", "bias_gelu", "bias_gelu_tanh",
+                        "bias_residual_ln")
+    with_res = epilogue == "bias_residual_ln"
     out_dtype = out_dtype or x.dtype
     bm = _fit(M, bm, 8)
-    bn = _pick_bn(K, N, bm, bn)
+    if with_res:
+        bn = N  # LayerNorm normalizes over the full hidden axis
+        assert residual is not None and ln_scale is not None \
+            and ln_bias is not None
+        assert _pick_bn(K, N, bm, None, True) >= N, \
+            (K, N, bm, "residual-LN tile does not fit VMEM")
+    else:
+        bn = _pick_bn(K, N, bm, bn)
     assert M % bm == 0 and N % bn == 0, ((M, N, K), (bm, bn))
 
     if mins is None:
@@ -130,27 +164,44 @@ def qmatmul(x: jax.Array, codes: jax.Array, scales: jax.Array,
         bias = jnp.zeros((N,), jnp.float32)
     bias2d = bias.reshape(1, N).astype(jnp.float32)
 
-    kernel = functools.partial(_qmm_kernel, kind=kind, epilogue=epilogue,
-                               compute_dtype=compute_dtype)
     flops = 2 * M * N * K
     bytes_accessed = (M * K * x.dtype.itemsize + K * N * codes.dtype.itemsize
                       + (K // QK) * N * 4
                       + M * N * jnp.dtype(out_dtype).itemsize)
-    return pl.pallas_call(
-        kernel,
-        grid=(N // bn, M // bm),
-        in_specs=[
-            pl.BlockSpec((bm, K), lambda j, i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((K, bn), lambda j, i: (0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((K // QK, bn), lambda j, i: (0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((K // QK, bn), lambda j, i: (0, j),
+    in_specs = [
+        pl.BlockSpec((bm, K), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((K, bn), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((K // QK, bn), lambda j, i: (0, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((K // QK, bn), lambda j, i: (0, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bn), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+    ]
+    operands = [x, codes, scales, mins, bias2d]
+    if with_res:
+        in_specs += [
+            pl.BlockSpec((bm, bn), lambda j, i: (i, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bn), lambda j, i: (0, j),
                          memory_space=pltpu.VMEM),
-        ],
+            pl.BlockSpec((1, bn), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM),
+        ]
+        operands += [residual.reshape(M, N), ln_scale.reshape(1, N),
+                     ln_bias.reshape(1, N)]
+
+        def kernel(x_r, c_r, s_r, m_r, b_r, res_r, lns_r, lnb_r, o_r, w_r):
+            _qmm_kernel(x_r, c_r, s_r, m_r, b_r, o_r, w_r, kind=kind,
+                        compute_dtype=compute_dtype, epilogue=epilogue,
+                        res_ref=res_r, lns_ref=lns_r, lnb_ref=lnb_r,
+                        ln_eps=ln_eps)
+    else:
+        kernel = functools.partial(_qmm_kernel, kind=kind, epilogue=epilogue,
+                                   compute_dtype=compute_dtype)
+    return pl.pallas_call(
+        kernel,
+        grid=(N // bn, M // bm),
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((bm, bn), lambda j, i: (i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
@@ -162,4 +213,4 @@ def qmatmul(x: jax.Array, codes: jax.Array, scales: jax.Array,
                                       bytes_accessed=bytes_accessed,
                                       transcendentals=0),
         interpret=interpret,
-    )(x, codes, scales, mins, bias2d)
+    )(*operands)

@@ -72,3 +72,25 @@ def test_qmatmul_fused_bias_gelu(rng):
                       out_dtype=jnp.float32, interpret=True)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    atol=2e-3, rtol=1e-3), epi
+
+
+def test_residual_ln_epilogue_matches_composed(rng):
+    """bias_residual_ln kernel == linear + residual + LayerNorm."""
+    import jax.numpy as jnp
+    from embeddings_tpu.models.bert import layer_norm
+    from embeddings_tpu.ops.linear import linear, linear_residual_ln
+    from embeddings_tpu.ops.quant import quantize
+
+    M, K, N = 48, 128, 256
+    x = jnp.asarray(rng.standard_normal((M, K)) * 0.3, jnp.float32)
+    w = quantize(jnp.asarray(rng.standard_normal((K, N)) * 0.05,
+                             jnp.float32), "q4_0")
+    b = jnp.asarray(rng.standard_normal((N,)) * 0.1, jnp.float32)
+    res = jnp.asarray(rng.standard_normal((M, N)), jnp.float32)
+    lns = jnp.asarray(1.0 + 0.1 * rng.standard_normal((N,)), jnp.float32)
+    lnb = jnp.asarray(0.1 * rng.standard_normal((N,)), jnp.float32)
+
+    ref = layer_norm(res + linear(x, w, b), lns, lnb, 1e-12)
+    got = linear_residual_ln(x, w, b, res, lns, lnb, 1e-12, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=3e-3, rtol=1e-2)
