@@ -102,9 +102,17 @@ class EngineConfig:
 
     def __post_init__(self) -> None:
         self.seq_buckets = tuple(sorted(set(int(b) for b in self.seq_buckets)))
-        self.batch_buckets = tuple(sorted(set(int(b) for b in self.batch_buckets)))
         if self.seq_buckets[-1] < self.max_seq_len:
             self.seq_buckets = self.seq_buckets + (self.max_seq_len,)
+        # batch buckets must cover batch_size (a batch_size above the
+        # largest default bucket would otherwise fail at plan time):
+        # extend by doubling, ending exactly at batch_size
+        bb = set(int(b) for b in self.batch_buckets if b <= self.batch_size)
+        b = max(bb) if bb else 1
+        while b < self.batch_size:
+            b = min(b * 2, self.batch_size)
+            bb.add(b)
+        self.batch_buckets = tuple(sorted(bb))
 
 
 # Known model families (the reference supports these via its converter;

@@ -97,18 +97,26 @@ class Engine:
     def encode_batch(self, texts: Sequence[str],
                      batch_size: int | None = None) -> np.ndarray:
         """Tokenize, length-sort into bucketed chunks, run, scatter back
-        (bert_encode_batch semantics, bert.cpp:1374-1444)."""
+        (bert_encode_batch semantics, bert.cpp:1374-1444).
+
+        All device calls are issued before any result is read back: JAX
+        dispatch is asynchronous, so the host pads/transfers chunk i+1
+        while the TPU computes chunk i, and the D2H copies drain at the
+        end — the reference's ggml threadpool blocks per chunk instead
+        (bert.cpp:1436-1442)."""
         ec = self.engine_config
         batch_size = batch_size or ec.batch_size
         toks = [self.tokenize(t) for t in texts]
         out = np.empty((len(texts), self.n_embd), np.float32)
         plans = plan_batches([len(t) for t in toks], batch_size,
                              self._seq_buckets(), ec.batch_buckets)
+        pending = []
         for plan in plans:
             ids, mask = pad_batch([toks[i] for i in plan.indices],
                                   plan.batch, plan.seq, self.tokenizer.pad_id)
-            emb = self.forward(ids, mask)
-            out[list(plan.indices)] = emb[: len(plan.indices)]
+            pending.append((plan, self._forward(self.params, ids, mask)))
+        for plan, emb in pending:
+            out[list(plan.indices)] = np.asarray(emb)[: len(plan.indices)]
         return out
 
     # -- shape warmup --------------------------------------------------------
