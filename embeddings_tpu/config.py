@@ -90,15 +90,11 @@ class EngineConfig:
     batch_size: int = 32
     # Batch-size buckets (powers of two up to batch_size) to bound compiles.
     batch_buckets: tuple[int, ...] = (1, 2, 4, 8, 16, 32)
-    dtype: str = "f32"  # "f32" | "bf16" | "f16" | "q4_0" | "q4_1" | "q8_0"
     # activation dtype inside the encoder; None = auto (bf16 on TPU, f32
     # elsewhere). LayerNorm/softmax/pooling accumulate in f32 regardless.
     compute_dtype: str | None = None
     mask_value: float = -1e9  # additive mask for pad positions (ref uses -1e5·…)
     use_pallas: str = "auto"  # "auto" | "always" | "never"
-    # Mesh axes sizes; data parallel x model (tensor) parallel.
-    dp: int = 1
-    tp: int = 1
 
     def __post_init__(self) -> None:
         self.seq_buckets = tuple(sorted(set(int(b) for b in self.seq_buckets)))

@@ -48,11 +48,15 @@ class Engine:
         # tokenizer remains the API surface (id_to_token, vocab, ...)
         from ..tokenizer import native as _native
         self._fast_tokenizer = _native.NativeWordPieceTokenizer.wrap(tokenizer)
+        if self.engine_config.use_pallas != "auto":
+            from ..ops.linear import set_pallas_mode
+            set_pallas_mode(self.engine_config.use_pallas)
         cd = self.engine_config.compute_dtype
         if cd is None and jax.default_backend() == "tpu":
             cd = "bfloat16"
         if cd == "bf16":
             cd = "bfloat16"
+        mv = self.engine_config.mask_value
         if mesh is not None:
             from ..parallel.sharding import shard_params, make_sharded_forward
             self.params = shard_params(params, config, mesh)
@@ -63,7 +67,7 @@ class Engine:
             params = self.params
             self._forward = jax.jit(
                 lambda p, ids, mask: bert.encode_tokens(
-                    p, config, ids, mask, compute_dtype=cd))
+                    p, config, ids, mask, compute_dtype=cd, mask_value=mv))
 
     # -- introspection (bert.h:78-88 equivalents) ---------------------------
     @property
