@@ -57,11 +57,15 @@ def cmd_encode(args) -> int:
     t_load = time.time() - t0
     texts = args.prompt if args.prompt else [line.rstrip("\n")
                                              for line in sys.stdin]
-    toks = eng.tokenize(texts[0])
+    if not texts:
+        print("no input: pass -p/--prompt or pipe text on stdin",
+              file=sys.stderr)
+        return 1
     t0 = time.time()
     embs = eng.encode_batch(texts)
     t_eval = time.time() - t0
     if args.verbose:
+        toks = eng.tokenize(texts[0])
         print(f"tokens[0]: {toks}", file=sys.stderr)
         print(f"  {[eng.tokenizer.id_to_token(t) for t in toks]}",
               file=sys.stderr)
@@ -106,18 +110,31 @@ def cmd_convert(args) -> int:
     from pathlib import Path
     from .models import params as P
     src = Path(args.hf_dir)
+    src_tokens = None  # vocab as an ordered token list, wherever it came from
     if src.suffix == ".bin":
         from .models.ggml_io import load_ggml_model
-        params, config, _ = load_ggml_model(src)
+        params, config, file_tok = load_ggml_model(src)
+        v = file_tok.vocab.id_to_token
+        src_tokens = [v[i] for i in range(len(v))]
     else:
         params, config = P.load_hf_dir(src)
+        vocab_file = src / "vocab.txt"
+        if vocab_file.exists():
+            src_tokens = vocab_file.read_text(
+                encoding="utf-8").splitlines()
     if args.out.endswith(".bin"):
         # export in the reference's ggml .bin format (vocab embedded)
-        from .models.ggml_io import write_ggml
-        from .tokenizer import WordPieceVocab
-        vocab = WordPieceVocab.from_file(src / "vocab.txt")
-        tokens = [vocab.id_to_token[i] for i in range(len(vocab.id_to_token))]
-        write_ggml(args.out, params, config, tokens, dtype=args.dtype)
+        from .models.ggml_io import NAME_TO_FTYPE, write_ggml
+        if args.dtype not in NAME_TO_FTYPE:
+            print(f"ggml .bin cannot represent dtype {args.dtype} "
+                  f"(reference supports {sorted(NAME_TO_FTYPE)}, "
+                  f"bert.cpp:499-521)", file=sys.stderr)
+            return 1
+        if src_tokens is None:
+            print(f"no vocab found for {src} (need vocab.txt next to an HF "
+                  f"checkpoint, or a .bin source)", file=sys.stderr)
+            return 1
+        write_ggml(args.out, params, config, src_tokens, dtype=args.dtype)
         print(f"wrote {args.out} "
               f"({os.path.getsize(args.out)/1e6:.2f} MB, ggml {args.dtype})")
         return 0
@@ -126,12 +143,11 @@ def cmd_convert(args) -> int:
     P.save_native(args.out, params, config)
     size = os.path.getsize(args.out) / 1e6
     print(f"wrote {args.out} ({size:.2f} MB, dtype={args.dtype})")
-    # copy vocab next to the checkpoint so load_model finds the tokenizer
-    import shutil
-    from pathlib import Path
-    vocab = Path(args.hf_dir) / "vocab.txt"
-    if vocab.exists():
-        shutil.copy(vocab, Path(args.out).parent / "vocab.txt")
+    # write vocab next to the checkpoint so load_model finds the tokenizer
+    # (for .bin sources the vocab is embedded in the file, not on disk)
+    if src_tokens is not None:
+        (Path(args.out).parent / "vocab.txt").write_text(
+            "\n".join(src_tokens) + "\n", encoding="utf-8")
     return 0
 
 
@@ -172,12 +188,13 @@ def cmd_bench(args) -> int:
     ids = jnp.asarray(rng.integers(0, eng.config.vocab_size,
                                    (args.batch, args.seq)), jnp.int32)
     mask = jnp.ones((args.batch, args.seq), jnp.int32)
-    from .models import bert
     trace = (jax.profiler.trace(args.profile) if args.profile
              else contextlib.nullcontext())
     with trace:
+        # time the engine's own jitted forward — the exact program
+        # encode/serve runs (compute dtype, mask value, sharding included)
         us = device_time_us(
-            lambda i, m: bert.encode_tokens(eng.params, eng.config, i, m),
+            lambda i, m: eng._forward(eng.params, i, m),
             (ids, mask), lo=5, hi=20)
     if args.profile:
         print(f"profiler trace written to {args.profile} "

@@ -139,6 +139,7 @@ def encode_tokens(params: Params, config: BertConfig, token_ids: jax.Array,
                   normalize: bool | None = None,
                   mask_value: float = -1e9,
                   compute_dtype: str | None = None,
+                  prefix_mask: bool = True,
                   return_hidden: bool = False) -> jax.Array:
     """Full forward: token ids + mask -> pooled, normalized embeddings.
 
@@ -146,6 +147,12 @@ def encode_tokens(params: Params, config: BertConfig, token_ids: jax.Array,
                      rules them out — the reference pads with id 101 and
                      relies on the same masking, bert.cpp:916).
     attention_mask:  [B, L], 1 for real tokens, 0 for pads.
+    prefix_mask:     True (default) promises each row's mask is a prefix
+                     (1s then 0s — what the engine's right-padded batches
+                     produce, and the only shape the reference supports).
+                     The fused attention kernel relies on this; pass False
+                     for left-padded or non-contiguous masks to route
+                     attention through the exact additive-mask einsum path.
     Returns [B, E] float32 embeddings (or [B, L, E] if return_hidden).
     """
     pooling = pooling or config.pooling
@@ -163,8 +170,10 @@ def encode_tokens(params: Params, config: BertConfig, token_ids: jax.Array,
     if compute_dtype is not None:
         x = x.astype(jnp.dtype(compute_dtype))
 
-    # prefix lengths for the fused-attention kernel's in-kernel mask
-    lengths = jnp.sum(attention_mask.astype(jnp.int32), axis=1)
+    # prefix lengths for the fused-attention kernel's in-kernel mask;
+    # only valid when the mask really is a prefix (see docstring)
+    lengths = (jnp.sum(attention_mask.astype(jnp.int32), axis=1)
+               if prefix_mask else None)
 
     # lax.scan over stacked layer params: one compiled block for all layers.
     def body(h, layer):

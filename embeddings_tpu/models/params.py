@@ -287,10 +287,10 @@ def cast_params(params: Params, kind: str) -> Params:
 
 def fuse_qkv(params: Params) -> Params:
     """Merge the q/k/v projections into one [E, 3E] matmul (single-device
-    optimization: one kernel launch, x read from HBM once). The layout is
-    [..., 3, H, D] on the output axis so the forward can split by slicing.
-    Not used with tensor parallelism (the concat axis would shard across
-    the q/k/v boundary)."""
+    optimization: one kernel launch, x read from HBM once). The output
+    columns are laid out [q | k | v] (each E wide, heads contiguous) so
+    the forward splits by contiguous column slice. Not used with tensor
+    parallelism (the concat axis would shard across the q/k/v boundary)."""
     attn = params["layers"]["attn"]
     if "qkv" in attn:
         return params

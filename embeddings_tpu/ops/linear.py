@@ -13,6 +13,8 @@ point the model code calls; it routes to:
 
 from __future__ import annotations
 
+import contextlib
+
 import jax
 import jax.numpy as jnp
 
@@ -29,6 +31,22 @@ def set_pallas_mode(mode: str) -> None:
     global _PALLAS_MODE
     assert mode in ("auto", "always", "never")
     _PALLAS_MODE = mode
+
+
+@contextlib.contextmanager
+def pallas_mode(mode: str):
+    """Scoped kernel-path override. Dispatch decisions happen at jit TRACE
+    time, so wrapping the traced function body in this context pins the
+    path for that program without leaking a process-global change (an
+    Engine configured with use_pallas="never" must not downgrade every
+    other Engine in the process)."""
+    global _PALLAS_MODE
+    prev = _PALLAS_MODE
+    set_pallas_mode(mode)
+    try:
+        yield
+    finally:
+        _PALLAS_MODE = prev
 
 
 def _use_pallas() -> bool:

@@ -117,14 +117,25 @@ def shard_params(params: Params, config: BertConfig, mesh: Mesh) -> Params:
 
 def make_sharded_forward(config: BertConfig, mesh: Mesh, *,
                          pooling: str | None = None,
-                         compute_dtype: str | None = None):
+                         compute_dtype: str | None = None,
+                         mask_value: float = -1e9):
     """jitted (params, ids, mask) -> [B, E] with batch over DATA_AXIS and
-    Megatron TP over MODEL_AXIS; collectives inserted by XLA."""
+    Megatron TP over MODEL_AXIS; collectives inserted by XLA.
+
+    The Pallas kernels are disabled under a mesh: Mosaic custom calls have
+    no GSPMD partitioning rules outside shard_map, so XLA could not shard
+    them — the mesh path uses the pure-XLA dequant+matmul/einsum ops, which
+    GSPMD partitions freely. (Per-shard Pallas via shard_map is the planned
+    follow-up.)"""
+    from ..ops.linear import pallas_mode
     data = NamedSharding(mesh, P(DATA_AXIS, None))
     out_s = NamedSharding(mesh, P(DATA_AXIS, None))
 
     def fwd(params, ids, mask):
-        return bert.encode_tokens(params, config, ids, mask, pooling=pooling,
-                                  compute_dtype=compute_dtype)
+        with pallas_mode("never"):  # applies at trace time
+            return bert.encode_tokens(params, config, ids, mask,
+                                      pooling=pooling,
+                                      compute_dtype=compute_dtype,
+                                      mask_value=mask_value)
 
     return jax.jit(fwd, in_shardings=(None, data, data), out_shardings=out_s)

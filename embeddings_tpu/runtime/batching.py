@@ -28,6 +28,16 @@ def pick_bucket(value: int, buckets: Sequence[int]) -> int:
     raise ValueError(f"value {value} exceeds largest bucket {buckets[-1]}")
 
 
+def extend_buckets(buckets: Sequence[int], cover: int) -> tuple[int, ...]:
+    """Buckets extended by doubling so the largest one >= cover."""
+    bb = sorted(set(int(b) for b in buckets))
+    b = bb[-1] if bb else 1
+    while b < cover:
+        b = min(b * 2, cover)
+        bb.append(b)
+    return tuple(bb)
+
+
 @dataclass(frozen=True)
 class BatchPlan:
     """One device batch: original indices + padded shape to run."""

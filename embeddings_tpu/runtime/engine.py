@@ -32,7 +32,7 @@ import numpy as np
 from ..config import BertConfig, EngineConfig
 from ..models import bert, params as P
 from ..tokenizer import WordPieceTokenizer
-from .batching import pad_batch, pick_bucket, plan_batches
+from .batching import extend_buckets, pad_batch, plan_batches
 
 
 class Engine:
@@ -48,26 +48,31 @@ class Engine:
         # tokenizer remains the API surface (id_to_token, vocab, ...)
         from ..tokenizer import native as _native
         self._fast_tokenizer = _native.NativeWordPieceTokenizer.wrap(tokenizer)
-        if self.engine_config.use_pallas != "auto":
-            from ..ops.linear import set_pallas_mode
-            set_pallas_mode(self.engine_config.use_pallas)
         cd = self.engine_config.compute_dtype
         if cd is None and jax.default_backend() == "tpu":
             cd = "bfloat16"
         if cd == "bf16":
             cd = "bfloat16"
         mv = self.engine_config.mask_value
+        mode = self.engine_config.use_pallas
         if mesh is not None:
             from ..parallel.sharding import shard_params, make_sharded_forward
             self.params = shard_params(params, config, mesh)
             self._forward = make_sharded_forward(config, mesh,
-                                                 compute_dtype=cd)
+                                                 compute_dtype=cd,
+                                                 mask_value=mv)
         else:
+            from ..ops.linear import pallas_mode
             self.params = P.fuse_qkv(params)  # single-device: merge q/k/v
             params = self.params
-            self._forward = jax.jit(
-                lambda p, ids, mask: bert.encode_tokens(
-                    p, config, ids, mask, compute_dtype=cd, mask_value=mv))
+
+            def _fwd(p, ids, mask):
+                # scoped (trace-time) kernel-path selection: no global leak
+                with pallas_mode(mode):
+                    return bert.encode_tokens(p, config, ids, mask,
+                                              compute_dtype=cd, mask_value=mv)
+
+            self._forward = jax.jit(_fwd)
 
     # -- introspection (bert.h:78-88 equivalents) ---------------------------
     @property
@@ -112,8 +117,11 @@ class Engine:
         batch_size = batch_size or ec.batch_size
         toks = [self.tokenize(t) for t in texts]
         out = np.empty((len(texts), self.n_embd), np.float32)
+        # a caller-supplied batch_size may exceed the configured buckets
+        # (e.g. encode() passes len(texts)); grow the bucket set to cover it
+        bb = extend_buckets(ec.batch_buckets, batch_size)
         plans = plan_batches([len(t) for t in toks], batch_size,
-                             self._seq_buckets(), ec.batch_buckets)
+                             self._seq_buckets(), bb)
         pending = []
         for plan in plans:
             ids, mask = pad_batch([toks[i] for i in plan.indices],
@@ -145,8 +153,14 @@ class Engine:
         return jax.profiler.trace(str(out_dir))
 
     def _seq_buckets(self) -> tuple[int, ...]:
-        return tuple(b for b in self.engine_config.seq_buckets
-                     if b <= self.max_seq_len) or (self.max_seq_len,)
+        """Configured seq buckets clipped to max_seq_len — and always
+        covering it, since tokenize() truncates at max_seq_len (a 300-token
+        input with buckets ending at 256 must plan a 300-wide batch)."""
+        bs = tuple(b for b in self.engine_config.seq_buckets
+                   if b <= self.max_seq_len)
+        if not bs or bs[-1] < self.max_seq_len:
+            bs = bs + (self.max_seq_len,)
+        return bs
 
 
 def load_model(path: str | Path, *, dtype: str = "f32",

@@ -53,7 +53,10 @@ class ServiceStats:
         if not self.latencies:
             return {}
         xs = np.sort(np.asarray(self.latencies))
-        pct = lambda p: float(xs[min(len(xs) - 1, int(p / 100 * len(xs)))])
+        # nearest-rank percentile: ceil(p/100 * n) - 1
+        pct = lambda p: float(
+            xs[min(len(xs) - 1,
+                   max(0, int(np.ceil(p / 100 * len(xs))) - 1))])
         return {"mean": float(xs.mean() * 1e3),
                 "p50": pct(50) * 1e3, "p90": pct(90) * 1e3,
                 "p99": pct(99) * 1e3, "max": float(xs[-1] * 1e3)}
@@ -159,8 +162,25 @@ class BatchingService:
 # TCP front-end (reference-compatible protocol)
 # ---------------------------------------------------------------------------
 
+def _utf8_incomplete_tail(data: bytes) -> bool:
+    """True if data ends mid-way through a multi-byte UTF-8 sequence."""
+    for i in range(1, min(4, len(data)) + 1):
+        b = data[-i]
+        if b < 0x80:
+            return False        # ASCII tail: complete
+        if b >= 0xC0:           # lead byte: complete iff sequence fits
+            need = 2 if b < 0xE0 else 3 if b < 0xF0 else 4
+            return i < need
+    return False
+
+
 async def _handle_tcp(service: BatchingService, reader: asyncio.StreamReader,
                       writer: asyncio.StreamWriter) -> None:
+    """Reference wire protocol (server.cpp:100-118). Inherits its framing
+    limitation: one recv == one message, so a text fragmented across TCP
+    segments arrives as multiple messages (the reference behaves the same;
+    use the HTTP front-end for robust framing). Multi-byte UTF-8 sequences
+    split at a read boundary ARE reassembled before decoding."""
     peer = writer.get_extra_info("peername")
     log.info("client connected: %s", peer)
     try:
@@ -171,6 +191,11 @@ async def _handle_tcp(service: BatchingService, reader: asyncio.StreamReader,
             data = await reader.read(RECV_MAX)
             if not data:
                 break
+            while _utf8_incomplete_tail(data) and len(data) < RECV_MAX:
+                more = await reader.read(RECV_MAX - len(data))
+                if not more:
+                    break
+                data += more
             text = data.decode("utf-8", errors="replace")
             emb = await service.embed(text)
             writer.write(np.asarray(emb, np.float32).tobytes())

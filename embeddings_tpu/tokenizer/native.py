@@ -75,13 +75,25 @@ class NativeWordPieceTokenizer:
 
     @classmethod
     def wrap(cls, tok) -> "NativeWordPieceTokenizer | None":
-        """Build from a WordPieceTokenizer if the lib is available."""
+        """Build from a WordPieceTokenizer if the lib is available AND the
+        tokenizer's config is representable natively; otherwise None (the
+        caller keeps the Python implementation). The C++ side couples
+        accent stripping to lowercasing and resolves special tokens by
+        their default literal names — configs that deviate (e.g. HF's
+        do_lower_case=true + strip_accents=false, or custom special
+        tokens) must not silently get different ids from the fast path."""
         if not available():
             return None
-        n = len(tok.vocab.id_to_token)
-        return cls(tok.vocab.id_to_token,
-                   lowercase=tok.lowercase,
-                   tokenize_chinese_chars=tok.tokenize_chinese_chars)
+        sa = tok.strip_accents
+        if sa is not None and bool(sa) != bool(tok.lowercase):
+            return None
+        nt = cls(tok.vocab.id_to_token,
+                 lowercase=tok.lowercase,
+                 tokenize_chinese_chars=tok.tokenize_chinese_chars)
+        if (nt.cls_id, nt.sep_id, nt.unk_id, nt.pad_id) != \
+                (tok.cls_id, tok.sep_id, tok.unk_id, tok.pad_id):
+            return None
+        return nt
 
     def encode(self, text: str, max_len: int | None = None) -> list[int]:
         data = text.encode("utf-8")

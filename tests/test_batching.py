@@ -94,3 +94,12 @@ class TestEngine:
     def test_warmup(self, engine):
         n = engine.warmup(batch_sizes=(1, 2), seq_lens=(8, 16))
         assert n == 4
+
+
+def test_extend_buckets():
+    from embeddings_tpu.runtime.batching import extend_buckets
+    assert extend_buckets((1, 2, 4, 8, 16, 32), 40)[-1] == 40
+    assert extend_buckets((1, 2), 2) == (1, 2)
+    assert extend_buckets((), 5)[-1] == 5
+    bb = extend_buckets((1, 2, 4, 8, 16, 32), 100)
+    assert bb == (1, 2, 4, 8, 16, 32, 64, 100)

@@ -181,3 +181,63 @@ def test_fuse_qkv_matches(hf_model_and_params, rng):
     a = np.asarray(bert.encode_tokens(qp, cfg, jnp.asarray(ids), jnp.asarray(mask)))
     b = np.asarray(bert.encode_tokens(fuse_qkv(qp), cfg, jnp.asarray(ids), jnp.asarray(mask)))
     np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_seq_bucket_covers_max_seq_len(small_vocab):
+    """max_seq_len between buckets must still be plannable (a 300-token
+    input with buckets ending at 256 used to crash at plan time)."""
+    from embeddings_tpu.config import BertConfig, EngineConfig
+    from embeddings_tpu.models import params as P
+    from embeddings_tpu.runtime.engine import Engine
+    from embeddings_tpu.tokenizer import WordPieceTokenizer, WordPieceVocab
+    tok = WordPieceTokenizer(WordPieceVocab.from_tokens(small_vocab))
+    cfg = BertConfig(vocab_size=len(small_vocab), hidden_size=64,
+                     num_hidden_layers=1, num_attention_heads=4,
+                     intermediate_size=128, max_position_embeddings=64)
+    eng = Engine(P.init_params(cfg, rng=0), cfg, tok,
+                 EngineConfig(seq_buckets=(16, 32), max_seq_len=48,
+                              batch_size=4))
+    assert eng._seq_buckets()[-1] == 48
+    out = eng.encode_batch(["hello " * 60])  # truncates to 48 tokens
+    assert out.shape == (1, 64)
+
+
+def test_prefix_mask_false_routes_einsum(rng, tiny_config):
+    """A non-prefix (interior-hole) mask must be routed away from the
+    fused kernel: with prefix_mask=False the pallas-forced forward matches
+    the exact additive-mask einsum path; the fused kernel (which reduces
+    the mask to a prefix length) would disagree."""
+    import dataclasses
+    import functools
+    import importlib
+    import jax.numpy as jnp
+    from embeddings_tpu.models import bert, params as P
+    import embeddings_tpu.ops.attention as attn_ops
+    linmod = importlib.import_module("embeddings_tpu.ops.linear")
+
+    cfg = dataclasses.replace(tiny_config, num_attention_heads=2,
+                              hidden_size=64)
+    params = P.fuse_qkv(P.init_params(cfg, rng=0))
+    ids = rng.integers(5, cfg.vocab_size, (2, 16)).astype(np.int32)
+    mask = np.ones((2, 16), np.int32)
+    mask[0, 3:7] = 0   # interior hole: not a prefix mask
+    mask[1, 9:] = 0    # plain suffix padding
+    ref = np.asarray(bert.encode_tokens(  # einsum path (CPU default)
+        params, cfg, jnp.asarray(ids), jnp.asarray(mask)))
+
+    orig = attn_ops.fused_attention
+    attn_ops.fused_attention = functools.partial(orig, interpret=True)
+    try:
+        with linmod.pallas_mode("always"):
+            wrong = np.asarray(bert.encode_tokens(
+                params, cfg, jnp.asarray(ids), jnp.asarray(mask),
+                prefix_mask=True))   # kernel sees a bogus prefix length
+            safe = np.asarray(bert.encode_tokens(
+                params, cfg, jnp.asarray(ids), jnp.asarray(mask),
+                prefix_mask=False))  # routed to the einsum path
+    finally:
+        attn_ops.fused_attention = orig
+    # prefix_mask=False must agree with the exact path even under pallas
+    np.testing.assert_allclose(safe, ref, atol=2e-3)
+    # and the hole row really is mishandled by the prefix-length kernel
+    assert not np.allclose(wrong[0], ref[0], atol=1e-3)

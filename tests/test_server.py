@@ -179,3 +179,21 @@ def test_http_endpoints(engine):
     assert r["bad"] == 400
     np.testing.assert_allclose(r["one"], engine.encode("hello world"),
                                atol=1e-5)
+
+
+def test_encode_more_texts_than_batch_bucket(engine):
+    """encode() with a list larger than the biggest batch bucket must not
+    crash (it used to raise 'value N exceeds largest bucket')."""
+    texts = ["hello world"] * 40  # engine fixture max bucket = 8
+    out = engine.encode(texts)
+    assert out.shape == (40, engine.n_embd)
+
+
+def test_utf8_incomplete_tail():
+    from embeddings_tpu.runtime.server import _utf8_incomplete_tail
+    full = "héllo 世界".encode("utf-8")
+    assert not _utf8_incomplete_tail(full)
+    assert _utf8_incomplete_tail(full[:-1])   # mid 3-byte CJK char
+    assert not _utf8_incomplete_tail(b"ascii")
+    assert _utf8_incomplete_tail("é".encode()[:1])
+    assert not _utf8_incomplete_tail(b"")
