@@ -72,27 +72,43 @@ def attention_context(layer: Params, config: BertConfig, x: jax.Array,
                       mask_bias: jax.Array,
                       lengths: jax.Array | None = None) -> jax.Array:
     """Pad-masked multi-head self-attention, up to (not including) the
-    output projection (bert.cpp:994-1036). Returns [B, L, E] context."""
+    output projection (bert.cpp:994-1036). Returns [B, L, E_local]
+    context. Under shard_map tensor parallelism the q/k/v weights are
+    column-sharded by head, so E_local = E / tp — the head count is
+    derived from the projection width, not from config."""
     from ..ops import attention as attn_ops
     from ..ops.linear import _use_pallas
     B, L, E = x.shape
-    H, D = config.num_attention_heads, config.head_dim
+    D = config.head_dim
     a = layer["attn"]
     if "qkv" in a:
         # fused projection (params.fuse_qkv): one matmul, x read once;
         # contiguous column slices (a strided 5-D reshape costs ~1ms here)
-        qkv = linear(x, a["qkv"]["w"], a["qkv"]["b"])  # [B, L, 3E]
+        qkv = linear(x, a["qkv"]["w"], a["qkv"]["b"])  # [B, L, 3*E_local]
+        El = qkv.shape[-1] // 3
+        H = El // D
         if (lengths is not None and _use_pallas()
                 and attn_ops.supported(L, H, D)):
             # fully fused VMEM attention: scores/probs never touch HBM
             ctx = attn_ops.fused_attention(
-                qkv.reshape(B * L, 3 * E), lengths, B=B, L=L, H=H, D=D)
-            return ctx.reshape(B, L, E)
-        q = qkv[..., :E].reshape(B, L, H, D)
-        k = qkv[..., E:2 * E].reshape(B, L, H, D)
-        v = qkv[..., 2 * E:].reshape(B, L, H, D)
+                qkv.reshape(B * L, 3 * El), lengths, B=B, L=L, H=H, D=D)
+            return ctx.reshape(B, L, El)
+        q = qkv[..., :El].reshape(B, L, H, D)
+        k = qkv[..., El:2 * El].reshape(B, L, H, D)
+        v = qkv[..., 2 * El:].reshape(B, L, H, D)
     else:
-        q = linear(x, a["q"]["w"], a["q"]["b"]).reshape(B, L, H, D)
+        q = linear(x, a["q"]["w"], a["q"]["b"])
+        El = q.shape[-1]
+        H = El // D
+        if (lengths is not None and _use_pallas()
+                and attn_ops.supported(L, H, D)):
+            k = linear(x, a["k"]["w"], a["k"]["b"])
+            v = linear(x, a["v"]["w"], a["v"]["b"])
+            qkv = jnp.concatenate([q, k, v], axis=-1)
+            ctx = attn_ops.fused_attention(
+                qkv.reshape(B * L, 3 * El), lengths, B=B, L=L, H=H, D=D)
+            return ctx.reshape(B, L, El)
+        q = q.reshape(B, L, H, D)
         k = linear(x, a["k"]["w"], a["k"]["b"]).reshape(B, L, H, D)
         v = linear(x, a["v"]["w"], a["v"]["b"]).reshape(B, L, H, D)
     # scores: [B, H, L, L] on the MXU; accumulate in f32.
@@ -102,7 +118,7 @@ def attention_context(layer: Params, config: BertConfig, x: jax.Array,
     probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
     ctx = jnp.einsum("bhlm,bmhd->blhd", probs, v,
                      preferred_element_type=jnp.float32).astype(x.dtype)
-    return ctx.reshape(B, L, E)
+    return ctx.reshape(B, L, El)
 
 
 def attention(layer: Params, config: BertConfig, x: jax.Array,
@@ -113,22 +129,42 @@ def attention(layer: Params, config: BertConfig, x: jax.Array,
     return linear(ctx, a["o"]["w"], a["o"]["b"])
 
 
+def _row_parallel_residual_ln(h, w, b, residual, ln, eps, tp_axis):
+    """Megatron row-parallel linear + residual + LN: each shard holds a
+    K/tp slice of the weight, partial products are summed over ICI with
+    one psum, then bias/residual/LN run on the replicated result. The
+    fused in-kernel residual-LN epilogue cannot be used here because the
+    psum must happen between the matmul and the LayerNorm."""
+    y = linear(h, w, None)
+    y = lax.psum(y, tp_axis)
+    y = y + b.astype(y.dtype)
+    return layer_norm(residual + y, ln["scale"], ln["bias"], eps)
+
+
 def encoder_layer(layer: Params, config: BertConfig, x: jax.Array,
                   mask_bias: jax.Array,
-                  lengths: jax.Array | None = None) -> jax.Array:
+                  lengths: jax.Array | None = None,
+                  tp_axis: str | None = None) -> jax.Array:
     """One transformer encoder block (post-LN, bert.cpp:987-1084).
 
-    The two residual+LayerNorm steps run fused inside the o-proj /
-    FFN-down matmul kernels when possible (ops/linear.py
-    linear_residual_ln), saving two [B·L, E] HBM round trips per layer.
-    """
+    Single-device: the two residual+LayerNorm steps run fused inside the
+    o-proj / FFN-down matmul kernels (ops/linear.py linear_residual_ln),
+    saving two [B·L, E] HBM round trips per layer. Under shard_map TP
+    (tp_axis set) those two matmuls are row-parallel with an explicit
+    psum each — one all-reduce per layer pair, riding ICI."""
     from ..ops.linear import linear_residual_ln
     a, m = layer["attn"], layer["mlp"]
     eps = config.layer_norm_eps
     ctx = attention_context(layer, config, x, mask_bias, lengths)
+    act = "gelu_tanh" if config.hidden_act == "gelu_tanh" else "gelu"
+    if tp_axis is not None:
+        x = _row_parallel_residual_ln(ctx, a["o"]["w"], a["o"]["b"], x,
+                                      a["ln"], eps, tp_axis)
+        h = linear(x, m["up"]["w"], m["up"]["b"], act=act)
+        return _row_parallel_residual_ln(h, m["down"]["w"], m["down"]["b"],
+                                         x, m["ln"], eps, tp_axis)
     x = linear_residual_ln(ctx, a["o"]["w"], a["o"]["b"], x,
                            a["ln"]["scale"], a["ln"]["bias"], eps)
-    act = "gelu_tanh" if config.hidden_act == "gelu_tanh" else "gelu"
     h = linear(x, m["up"]["w"], m["up"]["b"], act=act)  # GELU fused in-kernel
     return linear_residual_ln(h, m["down"]["w"], m["down"]["b"], x,
                               m["ln"]["scale"], m["ln"]["bias"], eps)
@@ -140,6 +176,7 @@ def encode_tokens(params: Params, config: BertConfig, token_ids: jax.Array,
                   mask_value: float = -1e9,
                   compute_dtype: str | None = None,
                   prefix_mask: bool = True,
+                  tp_axis: str | None = None,
                   return_hidden: bool = False) -> jax.Array:
     """Full forward: token ids + mask -> pooled, normalized embeddings.
 
@@ -177,7 +214,8 @@ def encode_tokens(params: Params, config: BertConfig, token_ids: jax.Array,
 
     # lax.scan over stacked layer params: one compiled block for all layers.
     def body(h, layer):
-        return encoder_layer(layer, config, h, mask_bias, lengths), None
+        return encoder_layer(layer, config, h, mask_bias, lengths,
+                             tp_axis=tp_axis), None
 
     x, _ = lax.scan(body, x, params["layers"])
 

@@ -51,15 +51,29 @@ def param_pspecs(params: Params, mesh: Mesh) -> Params:
         return spec if _divisible(x.shape, spec, mesh) else P()
 
     def for_linear(v: dict, w_spec: P, b_spec: P):
-        w = v["w"]
+        """Specs for one linear's weight+bias. All-or-nothing: if any
+        piece of a QuantizedTensor (codes, scales, mins) cannot shard —
+        e.g. the per-32-block scales axis is smaller than the TP degree —
+        the WHOLE tensor (and its bias, when the bias shards the same
+        axis) falls back to replication. Mixed shardings would desync the
+        codes from their block scales, which is fatal under shard_map
+        (per-shard dequant sees mismatched shapes)."""
+        w, b = v["w"], v["b"]
         if isinstance(w, QuantizedTensor):
-            wspec = QuantizedTensor(
-                fit(w.codes, w_spec), fit(w.scales, w_spec),
-                None if w.mins is None else fit(w.mins, w_spec),
-                w.kind, w.block_axis)
+            pieces = [w.codes, w.scales] + ([] if w.mins is None else [w.mins])
+            ok = all(_divisible(x.shape, w_spec, mesh) for x in pieces)
+            wspec = (QuantizedTensor(w_spec, w_spec,
+                                     None if w.mins is None else w_spec,
+                                     w.kind, w.block_axis) if ok
+                     else QuantizedTensor(P(), P(),
+                                          None if w.mins is None else P(),
+                                          w.kind, w.block_axis))
         else:
-            wspec = w_spec
-        return {"w": wspec, "b": b_spec}
+            ok = _divisible(w.shape, w_spec, mesh)
+            wspec = w_spec if ok else P()
+        # a sharded bias only makes sense next to a sharded weight
+        bspec = fit(b, b_spec) if ok else P()
+        return {"w": wspec, "b": bspec}
 
     # Embedding tables are replicated: they are small once quantized
     # (~12 MB for bge-base q4_0), the gather result must be fully
@@ -118,18 +132,84 @@ def shard_params(params: Params, config: BertConfig, mesh: Mesh) -> Params:
 def make_sharded_forward(config: BertConfig, mesh: Mesh, *,
                          pooling: str | None = None,
                          compute_dtype: str | None = None,
-                         mask_value: float = -1e9):
+                         mask_value: float = -1e9,
+                         spmd: str = "shard_map"):
     """jitted (params, ids, mask) -> [B, E] with batch over DATA_AXIS and
-    Megatron TP over MODEL_AXIS; collectives inserted by XLA.
+    Megatron TP over MODEL_AXIS.
 
-    The Pallas kernels are disabled under a mesh: Mosaic custom calls have
-    no GSPMD partitioning rules outside shard_map, so XLA could not shard
-    them — the mesh path uses the pure-XLA dequant+matmul/einsum ops, which
-    GSPMD partitions freely. (Per-shard Pallas via shard_map is the planned
-    follow-up.)"""
+    spmd="shard_map" (default): explicit per-shard programs — every chip
+    runs the single-device forward (INCLUDING the Pallas fused kernels) on
+    its local weight shards, with one lax.psum over ICI after each
+    row-parallel matmul (o-proj, FFN-down). This is the production path:
+    Mosaic kernels run as-is inside shard_map.
+
+    spmd="gspmd": the same math jitted with NamedSharding constraints and
+    XLA-inserted collectives. Pallas is disabled here (Mosaic custom calls
+    have no GSPMD partitioning rules), so quantized weights take the
+    XLA dequant+matmul fallback — kept for cross-checking numerics.
+    """
     from ..ops.linear import pallas_mode
     data = NamedSharding(mesh, P(DATA_AXIS, None))
     out_s = NamedSharding(mesh, P(DATA_AXIS, None))
+    tp = mesh.shape[MODEL_AXIS]
+
+    if spmd == "shard_map":
+        try:
+            from jax import shard_map  # jax >= 0.8
+        except ImportError:  # pragma: no cover - older jax
+            from jax.experimental.shard_map import shard_map
+
+        def make_fn(params):
+            pspecs = param_pspecs(params, mesh)
+            tp_axis = MODEL_AXIS if tp > 1 else None
+            if tp_axis is not None:
+                # every matmul weight must really be TP-sharded: a
+                # replication fallback (non-divisible dim) would make the
+                # psum over-count by tp. Fail loudly instead.
+                def _has_model_axis(spec) -> bool:
+                    return any(ax == MODEL_AXIS for ax in spec if ax)
+                for path, name in ((("attn", "q"), "attn.q"),
+                                   (("attn", "k"), "attn.k"),
+                                   (("attn", "v"), "attn.v"),
+                                   (("attn", "o"), "attn.o"),
+                                   (("mlp", "up"), "mlp.up"),
+                                   (("mlp", "down"), "mlp.down")):
+                    node = pspecs["layers"]
+                    for k in path:
+                        node = node[k]
+                    w = node["w"]
+                    spec = w.codes if isinstance(w, QuantizedTensor) else w
+                    if not _has_model_axis(spec):
+                        raise ValueError(
+                            f"tp={tp} cannot shard {name} for this model "
+                            f"(dimension not divisible); lower tp or use "
+                            f"spmd='gspmd'")
+
+            def local_fwd(p, ids, mask):
+                return bert.encode_tokens(p, config, ids, mask,
+                                          pooling=pooling,
+                                          compute_dtype=compute_dtype,
+                                          mask_value=mask_value,
+                                          tp_axis=tp_axis)
+
+            sharded = shard_map(
+                local_fwd, mesh=mesh,
+                in_specs=(pspecs, P(DATA_AXIS, None), P(DATA_AXIS, None)),
+                out_specs=P(DATA_AXIS, None),
+                check_vma=False)
+            return jax.jit(sharded)
+
+        # params structure is needed to build in_specs; build lazily on
+        # first call and cache (structure is stable per engine)
+        cache: dict = {}
+
+        def fwd(params, ids, mask):
+            key = jax.tree_util.tree_structure(params)
+            if key not in cache:
+                cache[key] = make_fn(params)
+            return cache[key](params, ids, mask)
+
+        return fwd
 
     def fwd(params, ids, mask):
         with pallas_mode("never"):  # applies at trace time

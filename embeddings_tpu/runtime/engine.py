@@ -56,13 +56,22 @@ class Engine:
         mv = self.engine_config.mask_value
         mode = self.engine_config.use_pallas
         if mesh is not None:
+            from ..parallel.mesh import DATA_AXIS
             from ..parallel.sharding import shard_params, make_sharded_forward
+            # shard_map needs batch shapes divisible by the data-axis size
+            self._dp = mesh.shape[DATA_AXIS]
+            ec = self.engine_config
+            ec.batch_size = -(-ec.batch_size // self._dp) * self._dp
+            ec.batch_buckets = tuple(
+                b for b in ec.batch_buckets if b % self._dp == 0
+            ) or (self._dp,)
             self.params = shard_params(params, config, mesh)
             self._forward = make_sharded_forward(config, mesh,
                                                  compute_dtype=cd,
                                                  mask_value=mv)
         else:
             from ..ops.linear import pallas_mode
+            self._dp = 1
             self.params = P.fuse_qkv(params)  # single-device: merge q/k/v
             params = self.params
 
@@ -115,6 +124,8 @@ class Engine:
         (bert.cpp:1436-1442)."""
         ec = self.engine_config
         batch_size = batch_size or ec.batch_size
+        # under a mesh, device batches must divide by the data-axis size
+        batch_size = -(-batch_size // self._dp) * self._dp
         toks = [self.tokenize(t) for t in texts]
         out = np.empty((len(texts), self.n_embd), np.float32)
         # a caller-supplied batch_size may exceed the configured buckets

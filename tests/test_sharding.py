@@ -56,11 +56,32 @@ def test_sharded_forward_matches_single(cfg, dense_params, rng, dp, tp):
 def test_sharded_quantized_forward(cfg, dense_params, rng):
     qp = P.quantize_params(dense_params, "q4_0")
     ref = bert.encode_tokens(qp, cfg, *_batch(cfg, np.random.default_rng(2)))
-    mesh = make_mesh(dp=2, tp=4)
+    # tp=2: attn.o has K=64 -> 2 scale blocks, the largest TP degree the
+    # per-32-block layout supports at this tiny hidden size
+    mesh = make_mesh(dp=4, tp=2)
     sp = shard_params(qp, cfg, mesh)
     fwd = make_sharded_forward(cfg, mesh)
     ids, mask = _batch(cfg, np.random.default_rng(2))
     got = fwd(sp, ids, mask)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_sharded_quantized_tp_too_large_fails_loudly(cfg, dense_params):
+    """tp=4 cannot shard attn.o's 2 scale blocks: shard_map must refuse
+    (a silent replication fallback would make the psum over-count)."""
+    qp = P.quantize_params(dense_params, "q4_0")
+    mesh = make_mesh(dp=2, tp=4)
+    sp = shard_params(qp, cfg, mesh)
+    fwd = make_sharded_forward(cfg, mesh)
+    ids, mask = _batch(cfg, np.random.default_rng(2))
+    with pytest.raises(ValueError, match="cannot shard"):
+        fwd(sp, ids, mask)
+    # the GSPMD cross-check path still handles it (XLA tolerates the
+    # replicated-leaf layout)
+    fwd2 = make_sharded_forward(cfg, mesh, spmd="gspmd")
+    ref = bert.encode_tokens(qp, cfg, *_batch(cfg, np.random.default_rng(2)))
+    got = fwd2(sp, ids, mask)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=1e-5, rtol=1e-5)
 
