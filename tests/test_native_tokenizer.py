@@ -61,3 +61,22 @@ def test_native_is_faster(pair):
     assert a == b
     # native must be decisively faster (it's the point of having it)
     assert t_cc < t_py / 2, (t_py, t_cc)
+
+
+def test_wrap_refuses_unrepresentable_configs(small_vocab):
+    """Configs the C++ side cannot represent must fall back to Python
+    (returning None) rather than silently tokenizing differently."""
+    # strip_accents decoupled from lowercasing: not representable
+    t1 = WordPieceTokenizer(WordPieceVocab.from_tokens(small_vocab),
+                            lowercase=True, strip_accents=False)
+    assert nat.NativeWordPieceTokenizer.wrap(t1) is None
+    # explicit strip_accents matching lowercase: representable
+    t2 = WordPieceTokenizer(WordPieceVocab.from_tokens(small_vocab),
+                            lowercase=True, strip_accents=True)
+    assert nat.NativeWordPieceTokenizer.wrap(t2) is not None
+    # custom special tokens that don't resolve natively: not representable
+    vocab = ["<pad>", "<unk>", "<s>", "</s>"] + small_vocab
+    t3 = WordPieceTokenizer(WordPieceVocab.from_tokens(vocab),
+                            cls_token="<s>", sep_token="</s>",
+                            unk_token="<unk>", pad_token="<pad>")
+    assert nat.NativeWordPieceTokenizer.wrap(t3) is None
