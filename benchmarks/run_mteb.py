@@ -23,20 +23,25 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-MODES = ["f32", "f16", "q4_0", "q4_0-batchless", "q4_1", "q8_0"]
+MODES = ["f32", "f16", "q4_0", "q4_0-batchless", "q4_0-packed", "q4_1",
+         "q8_0"]
 
 
 class EmbeddingsTpuModel:
     """MTEB model protocol: encode(list[str], batch_size) -> ndarray.
-    Mirrors the reference's EmbeddingsCppModel (run_mteb.py:34-83)."""
+    Mirrors the reference's EmbeddingsCppModel (run_mteb.py:34-83).
+    packed=True uses token-level packing (several sentences per row)."""
 
     def __init__(self, model_path: str, dtype: str, batch_size: int = 32,
-                 batchless: bool = False):
+                 batchless: bool = False, packed: bool = False):
         from embeddings_tpu.runtime.engine import load_model
         self.engine = load_model(model_path, dtype=dtype)
         self.batch_size = 1 if batchless else batch_size
+        self.packed = packed
 
     def encode(self, sentences, batch_size: int = 32, **kwargs):
+        if self.packed:
+            return self.engine.encode_batch_packed(list(sentences))
         return self.engine.encode_batch(
             list(sentences), batch_size=self.batch_size)
 
@@ -67,9 +72,10 @@ def main() -> int:
                 enc = model.encode
                 model.encode = lambda s, **kw: enc(s, batch_size=1)
         else:
-            dtype = mode.replace("-batchless", "")
+            dtype = mode.replace("-batchless", "").replace("-packed", "")
             model = EmbeddingsTpuModel(args.model, dtype, args.batch,
-                                       batchless=mode.endswith("batchless"))
+                                       batchless=mode.endswith("batchless"),
+                                       packed=mode.endswith("packed"))
         evaluation = mteb.MTEB(tasks=args.tasks, task_langs=["en"])
         out = Path(args.out) / f"{model_name}_{mode}"
         evaluation.run(model, output_folder=str(out),

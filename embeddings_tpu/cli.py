@@ -62,7 +62,8 @@ def cmd_encode(args) -> int:
               file=sys.stderr)
         return 1
     t0 = time.time()
-    embs = eng.encode_batch(texts)
+    embs = (eng.encode_batch_packed(texts) if args.packed
+            else eng.encode_batch(texts))
     t_eval = time.time() - t0
     if args.verbose:
         toks = eng.tokenize(texts[0])
@@ -218,6 +219,8 @@ def build_parser() -> argparse.ArgumentParser:
     _add_model_args(p)
     p.add_argument("-p", "--prompt", action="append", default=None)
     p.add_argument("--format", choices=["text", "json"], default="text")
+    p.add_argument("--packed", action="store_true",
+                   help="token-level packing (several sentences per row)")
     p.add_argument("-v", "--verbose", action="store_true")
     p.set_defaults(fn=cmd_encode)
 

@@ -51,9 +51,11 @@ def gelu(x: jax.Array, approximate: bool) -> jax.Array:
 
 
 def embed(params: Params, config: BertConfig, token_ids: jax.Array,
-          type_ids: jax.Array | None = None) -> jax.Array:
+          type_ids: jax.Array | None = None,
+          position_ids: jax.Array | None = None) -> jax.Array:
     """word + token-type + position embedding sum, then LayerNorm
-    (bert.cpp:963-984)."""
+    (bert.cpp:963-984). position_ids [B, L] overrides the default 0..L-1
+    (token-packed rows restart positions at each segment)."""
     B, L = token_ids.shape
     emb = params["embeddings"]
     if isinstance(emb["word"], QuantizedTensor):
@@ -64,34 +66,48 @@ def embed(params: Params, config: BertConfig, token_ids: jax.Array,
         x = x + emb["token_type"][0]
     else:
         x = x + jnp.take(emb["token_type"], type_ids, axis=0)
-    x = x + emb["position"][:L]
+    if position_ids is None:
+        x = x + emb["position"][:L]
+    else:
+        x = x + jnp.take(emb["position"], position_ids, axis=0)
     return layer_norm(x, emb["ln"]["scale"], emb["ln"]["bias"], config.layer_norm_eps)
+
+
+def _fused_attn_dispatch(qkv2d, lengths, segments, B, L, H, D):
+    from ..ops import attention as attn_ops
+    if segments is not None:
+        return attn_ops.fused_attention_segmented(
+            qkv2d, segments, B=B, L=L, H=H, D=D)
+    return attn_ops.fused_attention(qkv2d, lengths, B=B, L=L, H=H, D=D)
 
 
 def attention_context(layer: Params, config: BertConfig, x: jax.Array,
                       mask_bias: jax.Array,
-                      lengths: jax.Array | None = None) -> jax.Array:
+                      lengths: jax.Array | None = None,
+                      segments: jax.Array | None = None) -> jax.Array:
     """Pad-masked multi-head self-attention, up to (not including) the
     output projection (bert.cpp:994-1036). Returns [B, L, E_local]
     context. Under shard_map tensor parallelism the q/k/v weights are
     column-sharded by head, so E_local = E / tp — the head count is
-    derived from the projection width, not from config."""
+    derived from the projection width, not from config. The fused VMEM
+    kernel runs when either prefix lengths or packed segment ids are
+    given; otherwise the additive-mask einsum path."""
     from ..ops import attention as attn_ops
     from ..ops.linear import _use_pallas
     B, L, E = x.shape
     D = config.head_dim
     a = layer["attn"]
+    want_fused = (lengths is not None or segments is not None)
     if "qkv" in a:
         # fused projection (params.fuse_qkv): one matmul, x read once;
         # contiguous column slices (a strided 5-D reshape costs ~1ms here)
         qkv = linear(x, a["qkv"]["w"], a["qkv"]["b"])  # [B, L, 3*E_local]
         El = qkv.shape[-1] // 3
         H = El // D
-        if (lengths is not None and _use_pallas()
-                and attn_ops.supported(L, H, D)):
+        if want_fused and _use_pallas() and attn_ops.supported(L, H, D):
             # fully fused VMEM attention: scores/probs never touch HBM
-            ctx = attn_ops.fused_attention(
-                qkv.reshape(B * L, 3 * El), lengths, B=B, L=L, H=H, D=D)
+            ctx = _fused_attn_dispatch(qkv.reshape(B * L, 3 * El), lengths,
+                                       segments, B, L, H, D)
             return ctx.reshape(B, L, El)
         q = qkv[..., :El].reshape(B, L, H, D)
         k = qkv[..., El:2 * El].reshape(B, L, H, D)
@@ -100,13 +116,12 @@ def attention_context(layer: Params, config: BertConfig, x: jax.Array,
         q = linear(x, a["q"]["w"], a["q"]["b"])
         El = q.shape[-1]
         H = El // D
-        if (lengths is not None and _use_pallas()
-                and attn_ops.supported(L, H, D)):
+        if want_fused and _use_pallas() and attn_ops.supported(L, H, D):
             k = linear(x, a["k"]["w"], a["k"]["b"])
             v = linear(x, a["v"]["w"], a["v"]["b"])
             qkv = jnp.concatenate([q, k, v], axis=-1)
-            ctx = attn_ops.fused_attention(
-                qkv.reshape(B * L, 3 * El), lengths, B=B, L=L, H=H, D=D)
+            ctx = _fused_attn_dispatch(qkv.reshape(B * L, 3 * El), lengths,
+                                       segments, B, L, H, D)
             return ctx.reshape(B, L, El)
         q = q.reshape(B, L, H, D)
         k = linear(x, a["k"]["w"], a["k"]["b"]).reshape(B, L, H, D)
@@ -144,7 +159,8 @@ def _row_parallel_residual_ln(h, w, b, residual, ln, eps, tp_axis):
 def encoder_layer(layer: Params, config: BertConfig, x: jax.Array,
                   mask_bias: jax.Array,
                   lengths: jax.Array | None = None,
-                  tp_axis: str | None = None) -> jax.Array:
+                  tp_axis: str | None = None,
+                  segments: jax.Array | None = None) -> jax.Array:
     """One transformer encoder block (post-LN, bert.cpp:987-1084).
 
     Single-device: the two residual+LayerNorm steps run fused inside the
@@ -155,7 +171,7 @@ def encoder_layer(layer: Params, config: BertConfig, x: jax.Array,
     from ..ops.linear import linear_residual_ln
     a, m = layer["attn"], layer["mlp"]
     eps = config.layer_norm_eps
-    ctx = attention_context(layer, config, x, mask_bias, lengths)
+    ctx = attention_context(layer, config, x, mask_bias, lengths, segments)
     act = "gelu_tanh" if config.hidden_act == "gelu_tanh" else "gelu"
     if tp_axis is not None:
         x = _row_parallel_residual_ln(ctx, a["o"]["w"], a["o"]["b"], x,
@@ -236,6 +252,47 @@ def encode_tokens(params: Params, config: BertConfig, token_ids: jax.Array,
     else:
         raise ValueError(f"unknown pooling: {pooling}")
 
+    if normalize:
+        norm = jnp.linalg.norm(pooled, axis=-1, keepdims=True)
+        pooled = pooled / jnp.maximum(norm, 1e-12)
+    return pooled
+
+
+def encode_packed(params: Params, config: BertConfig, token_ids: jax.Array,
+                  seg_ids: jax.Array, position_ids: jax.Array,
+                  pool_weights: jax.Array, *,
+                  normalize: bool | None = None,
+                  mask_value: float = -1e9,
+                  compute_dtype: str | None = None,
+                  tp_axis: str | None = None) -> jax.Array:
+    """Forward over token-packed rows (runtime/packing.py).
+
+    token_ids:    int32 [B, L], several sentences back-to-back per row.
+    seg_ids:      int32 [B, L], segment index per token, -1 for pads.
+    position_ids: int32 [B, L], restarting at 0 per segment.
+    pool_weights: f32 [B, S, L] — mean (1/len) or CLS (single 1) pooling
+                  matrix per segment slot; all-zero rows for empty slots.
+    Returns [B, S, E] float32: one embedding per (row, segment slot)
+    (empty slots produce zero vectors before normalization, which maps
+    them to themselves — callers index only real slots).
+    """
+    normalize = config.normalize_embeddings if normalize is None else normalize
+    # within-segment attention only: the packed analogue of the pad mask
+    same = (seg_ids[:, :, None] == seg_ids[:, None, :])
+    valid = (seg_ids >= 0)[:, None, :]
+    mask_bias = jnp.where(same & valid, 0.0, mask_value
+                          ).astype(jnp.float32)[:, None]   # [B,1,L,L]
+
+    x = embed(params, config, token_ids, position_ids=position_ids)
+    if compute_dtype is not None:
+        x = x.astype(jnp.dtype(compute_dtype))
+
+    def body(h, layer):
+        return encoder_layer(layer, config, h, mask_bias, None,
+                             tp_axis=tp_axis, segments=seg_ids), None
+
+    x, _ = lax.scan(body, x, params["layers"])
+    pooled = jnp.einsum("bsl,ble->bse", pool_weights, x.astype(jnp.float32))
     if normalize:
         norm = jnp.linalg.norm(pooled, axis=-1, keepdims=True)
         pooled = pooled / jnp.maximum(norm, 1e-12)

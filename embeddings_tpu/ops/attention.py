@@ -69,12 +69,96 @@ def _attn_kernel(lengths_ref, q_ref, k_ref, v_ref, o_ref, *,
         s = jnp.clip(s, _CLAMP_LO, _CLAMP_HI)
         p = jnp.where(key_ok, jnp.exp2(s), 0.0).astype(q.dtype)
         of = jax.lax.dot(p, vaug, preferred_element_type=jnp.float32)
-        o_ref[:, sl] = (of[:, :D] * (1.0 / of[:, D:D + 1])).astype(o_ref.dtype)
+        # all-pad filler rows (n==0) have denom 0; clamp so they stay
+        # finite (their output is discarded by pooling/scatter anyway)
+        denom = jnp.maximum(of[:, D:D + 1], 1e-30)
+        o_ref[:, sl] = (of[:, :D] * (1.0 / denom)).astype(o_ref.dtype)
 
 
 def supported(L: int, H: int, D: int) -> bool:
     # ones column must fit the [L, 2D] tile next to v; rows sublane-tiled
     return D <= LANE and L % 8 == 0
+
+
+def _attn_kernel_segmented(q_ref, k_ref, v_ref, segq_ref, segk_ref, o_ref, *,
+                           L: int, D: int, H: int, scale: float):
+    """Same softmax/PV structure as _attn_kernel, but the key mask comes
+    from segment equality instead of a prefix length — attention only
+    within each packed segment (runtime/packing.py), pads (seg -1) get
+    zero probability everywhere.
+
+    segq_ref is this row's [L, 1] query-side view; segk_ref is the whole
+    [B, L] table (Mosaic forbids a (1, L) block, so the key-side row is
+    sliced dynamically in-kernel)."""
+    b = pl.program_id(0)
+    segq = segq_ref[:]                                     # [L, 1]
+    segk = segk_ref[pl.dslice(b, 1), :]                    # [1, L]
+    key_ok = (segq == segk) & (segk >= 0)                  # [L, L]
+    s2 = scale * LOG2E
+    aug_col = jax.lax.broadcasted_iota(jnp.int32, (L, 2 * D), 1)
+    for h in range(H):
+        sl = slice(h * D, (h + 1) * D)
+        q = q_ref[:, sl]
+        k = k_ref[:, sl]
+        vaug = jnp.where(aug_col == D, jnp.ones((), v_ref.dtype),
+                         jnp.pad(v_ref[:, sl], ((0, 0), (0, D))))
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * s2
+        s = jnp.clip(s, _CLAMP_LO, _CLAMP_HI)
+        p = jnp.where(key_ok, jnp.exp2(s), 0.0).astype(q.dtype)
+        of = jax.lax.dot(p, vaug, preferred_element_type=jnp.float32)
+        # pad query rows have no valid keys -> denom==0; make it 1 so the
+        # (discarded) rows stay finite instead of NaN
+        denom = jnp.maximum(of[:, D:D + 1], 1e-30)
+        o_ref[:, sl] = (of[:, :D] * (1.0 / denom)).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("B", "L", "H", "D",
+                                             "mask_value", "interpret"))
+def fused_attention_segmented(qkv: jax.Array, seg_ids: jax.Array, *, B: int,
+                              L: int, H: int, D: int,
+                              mask_value: float = -1e9,
+                              interpret: bool = False) -> jax.Array:
+    """Segment-masked variant of fused_attention for token-packed rows.
+
+    qkv [B*L, 3*H*D] as in fused_attention; seg_ids int32 [B, L] with -1
+    on pad positions. mask_value accepted for API compatibility (pads and
+    cross-segment pairs get exactly zero probability).
+    """
+    E = H * D
+    M = B * L
+    assert qkv.shape == (M, 3 * E), (qkv.shape, (M, 3 * E))
+    assert seg_ids.shape == (B, L), seg_ids.shape
+    assert supported(L, H, D), (L, H, D)
+    seg_col = seg_ids.reshape(M, 1)   # query-side view, tiled [L, 1]
+    seg_row = seg_ids                  # key-side view, tiled [1, L]
+
+    kernel = functools.partial(_attn_kernel_segmented, L=L, D=D, H=H,
+                               scale=1.0 / (D ** 0.5))
+    flops = 2 * 2 * B * H * L * L * D
+    return pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((L, E), lambda b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, E), lambda b: (b, 1), memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, E), lambda b: (b, 2), memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, 1), lambda b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, L), lambda b: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((L, E), lambda b: (b, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M, E), qkv.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=M * 4 * E * qkv.dtype.itemsize,
+            transcendentals=B * H * L * L),
+        interpret=interpret,
+    )(qkv, qkv, qkv, seg_col, seg_row)
 
 
 @functools.partial(jax.jit, static_argnames=("B", "L", "H", "D",

@@ -35,6 +35,8 @@ from .quant import QK
 
 # Total VMEM budget (per-core VMEM is 16 MB; leave headroom for Mosaic).
 _VMEM_BUDGET = 13 * 1024 * 1024
+# K-rows dequantized per chunk inside the kernel (bounds the stack temp).
+_DEQ_CHUNK = 512
 
 
 def _pick_bn(K: int, N: int, bm: int, requested: int | None,
@@ -74,12 +76,23 @@ def _qmm_kernel(x_ref, c_ref, s_ref, m_ref, b_ref, o_ref, w_ref, *,
     @pl.when(i == 0)
     def _():
         K, bn = c_ref.shape
-        codes = c_ref[:].astype(compute_dtype).reshape(K // QK, QK, bn)
-        scales = s_ref[:].astype(compute_dtype)[:, None, :]
-        w = codes * scales
-        if kind == "q4_1":
-            w = w + m_ref[:].astype(compute_dtype)[:, None, :]
-        w_ref[:] = w.reshape(K, bn)
+        # dequantize in K-chunks: a single full-[K, bn] expression would
+        # materialize a second weight-sized temp on the Mosaic stack on
+        # top of the scratch (observed VMEM OOM at K=3072, bn=768);
+        # chunking caps the temp at _DEQ_CHUNK*bn values
+        step = min(K, _DEQ_CHUNK)
+        while K % step:  # largest QK-multiple divisor of K <= _DEQ_CHUNK
+            step -= QK
+        for c in range(0, K, step):
+            sl = slice(c, c + step)
+            sb = slice(c // QK, (c + step) // QK)
+            codes = c_ref[sl, :].astype(compute_dtype).reshape(
+                step // QK, QK, bn)
+            scales = s_ref[sb, :].astype(compute_dtype)[:, None, :]
+            w = codes * scales
+            if kind == "q4_1":
+                w = w + m_ref[sb, :].astype(compute_dtype)[:, None, :]
+            w_ref[sl, :] = w.reshape(step, bn)
 
     acc = jnp.dot(x_ref[:].astype(compute_dtype), w_ref[:],
                   preferred_element_type=jnp.float32)

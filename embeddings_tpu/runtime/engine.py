@@ -142,6 +142,71 @@ class Engine:
             out[list(plan.indices)] = np.asarray(emb)[: len(plan.indices)]
         return out
 
+    def encode_batch_packed(self, texts: Sequence[str],
+                            row_len: int | None = None,
+                            batch_rows: int | None = None) -> np.ndarray:
+        """Token-packed encode: several sentences per device row
+        (runtime/packing.py) — the 'token-level packing' mode. Much faster
+        than bucketed padding when sentences are short relative to the
+        efficient device sequence length. Requires mean or CLS pooling;
+        single-device only (the mesh path uses bucketed batches)."""
+        if self.mesh is not None:
+            return self.encode_batch(texts)
+        if self.config.pooling not in ("mean", "cls"):
+            raise ValueError("packing supports mean/cls pooling")
+        from .batching import pick_bucket
+        from .packing import materialize, plan_packing
+        ec = self.engine_config
+        toks = [self.tokenize(t) for t in texts]
+        if row_len is None:
+            # short rows beat long ones: attention is O(row_len^2) per row
+            # and the segmented kernel computes cross-segment blocks too
+            # (wasted), so 128 with ~32K tokens per dispatch measured
+            # fastest (1.7x over bucketed batching on an STSB-length
+            # corpus) — but the row must still fit the longest sentence
+            # (the planner would truncate it otherwise)
+            longest = max((len(t) for t in toks), default=1)
+            row_len = max(min(128, self.max_seq_len),
+                          pick_bucket(longest, self._seq_buckets()))
+        batch_rows = batch_rows or max(ec.batch_size, 32768 // row_len)
+        out = np.empty((len(texts), self.n_embd), np.float32)
+        batches = plan_packing([len(t) for t in toks], row_len, batch_rows)
+        bb = extend_buckets(ec.batch_buckets, batch_rows)
+        pending = []
+        for b in batches:
+            b.batch = pick_bucket(len(b.rows), bb)  # pad row count
+            ids, seg, pos, pool, mapping = materialize(
+                b, toks, self.tokenizer.pad_id, self.config.pooling)
+            pending.append((mapping,
+                            self._forward_packed(ids, seg, pos, pool)))
+        for mapping, pooled in pending:
+            pooled = np.asarray(pooled)
+            for r, s, i in mapping:
+                out[i] = pooled[r, s]
+        return out
+
+    def _forward_packed(self, ids, seg, pos, pool):
+        if not hasattr(self, "_packed_fn"):
+            cd = None
+            if self.engine_config.compute_dtype is not None:
+                cd = self.engine_config.compute_dtype
+                cd = "bfloat16" if cd == "bf16" else cd
+            elif jax.default_backend() == "tpu":
+                cd = "bfloat16"
+            mv = self.engine_config.mask_value
+            mode = self.engine_config.use_pallas
+            config = self.config
+
+            from ..ops.linear import pallas_mode
+
+            def _fwd(p, ids, seg, pos, pool):
+                with pallas_mode(mode):
+                    return bert.encode_packed(p, config, ids, seg, pos, pool,
+                                              compute_dtype=cd, mask_value=mv)
+
+            self._packed_fn = jax.jit(_fwd)
+        return self._packed_fn(self.params, ids, seg, pos, pool)
+
     # -- shape warmup --------------------------------------------------------
     def warmup(self, batch_sizes: Sequence[int] | None = None,
                seq_lens: Sequence[int] | None = None) -> int:

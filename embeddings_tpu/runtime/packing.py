@@ -1,0 +1,104 @@
+"""Token-level packing: many sentences per device row.
+
+Bucketed padding (batching.py) wastes MXU cycles whenever sentences are
+much shorter than the efficient device sequence length — the chip prefers
+a few long rows over many short ones. Packing places multiple sentences
+back-to-back in one [L] row; correctness is preserved by
+
+- segment ids: attention is masked to within-segment pairs (the packed
+  analogue of the reference's pad mask, bert.cpp:957-961),
+- per-segment position ids: each sentence's positions restart at 0,
+- pooling-by-matmul: a host-built [S, L] weight matrix (1/len over the
+  segment for mean pooling, a single 1 at the segment start for CLS)
+  pools every segment in one einsum — the generalization of the
+  reference's 1/len pooling-matmul trick (bert.cpp:905-922, 1087-1089).
+
+The planner is greedy first-fit-decreasing: sentences sorted by length,
+each placed into the first row with room, rows grouped into device
+batches. All shapes (rows per batch, row length, max segments per row)
+are bucketed so the jit cache stays bounded.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Sequence
+
+import numpy as np
+
+from .batching import pick_bucket
+
+
+@dataclass(frozen=True)
+class Segment:
+    sentence: int   # index into the caller's input list
+    start: int      # token offset within the row
+    length: int
+
+
+@dataclass
+class PackedBatch:
+    """One device batch of packed rows."""
+    rows: list[list[Segment]]   # per row: its segments
+    batch: int                  # padded row count
+    seq: int                    # row length
+    n_seg: int                  # padded max segments per row
+
+
+def plan_packing(lengths: Sequence[int], row_len: int, batch_rows: int,
+                 seg_buckets: Sequence[int] = (1, 2, 4, 8, 16, 32, 64, 128),
+                 ) -> list[PackedBatch]:
+    """First-fit-decreasing packing of sentence lengths into rows of
+    row_len tokens, grouped into batches of at most batch_rows rows."""
+    order = sorted(range(len(lengths)), key=lambda i: -lengths[i])
+    rows: list[list[Segment]] = []
+    used: list[int] = []
+    for i in order:
+        n = min(lengths[i], row_len)
+        for r in range(len(rows)):
+            if used[r] + n <= row_len:
+                rows[r].append(Segment(i, used[r], n))
+                used[r] += n
+                break
+        else:
+            rows.append([Segment(i, 0, n)])
+            used.append(n)
+    batches = []
+    for start in range(0, len(rows), batch_rows):
+        chunk = rows[start:start + batch_rows]
+        n_seg = pick_bucket(max(len(r) for r in chunk), seg_buckets)
+        batches.append(PackedBatch(chunk, len(chunk), row_len, n_seg))
+    return batches
+
+
+def materialize(batch: PackedBatch, toks: Sequence[Sequence[int]],
+                pad_id: int, pooling: str = "mean",
+                ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray,
+                           list[tuple[int, int, int]]]:
+    """Build the device arrays for one packed batch.
+
+    Returns (ids [B,L] i32, seg_ids [B,L] i32 with -1 pads,
+    pos_ids [B,L] i32, pool_w [B, n_seg, L] f32,
+    mapping [(row, seg_slot, sentence_idx), ...])."""
+    B, L, S = batch.batch, batch.seq, batch.n_seg
+    ids = np.full((B, L), pad_id, np.int32)
+    seg = np.full((B, L), -1, np.int32)
+    pos = np.zeros((B, L), np.int32)
+    pool = np.zeros((B, S, L), np.float32)
+    mapping: list[tuple[int, int, int]] = []
+    for r, segments in enumerate(batch.rows):
+        for s, sg in enumerate(segments):
+            t = list(toks[sg.sentence])[: sg.length]
+            sl = slice(sg.start, sg.start + sg.length)
+            ids[r, sl] = t
+            seg[r, sl] = s
+            pos[r, sl] = np.arange(sg.length)
+            if pooling == "mean":
+                pool[r, s, sl] = 1.0 / sg.length
+            elif pooling == "cls":
+                pool[r, s, sg.start] = 1.0
+            else:
+                raise ValueError(
+                    f"packing supports mean/cls pooling, not {pooling}")
+            mapping.append((r, s, sg.sentence))
+    return ids, seg, pos, pool, mapping

@@ -1,0 +1,150 @@
+"""Token-level packing: planner invariants and packed-vs-unpacked
+numerical parity (packing must be a pure layout change)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from embeddings_tpu.config import BertConfig
+from embeddings_tpu.models import bert, params as P
+from embeddings_tpu.runtime.packing import materialize, plan_packing
+
+
+def test_planner_covers_every_sentence_once():
+    rng = np.random.default_rng(0)
+    lengths = rng.integers(3, 40, size=57).tolist()
+    batches = plan_packing(lengths, row_len=64, batch_rows=4)
+    seen = []
+    for b in batches:
+        assert b.batch <= 4
+        for row in b.rows:
+            total = 0
+            for sg in row:
+                seen.append(sg.sentence)
+                total += sg.length
+                assert sg.start + sg.length <= b.seq
+            assert total <= b.seq
+            # segments are laid out contiguously without overlap
+            starts = sorted((sg.start, sg.length) for sg in row)
+            pos = 0
+            for st, ln in starts:
+                assert st == pos
+                pos += ln
+        assert b.n_seg >= max(len(r) for r in b.rows)
+    assert sorted(seen) == list(range(57))
+
+
+def test_planner_truncates_overlong():
+    batches = plan_packing([100], row_len=32, batch_rows=2)
+    assert batches[0].rows[0][0].length == 32
+
+
+def test_materialize_arrays():
+    toks = [[2, 5, 6, 3], [2, 7, 3], [2, 8, 9, 10, 3]]
+    batches = plan_packing([len(t) for t in toks], row_len=8, batch_rows=2)
+    b = batches[0]
+    ids, seg, pos, pool, mapping = materialize(b, toks, pad_id=0)
+    assert ids.shape == seg.shape == pos.shape
+    assert pool.shape[0] == ids.shape[0] and pool.shape[2] == ids.shape[1]
+    # every sentence appears in the mapping exactly once
+    assert sorted(m[2] for m in mapping) == [0, 1, 2]
+    for r, s, i in mapping:
+        row_mask = seg[r] == s
+        assert row_mask.sum() == min(len(toks[i]), b.seq)
+        np.testing.assert_array_equal(ids[r][row_mask],
+                                      toks[i][: row_mask.sum()])
+        # positions restart at 0 per segment
+        np.testing.assert_array_equal(pos[r][row_mask],
+                                      np.arange(row_mask.sum()))
+        # mean pooling weights sum to 1 over the segment
+        assert pool[r, s].sum() == pytest.approx(1.0)
+
+
+@pytest.mark.parametrize("pooling", ["mean", "cls"])
+def test_packed_matches_unpacked(rng, tiny_config, pooling):
+    import dataclasses
+    cfg = dataclasses.replace(tiny_config, pooling=pooling)
+    params = P.init_params(cfg, rng=0)
+    toks = [list(rng.integers(5, cfg.vocab_size, size=int(n)))
+            for n in rng.integers(3, 14, size=9)]
+
+    # reference: encode each sentence in its own padded row
+    L = 16
+    ids = np.zeros((len(toks), L), np.int32)
+    mask = np.zeros((len(toks), L), np.int32)
+    for i, t in enumerate(toks):
+        ids[i, : len(t)] = t
+        mask[i, : len(t)] = 1
+    ref = np.asarray(bert.encode_tokens(params, cfg, jnp.asarray(ids),
+                                        jnp.asarray(mask)))
+
+    # packed: several sentences per row
+    batches = plan_packing([len(t) for t in toks], row_len=32, batch_rows=4)
+    got = np.empty_like(ref)
+    for b in batches:
+        pids, seg, pos, pool, mapping = materialize(b, toks, pad_id=0,
+                                                    pooling=pooling)
+        out = np.asarray(bert.encode_packed(
+            params, cfg, jnp.asarray(pids), jnp.asarray(seg),
+            jnp.asarray(pos), jnp.asarray(pool)))
+        for r, s, i in mapping:
+            got[i] = out[r, s]
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-3)
+
+
+def test_segmented_fused_kernel_matches_einsum(rng, tiny_config):
+    """Pallas segmented attention (interpret mode) == packed einsum path."""
+    import dataclasses
+    import functools
+    import importlib
+    from embeddings_tpu.models import params as P2
+    import embeddings_tpu.ops.attention as attn_ops
+    linmod = importlib.import_module("embeddings_tpu.ops.linear")
+
+    cfg = dataclasses.replace(tiny_config, num_attention_heads=2,
+                              hidden_size=64)
+    params = P2.fuse_qkv(P2.init_params(cfg, rng=0))
+    toks = [list(rng.integers(5, cfg.vocab_size, size=int(n)))
+            for n in rng.integers(3, 10, size=6)]
+    batches = plan_packing([len(t) for t in toks], row_len=16, batch_rows=4)
+    b = batches[0]
+    pids, seg, pos, pool, mapping = materialize(b, toks, pad_id=0)
+    args = (params, cfg, jnp.asarray(pids), jnp.asarray(seg),
+            jnp.asarray(pos), jnp.asarray(pool))
+    ref = np.asarray(bert.encode_packed(*args))  # einsum path (CPU)
+
+    orig = attn_ops.fused_attention_segmented
+    attn_ops.fused_attention_segmented = functools.partial(
+        orig, interpret=True)
+    try:
+        with linmod.pallas_mode("always"):
+            got = np.asarray(bert.encode_packed(*args))
+    finally:
+        attn_ops.fused_attention_segmented = orig
+    # compare only real segments (empty slots are zeros either way)
+    for r, s, i in mapping:
+        cos = float((got[r, s] * ref[r, s]).sum())
+        assert cos > 0.999, (r, s, cos)
+    assert np.isfinite(got).all()
+
+
+def test_engine_packed_encode_matches_unpacked(small_vocab):
+    from embeddings_tpu.config import BertConfig, EngineConfig
+    from embeddings_tpu.runtime.engine import Engine
+    from embeddings_tpu.tokenizer import WordPieceTokenizer, WordPieceVocab
+    tok = WordPieceTokenizer(WordPieceVocab.from_tokens(small_vocab))
+    cfg = BertConfig(vocab_size=len(small_vocab), hidden_size=64,
+                     num_hidden_layers=2, num_attention_heads=4,
+                     intermediate_size=128, max_position_embeddings=64)
+    eng = Engine(P.init_params(cfg, rng=0), cfg, tok,
+                 EngineConfig(seq_buckets=(16, 32), max_seq_len=32,
+                              batch_size=4, batch_buckets=(1, 2, 4)))
+    texts = ["hello world", "the quick brown fox jumps over the lazy dog",
+             "a test sentence", "model", "apple banana water fire earth",
+             "hello", "good new old big small"] * 2
+    ref = eng.encode_batch(texts)
+    got = eng.encode_batch_packed(texts)
+    assert got.shape == ref.shape
+    cos = (got * ref).sum(-1)
+    assert cos.min() > 0.9999, cos.min()
