@@ -100,7 +100,8 @@ def cmd_serve(args) -> int:
             eng, host=args.host, tcp_port=args.port,
             http_port=args.http_port, max_batch=args.batch_size,
             max_wait_ms=args.max_wait_ms,
-            request_timeout_s=args.request_timeout))
+            request_timeout_s=args.request_timeout,
+            packed=args.packed))
     except KeyboardInterrupt:
         pass
     return 0
@@ -239,6 +240,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-wait-ms", type=float, default=2.0)
     p.add_argument("--request-timeout", type=float, default=None,
                    help="per-request timeout in seconds (default: none)")
+    p.add_argument("--packed", action="store_true",
+                   help="token-level packing for device batches")
     p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("convert", help="HF checkpoint -> native .npz")

@@ -75,11 +75,14 @@ class BatchingService:
 
     def __init__(self, engine: Engine, *, max_batch: int | None = None,
                  max_wait_ms: float = 2.0,
-                 request_timeout_s: float | None = None):
+                 request_timeout_s: float | None = None,
+                 packed: bool = False):
         self.engine = engine
         self.max_batch = max_batch or engine.engine_config.batch_size
         self.max_wait_ms = max_wait_ms
         self.request_timeout_s = request_timeout_s
+        # token-level packing for the device batches (short-text speedup)
+        self.packed = packed
         self.stats = ServiceStats()
         self._queue: asyncio.Queue = asyncio.Queue()
         self._task: asyncio.Task | None = None
@@ -144,8 +147,12 @@ class BatchingService:
         try:
             # the device step runs in a worker thread so the event loop
             # keeps accepting requests while the TPU is busy
-            embs = await asyncio.to_thread(
-                self.engine.encode_batch, texts, len(texts))
+            if self.packed:
+                embs = await asyncio.to_thread(
+                    self.engine.encode_batch_packed, texts)
+            else:
+                embs = await asyncio.to_thread(
+                    self.engine.encode_batch, texts, len(texts))
             self.stats.requests += len(batch)
             self.stats.batches += 1
             for (_, fut), e in zip(batch, embs):
@@ -282,11 +289,13 @@ async def serve_forever(engine: Engine, *, host: str = "0.0.0.0",
                         http_port: int | None = 8081,
                         max_batch: int | None = None,
                         max_wait_ms: float = 2.0,
-                        request_timeout_s: float | None = None) -> None:
+                        request_timeout_s: float | None = None,
+                        packed: bool = False) -> None:
     """Run TCP and/or HTTP front-ends over one shared batching service."""
     service = BatchingService(engine, max_batch=max_batch,
                               max_wait_ms=max_wait_ms,
-                              request_timeout_s=request_timeout_s)
+                              request_timeout_s=request_timeout_s,
+                              packed=packed)
     await service.start()
     if tcp_port is not None:
         await serve_tcp(service, host, tcp_port)

@@ -197,3 +197,19 @@ def test_utf8_incomplete_tail():
     assert not _utf8_incomplete_tail(b"ascii")
     assert _utf8_incomplete_tail("é".encode()[:1])
     assert not _utf8_incomplete_tail(b"")
+
+
+def test_batching_service_packed(engine):
+    async def go():
+        svc = BatchingService(engine, max_batch=8, max_wait_ms=50,
+                              packed=True)
+        await svc.start()
+        texts = [f"hello world {'a ' * (i % 4)}" for i in range(12)]
+        outs = await svc.embed_many(texts)
+        await svc.stop()
+        return outs
+    outs = run_async(go())
+    ref = engine.encode_batch([f"hello world {'a ' * (i % 4)}"
+                               for i in range(12)])
+    cos = (outs * ref).sum(-1)
+    assert cos.min() > 0.9999, cos.min()
