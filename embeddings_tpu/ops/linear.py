@@ -75,8 +75,8 @@ def quantized_matmul(x2d: jax.Array, w: QuantizedTensor,
     assert w.block_axis == -2
     M, K = x2d.shape
     _, N = w.shape
-    if _use_pallas() or interpret:
-        bm = min(256, max(8, -(-M // 8) * 8))  # small-M friendliness
+    bm = min(256, max(8, -(-M // 8) * 8))  # small-M friendliness
+    if (_use_pallas() or interpret) and _qmm.pallas_fits(K, N, bm):
         xp = _pad_dim(x2d, 0, bm)
         epi = {None: None, "gelu": "bias_gelu",
                "gelu_tanh": "bias_gelu_tanh"}[act]

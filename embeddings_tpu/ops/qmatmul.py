@@ -46,17 +46,29 @@ def _pick_bn(K: int, N: int, bm: int, requested: int | None,
     Accounts for: x tile (bm*K bf16, double-buffered), codes tile
     (K*bn int8, double-buffered), dequant scratch (K*bn bf16), scales+mins
     tiles (2 * K/32 * bn f32, double-buffered), out tile (bm*bn f32,
-    double-buffered), and the residual tile when the LN epilogue is on."""
+    double-buffered), and the residual tile when the LN epilogue is on.
+
+    When N has no 128-multiple divisor (tensor-parallel shards like
+    N=2304/4=576, or tiny test models), falls back to bn == N — Mosaic
+    allows a block equal to the full array dimension. Returns 0 if even
+    that does not fit VMEM (caller must use the XLA fallback)."""
     fixed = bm * K * 2 * 2
     per_bn = K * 1 * 2 + K * 2 + 2 * (K // QK) * 4 * 2 + bm * 4 * 2
     if with_residual:
         per_bn += bm * 2 * 2
-    cap = max((_VMEM_BUDGET - fixed) // per_bn, 128)
+    cap = max((_VMEM_BUDGET - fixed) // per_bn, 0)
     bn = min(N, requested or cap, cap)
     bn -= bn % 128
     while bn > 128 and N % bn != 0:
         bn -= 128
-    return max(bn, 128)
+    if bn >= 128 and N % bn == 0:
+        return bn
+    return N if N <= cap else 0
+
+
+def pallas_fits(K: int, N: int, bm: int = 256) -> bool:
+    """Can the Pallas kernel tile this weight shape at all?"""
+    return K % QK == 0 and _pick_bn(K, N, bm, None) > 0
 
 
 def _fit(size: int, pref: int, step: int) -> int:
@@ -76,23 +88,36 @@ def _qmm_kernel(x_ref, c_ref, s_ref, m_ref, b_ref, o_ref, w_ref, *,
     @pl.when(i == 0)
     def _():
         K, bn = c_ref.shape
-        # dequantize in K-chunks: a single full-[K, bn] expression would
-        # materialize a second weight-sized temp on the Mosaic stack on
-        # top of the scratch (observed VMEM OOM at K=3072, bn=768);
-        # chunking caps the temp at _DEQ_CHUNK*bn values
-        step = min(K, _DEQ_CHUNK)
-        while K % step:  # largest QK-multiple divisor of K <= _DEQ_CHUNK
-            step -= QK
-        for c in range(0, K, step):
-            sl = slice(c, c + step)
-            sb = slice(c // QK, (c + step) // QK)
-            codes = c_ref[sl, :].astype(compute_dtype).reshape(
-                step // QK, QK, bn)
-            scales = s_ref[sb, :].astype(compute_dtype)[:, None, :]
-            w = codes * scales
-            if kind == "q4_1":
-                w = w + m_ref[sb, :].astype(compute_dtype)[:, None, :]
-            w_ref[sl, :] = w.reshape(step, bn)
+        if bn % 128 == 0:
+            # dequantize in K-chunks: a single full-[K, bn] expression
+            # would materialize a second weight-sized temp on the Mosaic
+            # stack on top of the scratch (observed VMEM OOM at K=3072,
+            # bn=768); chunking caps the temp at _DEQ_CHUNK*bn values
+            step = min(K, _DEQ_CHUNK)
+            while K % step:  # largest QK-multiple divisor <= _DEQ_CHUNK
+                step -= QK
+            for c in range(0, K, step):
+                sl = slice(c, c + step)
+                sb = slice(c // QK, (c + step) // QK)
+                codes = c_ref[sl, :].astype(compute_dtype).reshape(
+                    step // QK, QK, bn)
+                scales = s_ref[sb, :].astype(compute_dtype)[:, None, :]
+                w = codes * scales
+                if kind == "q4_1":
+                    w = w + m_ref[sb, :].astype(compute_dtype)[:, None, :]
+                w_ref[sl, :] = w.reshape(step, bn)
+        else:
+            # ragged lane count (whole-N tile, e.g. TP shards like
+            # N=576): Mosaic cannot relayout 3-D vectors with non-128
+            # lanes, so dequantize block-by-block in 2-D — [QK, bn]
+            # codes times a [1, bn] scale row broadcast
+            for b in range(K // QK):
+                sl = slice(b * QK, (b + 1) * QK)
+                w = (c_ref[sl, :].astype(compute_dtype)
+                     * s_ref[b:b + 1, :].astype(compute_dtype))
+                if kind == "q4_1":
+                    w = w + m_ref[b:b + 1, :].astype(compute_dtype)
+                w_ref[sl, :] = w
 
     acc = jnp.dot(x_ref[:].astype(compute_dtype), w_ref[:],
                   preferred_element_type=jnp.float32)
@@ -169,6 +194,8 @@ def qmatmul(x: jax.Array, codes: jax.Array, scales: jax.Array,
             (K, N, bm, "residual-LN tile does not fit VMEM")
     else:
         bn = _pick_bn(K, N, bm, bn)
+    assert bn > 0, ((M, N, K), bm, "no VMEM-feasible tiling; check "
+                    "pallas_fits before calling")
     assert M % bm == 0 and N % bn == 0, ((M, N, K), (bm, bn))
 
     if mins is None:

@@ -133,6 +133,7 @@ def make_sharded_forward(config: BertConfig, mesh: Mesh, *,
                          pooling: str | None = None,
                          compute_dtype: str | None = None,
                          mask_value: float = -1e9,
+                         pallas: str = "auto",
                          spmd: str = "shard_map"):
     """jitted (params, ids, mask) -> [B, E] with batch over DATA_AXIS and
     Megatron TP over MODEL_AXIS.
@@ -154,10 +155,15 @@ def make_sharded_forward(config: BertConfig, mesh: Mesh, *,
     tp = mesh.shape[MODEL_AXIS]
 
     if spmd == "shard_map":
+        import inspect
         try:
             from jax import shard_map  # jax >= 0.8
         except ImportError:  # pragma: no cover - older jax
             from jax.experimental.shard_map import shard_map
+        # the replication-check kwarg was renamed check_rep -> check_vma
+        _params = inspect.signature(shard_map).parameters
+        _nocheck = ({"check_vma": False} if "check_vma" in _params
+                    else {"check_rep": False})
 
         def make_fn(params):
             pspecs = param_pspecs(params, mesh)
@@ -186,17 +192,20 @@ def make_sharded_forward(config: BertConfig, mesh: Mesh, *,
                             f"spmd='gspmd'")
 
             def local_fwd(p, ids, mask):
-                return bert.encode_tokens(p, config, ids, mask,
-                                          pooling=pooling,
-                                          compute_dtype=compute_dtype,
-                                          mask_value=mask_value,
-                                          tp_axis=tp_axis)
+                # honor the engine's kernel-path knob at trace time
+                # (use_pallas='never' must still work under a mesh)
+                with pallas_mode(pallas):
+                    return bert.encode_tokens(p, config, ids, mask,
+                                              pooling=pooling,
+                                              compute_dtype=compute_dtype,
+                                              mask_value=mask_value,
+                                              tp_axis=tp_axis)
 
             sharded = shard_map(
                 local_fwd, mesh=mesh,
                 in_specs=(pspecs, P(DATA_AXIS, None), P(DATA_AXIS, None)),
                 out_specs=P(DATA_AXIS, None),
-                check_vma=False)
+                **_nocheck)
             return jax.jit(sharded)
 
         # params structure is needed to build in_specs; build lazily on

@@ -42,7 +42,10 @@ class Engine:
                  mesh: "jax.sharding.Mesh | None" = None):
         self.config = config
         self.tokenizer = tokenizer
-        self.engine_config = engine_config or EngineConfig()
+        # private copy: the mesh branch adjusts batch fields in place, and
+        # a caller-shared EngineConfig must not drift between Engines
+        self.engine_config = dataclasses.replace(
+            engine_config or EngineConfig())
         self.mesh = mesh
         # fast host-side tokenizer (native C++ ext) when built; the Python
         # tokenizer remains the API surface (id_to_token, vocab, ...)
@@ -53,6 +56,7 @@ class Engine:
             cd = "bfloat16"
         if cd == "bf16":
             cd = "bfloat16"
+        self._compute_dtype = cd
         mv = self.engine_config.mask_value
         mode = self.engine_config.use_pallas
         if mesh is not None:
@@ -68,7 +72,8 @@ class Engine:
             self.params = shard_params(params, config, mesh)
             self._forward = make_sharded_forward(config, mesh,
                                                  compute_dtype=cd,
-                                                 mask_value=mv)
+                                                 mask_value=mv,
+                                                 pallas=mode)
         else:
             from ..ops.linear import pallas_mode
             self._dp = 1
@@ -151,6 +156,10 @@ class Engine:
         efficient device sequence length. Requires mean or CLS pooling;
         single-device only (the mesh path uses bucketed batches)."""
         if self.mesh is not None:
+            import logging
+            logging.getLogger("embeddings_tpu.engine").warning(
+                "token packing is not implemented for mesh engines; "
+                "falling back to bucketed encode_batch")
             return self.encode_batch(texts)
         if self.config.pooling not in ("mean", "cls"):
             raise ValueError("packing supports mean/cls pooling")
@@ -162,7 +171,7 @@ class Engine:
             # short rows beat long ones: attention is O(row_len^2) per row
             # and the segmented kernel computes cross-segment blocks too
             # (wasted), so 128 with ~32K tokens per dispatch measured
-            # fastest (1.7x over bucketed batching on an STSB-length
+            # fastest (1.8x over bucketed batching on an STSB-length
             # corpus) — but the row must still fit the longest sentence
             # (the planner would truncate it otherwise)
             longest = max((len(t) for t in toks), default=1)
@@ -187,12 +196,7 @@ class Engine:
 
     def _forward_packed(self, ids, seg, pos, pool):
         if not hasattr(self, "_packed_fn"):
-            cd = None
-            if self.engine_config.compute_dtype is not None:
-                cd = self.engine_config.compute_dtype
-                cd = "bfloat16" if cd == "bf16" else cd
-            elif jax.default_backend() == "tpu":
-                cd = "bfloat16"
+            cd = self._compute_dtype  # resolved once in __init__
             mv = self.engine_config.mask_value
             mode = self.engine_config.use_pallas
             config = self.config

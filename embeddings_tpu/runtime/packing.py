@@ -26,7 +26,7 @@ from typing import Sequence
 
 import numpy as np
 
-from .batching import pick_bucket
+from .batching import extend_buckets, pick_bucket
 
 
 @dataclass(frozen=True)
@@ -48,25 +48,37 @@ class PackedBatch:
 def plan_packing(lengths: Sequence[int], row_len: int, batch_rows: int,
                  seg_buckets: Sequence[int] = (1, 2, 4, 8, 16, 32, 64, 128),
                  ) -> list[PackedBatch]:
-    """First-fit-decreasing packing of sentence lengths into rows of
-    row_len tokens, grouped into batches of at most batch_rows rows."""
+    """Best-fit-decreasing packing of sentence lengths into rows of
+    row_len tokens, grouped into batches of at most batch_rows rows.
+
+    O(n log n): open rows are kept in a capacity-sorted list and each
+    sentence goes to the tightest row that fits (a naive first-fit scan
+    is O(n*rows) — hours of host time on retrieval-scale corpora)."""
+    import bisect
     order = sorted(range(len(lengths)), key=lambda i: -lengths[i])
     rows: list[list[Segment]] = []
     used: list[int] = []
+    # open rows sorted by remaining capacity: list of (capacity, row_idx)
+    open_rows: list[tuple[int, int]] = []
     for i in order:
         n = min(lengths[i], row_len)
-        for r in range(len(rows)):
-            if used[r] + n <= row_len:
-                rows[r].append(Segment(i, used[r], n))
-                used[r] += n
-                break
+        j = bisect.bisect_left(open_rows, (n, -1))
+        if j < len(open_rows):
+            cap, r = open_rows.pop(j)  # tightest row that still fits
+            rows[r].append(Segment(i, used[r], n))
+            used[r] += n
+            if cap - n > 0:
+                bisect.insort(open_rows, (cap - n, r))
         else:
             rows.append([Segment(i, 0, n)])
             used.append(n)
+            if row_len - n > 0:
+                bisect.insort(open_rows, (row_len - n, len(rows) - 1))
     batches = []
     for start in range(0, len(rows), batch_rows):
         chunk = rows[start:start + batch_rows]
-        n_seg = pick_bucket(max(len(r) for r in chunk), seg_buckets)
+        most = max(len(r) for r in chunk)
+        n_seg = pick_bucket(most, extend_buckets(seg_buckets, most))
         batches.append(PackedBatch(chunk, len(chunk), row_len, n_seg))
     return batches
 

@@ -148,3 +148,16 @@ def test_engine_packed_encode_matches_unpacked(small_vocab):
     assert got.shape == ref.shape
     cos = (got * ref).sum(-1)
     assert cos.min() > 0.9999, cos.min()
+
+
+def test_planner_many_tiny_segments():
+    """A row packing >128 segments used to crash pick_bucket; and the
+    best-fit planner must stay fast on large inputs."""
+    import time
+    batches = plan_packing([300] + [2] * 400, row_len=512, batch_rows=64)
+    seen = sorted(sg.sentence for b in batches for row in b.rows
+                  for sg in row)
+    assert seen == list(range(401))
+    t0 = time.time()
+    plan_packing([5] * 200_000, row_len=128, batch_rows=256)
+    assert time.time() - t0 < 5.0  # O(n log n); first-fit scan took ages

@@ -94,3 +94,21 @@ def test_residual_ln_epilogue_matches_composed(rng):
     got = linear_residual_ln(x, w, b, res, lns, lnb, 1e-12, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=3e-3, rtol=1e-2)
+
+
+def test_ragged_n_whole_tile(rng):
+    """TP-shard shapes where N has no 128-multiple divisor (e.g. 2304/4 =
+    576) use a whole-N tile with 2-D per-block dequant."""
+    import jax.numpy as jnp
+    from embeddings_tpu.ops import qmatmul as Q
+    from embeddings_tpu.ops.quant import dequantize, quantize
+    M, K, N = 64, 128, 72
+    assert Q.pallas_fits(K, N, 64)
+    x = jnp.asarray(rng.standard_normal((M, K)) * 0.3, jnp.float32)
+    qt = quantize(jnp.asarray(rng.standard_normal((K, N)) * 0.05,
+                              jnp.float32), "q4_0")
+    out = Q.qmatmul(x, qt.codes, qt.scales, qt.mins, None, kind="q4_0",
+                    bm=64, compute_dtype=jnp.float32, interpret=True)
+    ref = jnp.dot(x, dequantize(qt), preferred_element_type=jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-3, rtol=1e-2)
