@@ -31,7 +31,8 @@ def main() -> None:
 
     cfg = BertConfig(**{**KNOWN_MODELS["bge-base-en-v1.5"],
                         "vocab_size": 30528})
-    params = P.fuse_qkv(P.quantize_params(P.init_params(cfg, rng=0), "q4_0"))
+    params = P.fuse_qkv(P.pack_q4_params(
+        P.quantize_params(P.init_params(cfg, rng=0), "q4_0")))
 
     B, L = 128, 256
     rng = np.random.default_rng(0)

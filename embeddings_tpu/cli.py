@@ -158,7 +158,7 @@ def cmd_quantize(args) -> int:
     equivalent; prints per-kind histogram stats like the reference)."""
     import numpy as np
     from .models import params as P
-    from .ops.quant import QuantizedTensor, nibble_histogram
+    from .ops.quant import QuantizedTensor, codes_int8, nibble_histogram
     params, config = P.load_native(args.input)
     qp = P.quantize_params(params, args.dtype)
     P.save_native(args.out, qp, config)
@@ -168,7 +168,7 @@ def cmd_quantize(args) -> int:
         for leaf in jax.tree_util.tree_leaves(
                 qp, is_leaf=lambda x: isinstance(x, QuantizedTensor)):
             if isinstance(leaf, QuantizedTensor):
-                hist += nibble_histogram(np.asarray(leaf.codes))
+                hist += nibble_histogram(codes_int8(leaf))
         total = hist.sum()
         print("nibble histogram:",
               " ".join(f"{h/total:.3f}" for h in hist))

@@ -33,7 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import BertConfig
-from ..ops.quant import QuantizedTensor, quantize
+from ..ops.quant import QuantizedTensor, pack_q4, quantize
 
 Params = dict[str, Any]
 
@@ -230,9 +230,19 @@ def to_hf_state_dict(params: Params) -> dict[str, np.ndarray]:
 # Quantization over the pytree
 # ---------------------------------------------------------------------------
 
+def pack_q4_params(params: Params) -> Params:
+    """Pack every int8-coded q4 matmul weight to the 4-bit nibble layout
+    (quant.pack_q4; no-op for other leaves). Applied by load_model for q4
+    dtypes so HBM weight footprint/bandwidth matches the true 4-bit size."""
+    return jax.tree_util.tree_map(
+        lambda x: pack_q4(x) if isinstance(x, QuantizedTensor) else x,
+        params, is_leaf=lambda x: isinstance(x, QuantizedTensor))
+
+
 def quantize_params(params: Params, kind: str, *,
                     quantize_embeddings: bool = True,
-                    pack_int4: bool = False) -> Params:
+                    pack_int4: bool = False,
+                    pack4: bool = False) -> Params:
     """Quantize all 2-D matmul weights (+ the word-embedding table).
 
     Same selection rule as the reference (quantize.cpp:154-167: 2-D tensors
@@ -246,8 +256,11 @@ def quantize_params(params: Params, kind: str, *,
     assert kind in QUANT_KINDS, kind
 
     def qt(x, block_axis=-2):
+        # pack4 (true 4-bit storage) applies to matmul weights only;
+        # embedding tables keep int8 codes for the dequantizing gather
         return quantize(np.asarray(x, np.float32), kind,
-                        block_axis=block_axis, pack_int4=pack_int4)
+                        block_axis=block_axis, pack_int4=pack_int4,
+                        pack4=pack4 and block_axis == -2)
 
     out = jax.tree_util.tree_map(lambda x: x, params)  # shallow-ish copy
     emb = dict(out["embeddings"])
@@ -298,12 +311,13 @@ def fuse_qkv(params: Params) -> Params:
 
     def cat(xs, axis):
         if isinstance(xs[0], QuantizedTensor):
+            assert len({x.packed for x in xs}) == 1
             return QuantizedTensor(
                 jnp.concatenate([x.codes for x in xs], axis=axis),
                 jnp.concatenate([x.scales for x in xs], axis=axis),
                 (jnp.concatenate([x.mins for x in xs], axis=axis)
                  if xs[0].mins is not None else None),
-                xs[0].kind, xs[0].block_axis)
+                xs[0].kind, xs[0].block_axis, xs[0].packed)
         return jnp.concatenate(xs, axis=axis)
 
     fused = {"w": cat([q["w"], k["w"], v["w"]], axis=-1),
@@ -332,8 +346,10 @@ def save_native(path: str | Path, params: Params, config: BertConfig) -> None:
     def visit(prefix: str, node) -> None:
         if isinstance(node, QuantizedTensor):
             flat[prefix + ".__quant__"] = np.array(
-                [node.kind, str(node.block_axis)], dtype=object)
-            flat[prefix + ".codes"] = np.asarray(node.codes.astype(jnp.int8))
+                [node.kind, str(node.block_axis),
+                 "1" if node.packed else "0"], dtype=object)
+            # packed codes are uint8 nibble pairs; unpacked are int8
+            flat[prefix + ".codes"] = np.asarray(node.codes)
             flat[prefix + ".scales"] = np.asarray(node.scales)
             if node.mins is not None:
                 flat[prefix + ".mins"] = np.asarray(node.mins)
@@ -360,9 +376,11 @@ def load_native(path: str | Path) -> tuple[Params, BertConfig]:
             continue
         if key.endswith(".__quant__"):
             base = key[: -len(".__quant__")]
-            kind, ax = data[key]
-            quants.setdefault(base, {})["kind"] = str(kind)
-            quants[base]["block_axis"] = int(ax)
+            rec = list(data[key])
+            quants.setdefault(base, {})["kind"] = str(rec[0])
+            quants[base]["block_axis"] = int(rec[1])
+            quants[base]["packed"] = len(rec) > 2 and str(rec[2]) == "1"
+
             continue
         for suffix in (".codes", ".scales", ".mins"):
             if key.endswith(suffix):
@@ -375,7 +393,7 @@ def load_native(path: str | Path) -> tuple[Params, BertConfig]:
         qt = QuantizedTensor(
             jnp.asarray(q["codes"]), jnp.asarray(q["scales"]),
             jnp.asarray(q["mins"]) if "mins" in q else None,
-            q["kind"], q["block_axis"])
+            q["kind"], q["block_axis"], q.get("packed", False))
         _set_path(tree, base.split("."), qt)
     return tree, config
 

@@ -76,12 +76,13 @@ def quantized_matmul(x2d: jax.Array, w: QuantizedTensor,
     M, K = x2d.shape
     _, N = w.shape
     bm = min(256, max(8, -(-M // 8) * 8))  # small-M friendliness
-    if (_use_pallas() or interpret) and _qmm.pallas_fits(K, N, bm):
+    if (_use_pallas() or interpret) and _qmm.pallas_fits(K, N, bm, w.packed):
         xp = _pad_dim(x2d, 0, bm)
         epi = {None: None, "gelu": "bias_gelu",
                "gelu_tanh": "bias_gelu_tanh"}[act]
         out = _qmm.qmatmul(xp, w.codes, w.scales, w.mins, b, kind=w.kind,
-                           epilogue=epi, bm=bm, interpret=interpret)
+                           epilogue=epi, bm=bm, packed=w.packed,
+                           interpret=interpret)
         return out[:M]
     y = jnp.dot(x2d, dequantize(w), preferred_element_type=jnp.float32)
     if b is not None:
@@ -112,14 +113,14 @@ def linear_residual_ln(x: jax.Array, w, b, residual: jax.Array,
         # shrink bm if the full-row LN tile doesn't fit VMEM at 256
         # (e.g. FFN-down K=3072 N=768 fits at bm=128)
         for bm in (min(256, max(8, -(-M // 8) * 8)), 128, 64):
-            if bm <= M + 8 and _qmm.residual_ln_fits(K, N, bm):
+            if bm <= M + 8 and _qmm.residual_ln_fits(K, N, bm, w.packed):
                 xp = _pad_dim(x2d, 0, bm)
                 rp = _pad_dim(residual.reshape(-1, N).astype(x.dtype), 0, bm)
                 out = _qmm.qmatmul(
                     xp, w.codes, w.scales, w.mins, b, kind=w.kind,
                     epilogue="bias_residual_ln", residual=rp,
                     ln_scale=ln_scale, ln_bias=ln_bias, ln_eps=eps,
-                    bm=bm, interpret=interpret)
+                    bm=bm, packed=w.packed, interpret=interpret)
                 return out[:M].reshape(*lead, N).astype(x.dtype)
     y = linear(x, w, b)
     return layer_norm(residual + y, ln_scale, ln_bias, eps)

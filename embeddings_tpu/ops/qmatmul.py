@@ -40,7 +40,7 @@ _DEQ_CHUNK = 512
 
 
 def _pick_bn(K: int, N: int, bm: int, requested: int | None,
-             with_residual: bool = False) -> int:
+             with_residual: bool = False, packed: bool = False) -> int:
     """Largest bn (multiple of 128, divisor of N) fitting the VMEM budget.
 
     Accounts for: x tile (bm*K bf16, double-buffered), codes tile
@@ -53,7 +53,8 @@ def _pick_bn(K: int, N: int, bm: int, requested: int | None,
     allows a block equal to the full array dimension. Returns 0 if even
     that does not fit VMEM (caller must use the XLA fallback)."""
     fixed = bm * K * 2 * 2
-    per_bn = K * 1 * 2 + K * 2 + 2 * (K // QK) * 4 * 2 + bm * 4 * 2
+    codes_bytes = (K // 2) if packed else K
+    per_bn = codes_bytes * 2 + K * 2 + 2 * (K // QK) * 4 * 2 + bm * 4 * 2
     if with_residual:
         per_bn += bm * 2 * 2
     cap = max((_VMEM_BUDGET - fixed) // per_bn, 0)
@@ -66,9 +67,11 @@ def _pick_bn(K: int, N: int, bm: int, requested: int | None,
     return N if N <= cap else 0
 
 
-def pallas_fits(K: int, N: int, bm: int = 256) -> bool:
+def pallas_fits(K: int, N: int, bm: int = 256, packed: bool = False) -> bool:
     """Can the Pallas kernel tile this weight shape at all?"""
-    return K % QK == 0 and _pick_bn(K, N, bm, None) > 0
+    if packed and K % 64 != 0:
+        return False
+    return K % QK == 0 and _pick_bn(K, N, bm, None, packed=packed) > 0
 
 
 def _fit(size: int, pref: int, step: int) -> int:
@@ -80,13 +83,35 @@ def _fit(size: int, pref: int, step: int) -> int:
 
 
 def _qmm_kernel(x_ref, c_ref, s_ref, m_ref, b_ref, o_ref, w_ref, *,
-                kind: str, compute_dtype, epilogue: str,
+                kind: str, compute_dtype, epilogue: str, packed: bool,
                 res_ref=None, lns_ref=None, lnb_ref=None, ln_eps=0.0):
-    """Grid (N/bn, M/bm), M innermost. w_ref: [K, bn] dequant scratch."""
+    """Grid (N/bn, M/bm), M innermost. w_ref: [K, bn] dequant scratch.
+    packed: c_ref is uint8 [K/2, bn] in the group-64 nibble layout."""
     i = pl.program_id(1)
 
     @pl.when(i == 0)
     def _():
+        if packed:
+            Kh, bn = c_ref.shape
+            K = Kh * 2
+            # group g of 64 weight rows <- packed rows [32g, 32g+32):
+            # low nibbles are rows [64g, 64g+32) (scale block 2g), high
+            # nibbles rows [64g+32, 64g+64) (scale block 2g+1). int32
+            # arithmetic: Mosaic does not legalize int8 sub/shift.
+            for g in range(K // 64):
+                p = c_ref[g * 32:(g + 1) * 32, :].astype(jnp.int32)
+                lo = ((p & 15) - 8).astype(compute_dtype)
+                hi = ((p >> 4) - 8).astype(compute_dtype)
+                slo = s_ref[2 * g:2 * g + 1, :].astype(compute_dtype)
+                shi = s_ref[2 * g + 1:2 * g + 2, :].astype(compute_dtype)
+                wlo = lo * slo
+                whi = hi * shi
+                if kind == "q4_1":
+                    wlo = wlo + m_ref[2 * g:2 * g + 1, :].astype(compute_dtype)
+                    whi = whi + m_ref[2 * g + 1:2 * g + 2, :].astype(compute_dtype)
+                w_ref[g * 64:g * 64 + 32, :] = wlo
+                w_ref[g * 64 + 32:g * 64 + 64, :] = whi
+            return
         K, bn = c_ref.shape
         if bn % 128 == 0:
             # dequantize in K-chunks: a single full-[K, bn] expression
@@ -146,14 +171,17 @@ def _qmm_kernel(x_ref, c_ref, s_ref, m_ref, b_ref, o_ref, w_ref, *,
     o_ref[:] = acc.astype(o_ref.dtype)
 
 
-def residual_ln_fits(K: int, N: int, bm: int = 256) -> bool:
+def residual_ln_fits(K: int, N: int, bm: int = 256,
+                     packed: bool = False) -> bool:
     """Can the bias_residual_ln epilogue run (bn == N must fit VMEM)?"""
-    return N % 128 == 0 and _pick_bn(K, N, bm, None, True) >= N
+    if packed and K % 64 != 0:
+        return False
+    return N % 128 == 0 and _pick_bn(K, N, bm, None, True, packed) >= N
 
 
 @functools.partial(jax.jit, static_argnames=("kind", "bm", "bn", "epilogue",
                                              "compute_dtype", "out_dtype",
-                                             "ln_eps", "interpret"))
+                                             "ln_eps", "packed", "interpret"))
 def qmatmul(x: jax.Array, codes: jax.Array, scales: jax.Array,
             mins: jax.Array | None = None, bias: jax.Array | None = None,
             *, kind: str = "q4_0", epilogue: str | None = None,
@@ -162,6 +190,7 @@ def qmatmul(x: jax.Array, codes: jax.Array, scales: jax.Array,
             ln_bias: jax.Array | None = None, ln_eps: float = 1e-12,
             bm: int = 256, bn: int | None = None,
             compute_dtype=jnp.bfloat16, out_dtype=None,
+            packed: bool = False,
             interpret: bool = False) -> jax.Array:
     """x [M, K] @ dequant(codes [K, N], scales [K//32, N]) -> [M, N].
 
@@ -172,12 +201,18 @@ def qmatmul(x: jax.Array, codes: jax.Array, scales: jax.Array,
     LayerNorm(residual + x@w + bias) in-kernel (needs bn == N; check
     residual_ln_fits). out_dtype defaults to x.dtype.
 
+    packed: codes is uint8 [K/2, N] in the group-64 nibble layout
+    (quant.pack_codes_g64) — the true 4-bit HBM footprint; halves the
+    weight-read bandwidth of the bandwidth-bound small-batch case.
+
     M must be a multiple of bm (the engine's bucketed batches are; use
     ops.linear for the padded/general entry point) and K % 32 == 0.
     """
     M, K = x.shape
     K2, N = codes.shape
-    assert K == K2, (x.shape, codes.shape)
+    if packed:
+        K2 = K2 * 2
+    assert K == K2, (x.shape, codes.shape, packed)
     assert K % QK == 0, K
     if epilogue is None:
         epilogue = "none" if bias is None else "bias"
@@ -190,10 +225,10 @@ def qmatmul(x: jax.Array, codes: jax.Array, scales: jax.Array,
         bn = N  # LayerNorm normalizes over the full hidden axis
         assert residual is not None and ln_scale is not None \
             and ln_bias is not None
-        assert _pick_bn(K, N, bm, None, True) >= N, \
+        assert _pick_bn(K, N, bm, None, True, packed) >= N, \
             (K, N, bm, "residual-LN tile does not fit VMEM")
     else:
-        bn = _pick_bn(K, N, bm, bn)
+        bn = _pick_bn(K, N, bm, bn, packed=packed)
     assert bn > 0, ((M, N, K), bm, "no VMEM-feasible tiling; check "
                     "pallas_fits before calling")
     assert M % bm == 0 and N % bn == 0, ((M, N, K), (bm, bn))
@@ -204,13 +239,15 @@ def qmatmul(x: jax.Array, codes: jax.Array, scales: jax.Array,
         bias = jnp.zeros((N,), jnp.float32)
     bias2d = bias.reshape(1, N).astype(jnp.float32)
 
+    codes_rows = K // 2 if packed else K
     flops = 2 * M * N * K
-    bytes_accessed = (M * K * x.dtype.itemsize + K * N * codes.dtype.itemsize
+    bytes_accessed = (M * K * x.dtype.itemsize + codes_rows * N
                       + (K // QK) * N * 4
                       + M * N * jnp.dtype(out_dtype).itemsize)
     in_specs = [
         pl.BlockSpec((bm, K), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((K, bn), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((codes_rows, bn), lambda j, i: (0, j),
+                     memory_space=pltpu.VMEM),
         pl.BlockSpec((K // QK, bn), lambda j, i: (0, j),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((K // QK, bn), lambda j, i: (0, j),
@@ -233,11 +270,12 @@ def qmatmul(x: jax.Array, codes: jax.Array, scales: jax.Array,
         def kernel(x_r, c_r, s_r, m_r, b_r, res_r, lns_r, lnb_r, o_r, w_r):
             _qmm_kernel(x_r, c_r, s_r, m_r, b_r, o_r, w_r, kind=kind,
                         compute_dtype=compute_dtype, epilogue=epilogue,
+                        packed=packed,
                         res_ref=res_r, lns_ref=lns_r, lnb_ref=lnb_r,
                         ln_eps=ln_eps)
     else:
         kernel = functools.partial(_qmm_kernel, kind=kind, epilogue=epilogue,
-                                   compute_dtype=compute_dtype)
+                                   compute_dtype=compute_dtype, packed=packed)
     return pl.pallas_call(
         kernel,
         grid=(N // bn, M // bm),

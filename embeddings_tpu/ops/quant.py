@@ -39,35 +39,95 @@ class QuantizedTensor:
 
     Logical value = dequant(codes, scales, mins); consumed fused by the
     Pallas dequant-matmul kernel without materializing the f32 weight.
+
+    ``packed``: q4 codes stored two-per-byte as uint8 [..., K/2, N]
+    (group-64 layout, see pack_codes_g64) — the true 4-bit HBM/disk
+    footprint the reference's block format has. Only for matmul weights
+    (block_axis == -2) with K % 64 == 0.
     """
 
     def __init__(self, codes: jax.Array, scales: jax.Array,
-                 mins: jax.Array | None, kind: str, block_axis: int = -2):
+                 mins: jax.Array | None, kind: str, block_axis: int = -2,
+                 packed: bool = False):
         self.codes = codes
         self.scales = scales
         self.mins = mins
         self.kind = kind
         self.block_axis = block_axis  # -2: matmul weight [K,N]; -1: embedding [V,E]
+        self.packed = packed
 
     @property
     def shape(self) -> tuple[int, ...]:
-        return self.codes.shape
+        s = self.codes.shape
+        if self.packed:
+            return (*s[:-2], s[-2] * 2, s[-1])
+        return s
 
     @property
     def dtype(self):
         return jnp.float32
 
     def tree_flatten(self):
-        return (self.codes, self.scales, self.mins), (self.kind, self.block_axis)
+        return ((self.codes, self.scales, self.mins),
+                (self.kind, self.block_axis, self.packed))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         codes, scales, mins = children
-        return cls(codes, scales, mins, aux[0], aux[1])
+        return cls(codes, scales, mins, *aux)
 
     def __repr__(self) -> str:
         return (f"QuantizedTensor(kind={self.kind}, shape={self.shape}, "
-                f"codes={self.codes.dtype})")
+                f"codes={self.codes.dtype}, packed={self.packed})")
+
+
+# ---------------------------------------------------------------------------
+# Group-64 nibble packing: 4-bit codes two-per-byte. Within each group of
+# 64 weight rows, byte row r holds weight row r (low nibble) and r+32
+# (high nibble) of the group. Contiguous 32-row slabs unpack to
+# contiguous 32-row weight slabs (kernel-friendly: no strided writes),
+# and any shard boundary at a multiple of 64 weight rows keeps groups
+# intact (tensor-parallel friendly). Requires K % 64 == 0 — the same
+# constraint the reference enforces (bert.cpp:730).
+# ---------------------------------------------------------------------------
+
+def pack_codes_g64(codes: np.ndarray) -> np.ndarray:
+    """int8 [..., K, N] in [-8, 7] -> uint8 [..., K/2, N]."""
+    *lead, K, N = codes.shape
+    assert K % 64 == 0, K
+    u = (np.asarray(codes).astype(np.int16) + 8).astype(np.uint8)
+    g = u.reshape(*lead, K // 64, 2, 32, N)
+    return (g[..., 0, :, :] | (g[..., 1, :, :] << 4)).reshape(
+        *lead, K // 2, N)
+
+
+def unpack_codes_g64(packed: np.ndarray) -> np.ndarray:
+    """uint8 [..., K/2, N] -> int8 [..., K, N] in [-8, 7]."""
+    p = np.asarray(packed)
+    *lead, Kh, N = p.shape
+    g = p.reshape(*lead, Kh // 32, 32, N)
+    out = np.empty((*lead, Kh // 32, 2, 32, N), np.int8)
+    out[..., 0, :, :] = (g & 0x0F).astype(np.int8) - 8
+    out[..., 1, :, :] = (g >> 4).astype(np.int8) - 8
+    return out.reshape(*lead, Kh * 2, N)
+
+
+def pack_q4(qt: QuantizedTensor) -> QuantizedTensor:
+    """Pack an int8-coded q4 matmul weight to the 4-bit layout (no-op for
+    other kinds/layouts or when K % 64 != 0)."""
+    if (qt.packed or qt.block_axis != -2
+            or qt.kind not in ("q4_0", "q4_1")
+            or qt.codes.shape[-2] % 64 != 0):
+        return qt
+    packed = jnp.asarray(pack_codes_g64(np.asarray(qt.codes)))
+    return QuantizedTensor(packed, qt.scales, qt.mins, qt.kind,
+                           qt.block_axis, packed=True)
+
+
+def codes_int8(qt: QuantizedTensor) -> np.ndarray:
+    """The int8 code array regardless of storage packing."""
+    c = np.asarray(qt.codes)
+    return unpack_codes_g64(c) if qt.packed else c
 
 
 def _check_shape(w: np.ndarray) -> None:
@@ -123,7 +183,8 @@ def quantize_q8_0(w: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
 
 def quantize(w: np.ndarray | jax.Array, kind: str, *,
-             block_axis: int = -2, pack_int4: bool = False) -> QuantizedTensor:
+             block_axis: int = -2, pack_int4: bool = False,
+             pack4: bool = False) -> QuantizedTensor:
     """Quantize a weight array to a QuantizedTensor.
 
     block_axis=-2: blocks along the contraction axis of an [K, N] matmul
@@ -160,13 +221,28 @@ def quantize(w: np.ndarray | jax.Array, kind: str, *,
     codes = jnp.asarray(q)
     if pack_int4 and kind in ("q4_0", "q4_1"):
         codes = codes.astype(_INT4)
-    return QuantizedTensor(codes, jnp.asarray(d), mins, kind, block_axis)
+    qt = QuantizedTensor(codes, jnp.asarray(d), mins, kind, block_axis)
+    if pack4:
+        qt = pack_q4(qt)
+    return qt
+
+
+def _unpack_g64_jnp(packed: jax.Array) -> jax.Array:
+    """jnp version of unpack_codes_g64 (for the XLA fallback path)."""
+    *lead, Kh, N = packed.shape
+    g = packed.reshape(*lead, Kh // 32, 1, 32, N).astype(jnp.int32)
+    lo = (g & 0x0F) - 8
+    hi = (g >> 4) - 8
+    return jnp.concatenate([lo, hi], axis=-3).reshape(
+        *lead, Kh * 2, N).astype(jnp.int8)
 
 
 def dequantize(qt: QuantizedTensor) -> jax.Array:
     """Reference (non-fused) dequantization, f32. Used for correctness tests
     and as the XLA fallback path on CPU."""
     codes, scales, mins = qt.codes, qt.scales, qt.mins
+    if qt.packed:
+        codes = _unpack_g64_jnp(codes)
     if qt.block_axis == -1:
         codes = jnp.swapaxes(codes, -1, -2)
         scales = jnp.swapaxes(scales, -1, -2)

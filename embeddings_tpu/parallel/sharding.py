@@ -64,10 +64,10 @@ def param_pspecs(params: Params, mesh: Mesh) -> Params:
             ok = all(_divisible(x.shape, w_spec, mesh) for x in pieces)
             wspec = (QuantizedTensor(w_spec, w_spec,
                                      None if w.mins is None else w_spec,
-                                     w.kind, w.block_axis) if ok
+                                     w.kind, w.block_axis, w.packed) if ok
                      else QuantizedTensor(P(), P(),
                                           None if w.mins is None else P(),
-                                          w.kind, w.block_axis))
+                                          w.kind, w.block_axis, w.packed))
         else:
             ok = _divisible(w.shape, w_spec, mesh)
             wspec = w_spec if ok else P()
@@ -84,7 +84,8 @@ def param_pspecs(params: Params, mesh: Mesh) -> Params:
     if isinstance(emb_word, QuantizedTensor):
         word_spec = QuantizedTensor(rep2, rep2,
                                     None if emb_word.mins is None else rep2,
-                                    emb_word.kind, emb_word.block_axis)
+                                    emb_word.kind, emb_word.block_axis,
+                                    emb_word.packed)
     else:
         word_spec = rep2
 

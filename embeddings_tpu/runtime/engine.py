@@ -281,6 +281,11 @@ def load_model(path: str | Path, *, dtype: str = "f32",
                                QuantizedTensor)
     if dtype != "f32" and not already_quant:
         params = P.quantize_params(params, dtype)
+    if dtype.startswith("q4"):
+        # store q4 matmul weights truly 4-bit (2 codes/byte): halves the
+        # HBM weight footprint and the weight-read bandwidth that bounds
+        # small-batch latency
+        params = P.pack_q4_params(params)
     config = dataclasses.replace(
         config,
         cls_token_id=tokenizer.cls_id, sep_token_id=tokenizer.sep_id,

@@ -112,3 +112,43 @@ def test_ragged_n_whole_tile(rng):
     ref = jnp.dot(x, dequantize(qt), preferred_element_type=jnp.float32)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-3, rtol=1e-2)
+
+
+@pytest.mark.parametrize("kind", ["q4_0", "q4_1"])
+def test_packed_kernel_matches_unpacked(rng, kind):
+    import jax.numpy as jnp
+    from embeddings_tpu.ops import qmatmul as Q
+    from embeddings_tpu.ops.quant import pack_q4, quantize
+    M, K, N = 32, 128, 256
+    x = jnp.asarray(rng.standard_normal((M, K)) * 0.3, jnp.float32)
+    qt = quantize(jnp.asarray(rng.standard_normal((K, N)) * 0.05,
+                              jnp.float32), kind)
+    qp = pack_q4(qt)
+    b = jnp.asarray(rng.standard_normal((N,)) * 0.1, jnp.float32)
+    ref = Q.qmatmul(x, qt.codes, qt.scales, qt.mins, b, kind=kind,
+                    bm=32, compute_dtype=jnp.float32, interpret=True)
+    got = Q.qmatmul(x, qp.codes, qp.scales, qp.mins, b, kind=kind,
+                    bm=32, compute_dtype=jnp.float32, packed=True,
+                    interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_packed_residual_ln_epilogue(rng):
+    import jax.numpy as jnp
+    from embeddings_tpu.models.bert import layer_norm
+    from embeddings_tpu.ops.linear import linear, linear_residual_ln
+    from embeddings_tpu.ops.quant import pack_q4, quantize
+    M, K, N = 48, 128, 256
+    x = jnp.asarray(rng.standard_normal((M, K)) * 0.3, jnp.float32)
+    qt = pack_q4(quantize(jnp.asarray(
+        rng.standard_normal((K, N)) * 0.05, jnp.float32), "q4_0"))
+    assert qt.packed
+    b = jnp.asarray(rng.standard_normal((N,)) * 0.1, jnp.float32)
+    res = jnp.asarray(rng.standard_normal((M, N)), jnp.float32)
+    lns = jnp.asarray(1.0 + 0.1 * rng.standard_normal((N,)), jnp.float32)
+    lnb = jnp.asarray(0.1 * rng.standard_normal((N,)), jnp.float32)
+    ref = layer_norm(res + linear(x, qt, b), lns, lnb, 1e-12)
+    got = linear_residual_ln(x, qt, b, res, lns, lnb, 1e-12, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=3e-3, rtol=1e-2)

@@ -131,3 +131,38 @@ def test_int4_packing(rng):
     assert qt4.codes.dtype == jnp.int4
     np.testing.assert_allclose(np.asarray(dequantize(qt4)),
                                np.asarray(dequantize(qt8)), rtol=1e-6)
+
+
+def test_pack_g64_roundtrip(rng):
+    from embeddings_tpu.ops.quant import (codes_int8, pack_codes_g64,
+                                          pack_q4, quantize,
+                                          unpack_codes_g64)
+    codes = rng.integers(-8, 8, (4, 128, 96)).astype(np.int8)
+    packed = pack_codes_g64(codes)
+    assert packed.shape == (4, 64, 96) and packed.dtype == np.uint8
+    np.testing.assert_array_equal(unpack_codes_g64(packed), codes)
+
+    w = rng.standard_normal((128, 64)).astype(np.float32)
+    qt = quantize(w, "q4_0")
+    qp = pack_q4(qt)
+    assert qp.packed and qp.shape == qt.shape
+    np.testing.assert_array_equal(codes_int8(qp), np.asarray(qt.codes))
+
+
+def test_packed_dequantize_matches(rng):
+    from embeddings_tpu.ops.quant import dequantize, pack_q4, quantize
+    for kind in ("q4_0", "q4_1"):
+        w = rng.standard_normal((192, 64)).astype(np.float32)
+        qt = quantize(w, kind)
+        qp = pack_q4(qt)
+        np.testing.assert_allclose(np.asarray(dequantize(qp)),
+                                   np.asarray(dequantize(qt)), atol=0)
+
+
+def test_pack_q4_skips_unsupported(rng):
+    from embeddings_tpu.ops.quant import pack_q4, quantize
+    # q8_0 and embedding-layout tables stay unpacked
+    assert not pack_q4(quantize(rng.standard_normal((64, 32)).astype(
+        np.float32), "q8_0")).packed
+    assert not pack_q4(quantize(rng.standard_normal((32, 64)).astype(
+        np.float32), "q4_0", block_axis=-1)).packed
