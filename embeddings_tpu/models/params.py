@@ -256,11 +256,9 @@ def quantize_params(params: Params, kind: str, *,
     assert kind in QUANT_KINDS, kind
 
     def qt(x, block_axis=-2):
-        # pack4 (true 4-bit storage) applies to matmul weights only;
-        # embedding tables keep int8 codes for the dequantizing gather
         return quantize(np.asarray(x, np.float32), kind,
                         block_axis=block_axis, pack_int4=pack_int4,
-                        pack4=pack4 and block_axis == -2)
+                        pack4=pack4)
 
     out = jax.tree_util.tree_map(lambda x: x, params)  # shallow-ish copy
     emb = dict(out["embeddings"])

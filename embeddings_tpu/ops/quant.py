@@ -60,7 +60,9 @@ class QuantizedTensor:
     def shape(self) -> tuple[int, ...]:
         s = self.codes.shape
         if self.packed:
-            return (*s[:-2], s[-2] * 2, s[-1])
+            if self.block_axis == -2:
+                return (*s[:-2], s[-2] * 2, s[-1])
+            return (*s[:-1], s[-1] * 2)
         return s
 
     @property
@@ -113,21 +115,34 @@ def unpack_codes_g64(packed: np.ndarray) -> np.ndarray:
 
 
 def pack_q4(qt: QuantizedTensor) -> QuantizedTensor:
-    """Pack an int8-coded q4 matmul weight to the 4-bit layout (no-op for
-    other kinds/layouts or when K % 64 != 0)."""
-    if (qt.packed or qt.block_axis != -2
-            or qt.kind not in ("q4_0", "q4_1")
-            or qt.codes.shape[-2] % 64 != 0):
+    """Pack an int8-coded q4 weight to the 4-bit layout (no-op for other
+    kinds or when the block axis is not a multiple of 64). Matmul weights
+    (block_axis -2) pack along K; embedding tables (block_axis -1) pack
+    along E — both along their own block axis, so scales stay aligned."""
+    if qt.packed or qt.kind not in ("q4_0", "q4_1"):
         return qt
-    packed = jnp.asarray(pack_codes_g64(np.asarray(qt.codes)))
-    return QuantizedTensor(packed, qt.scales, qt.mins, qt.kind,
-                           qt.block_axis, packed=True)
+    codes = np.asarray(qt.codes)
+    if qt.block_axis == -2:
+        if codes.shape[-2] % 64 != 0:
+            return qt
+        packed = pack_codes_g64(codes)
+    else:
+        if codes.shape[-1] % 64 != 0:
+            return qt
+        packed = np.swapaxes(
+            pack_codes_g64(np.swapaxes(codes, -1, -2)), -1, -2)
+    return QuantizedTensor(jnp.asarray(packed), qt.scales, qt.mins,
+                           qt.kind, qt.block_axis, packed=True)
 
 
 def codes_int8(qt: QuantizedTensor) -> np.ndarray:
     """The int8 code array regardless of storage packing."""
     c = np.asarray(qt.codes)
-    return unpack_codes_g64(c) if qt.packed else c
+    if not qt.packed:
+        return c
+    if qt.block_axis == -2:
+        return unpack_codes_g64(c)
+    return np.swapaxes(unpack_codes_g64(np.swapaxes(c, -1, -2)), -1, -2)
 
 
 def _check_shape(w: np.ndarray) -> None:
@@ -237,12 +252,23 @@ def _unpack_g64_jnp(packed: jax.Array) -> jax.Array:
         *lead, Kh * 2, N).astype(jnp.int8)
 
 
+def _unpack_g64_last_jnp(packed: jax.Array) -> jax.Array:
+    """Group-64 unpack along the LAST axis (embedding-table layout)."""
+    *lead, Eh = packed.shape
+    g = packed.reshape(*lead, Eh // 32, 1, 32).astype(jnp.int32)
+    lo = (g & 0x0F) - 8
+    hi = (g >> 4) - 8
+    return jnp.concatenate([lo, hi], axis=-2).reshape(
+        *lead, Eh * 2).astype(jnp.int8)
+
+
 def dequantize(qt: QuantizedTensor) -> jax.Array:
     """Reference (non-fused) dequantization, f32. Used for correctness tests
     and as the XLA fallback path on CPU."""
     codes, scales, mins = qt.codes, qt.scales, qt.mins
     if qt.packed:
-        codes = _unpack_g64_jnp(codes)
+        codes = (_unpack_g64_jnp(codes) if qt.block_axis == -2
+                 else _unpack_g64_last_jnp(codes))
     if qt.block_axis == -1:
         codes = jnp.swapaxes(codes, -1, -2)
         scales = jnp.swapaxes(scales, -1, -2)
@@ -265,7 +291,12 @@ def gather_rows(qt: QuantizedTensor, ids: jax.Array) -> jax.Array:
     dequantizes only those rows (the TPU analogue of ggml_get_rows on a
     quantized tensor, used by the reference at bert.cpp:963-971)."""
     assert qt.block_axis == -1, "gather_rows expects an embedding-layout table"
-    c = jnp.take(qt.codes, ids, axis=0).astype(jnp.float32)   # [..., E]
+    c = jnp.take(qt.codes, ids, axis=0)       # [..., E] or packed [..., E/2]
+    if qt.packed:
+        # gather the 4-bit rows, then nibble-unpack just those rows —
+        # the table itself stays at the true 4-bit footprint in HBM
+        c = _unpack_g64_last_jnp(c)
+    c = c.astype(jnp.float32)
     s = jnp.take(qt.scales, ids, axis=0)                      # [..., E//QK]
     E = c.shape[-1]
     c = c.reshape(*c.shape[:-1], E // QK, QK)

@@ -161,8 +161,25 @@ def test_packed_dequantize_matches(rng):
 
 def test_pack_q4_skips_unsupported(rng):
     from embeddings_tpu.ops.quant import pack_q4, quantize
-    # q8_0 and embedding-layout tables stay unpacked
+    # q8_0 stays unpacked; q4 embedding tables pack along E
     assert not pack_q4(quantize(rng.standard_normal((64, 32)).astype(
         np.float32), "q8_0")).packed
-    assert not pack_q4(quantize(rng.standard_normal((32, 64)).astype(
-        np.float32), "q4_0", block_axis=-1)).packed
+    emb = pack_q4(quantize(rng.standard_normal((32, 64)).astype(
+        np.float32), "q4_0", block_axis=-1))
+    assert emb.packed and emb.codes.shape == (32, 32)
+    assert emb.shape == (32, 64)
+    # block axis not a multiple of 64: stays unpacked
+    assert not pack_q4(quantize(rng.standard_normal((96, 32)).astype(
+        np.float32), "q4_0")).packed
+
+
+def test_packed_gather_rows_matches(rng):
+    import jax.numpy as jnp
+    from embeddings_tpu.ops.quant import gather_rows, pack_q4, quantize
+    table = rng.standard_normal((50, 128)).astype(np.float32)
+    qt = quantize(table, "q4_0", block_axis=-1)
+    qp = pack_q4(qt)
+    assert qp.packed
+    ids = jnp.asarray(rng.integers(0, 50, (4, 7)), jnp.int32)
+    np.testing.assert_allclose(np.asarray(gather_rows(qp, ids)),
+                               np.asarray(gather_rows(qt, ids)), atol=0)
