@@ -167,31 +167,39 @@ class Engine:
         from .packing import materialize, plan_packing
         ec = self.engine_config
         toks = [self.tokenize(t) for t in texts]
-        if row_len is None:
-            # short rows beat long ones: attention is O(row_len^2) per row
-            # and the segmented kernel computes cross-segment blocks too
-            # (wasted), so 128 with ~32K tokens per dispatch measured
-            # fastest (1.8x over bucketed batching on an STSB-length
-            # corpus) — but the row must still fit the longest sentence
-            # (the planner would truncate it otherwise)
-            longest = max((len(t) for t in toks), default=1)
-            row_len = max(min(128, self.max_seq_len),
-                          pick_bucket(longest, self._seq_buckets()))
+        # short rows beat long ones: attention is O(row_len^2) per row and
+        # the segmented kernel computes cross-segment blocks too (wasted),
+        # so 128 with ~32K tokens per dispatch measured fastest (1.8x over
+        # bucketed batching on an STSB-length corpus). row_len stays FIXED
+        # across calls — a per-batch value derived from the longest text
+        # churns the jit cache (compile stalls under serving load);
+        # sentences longer than row_len take the bucketed path instead.
+        row_len = row_len or min(128, self.max_seq_len)
         batch_rows = batch_rows or max(ec.batch_size, 32768 // row_len)
         out = np.empty((len(texts), self.n_embd), np.float32)
-        batches = plan_packing([len(t) for t in toks], row_len, batch_rows)
+        short = [i for i, t in enumerate(toks) if len(t) <= row_len]
+        long_idx = [i for i, t in enumerate(toks) if len(t) > row_len]
+        if long_idx:
+            out[long_idx] = self.encode_batch([texts[i] for i in long_idx])
+        if not short:
+            return out
+        stoks = [toks[i] for i in short]
+        # fixed segments-per-row: one stable compiled shape family
+        # (overshoot only pads the tiny [B, S, L] pooling matrix)
+        batches = plan_packing([len(t) for t in stoks], row_len, batch_rows,
+                               max_segs=max(2, row_len // 8))
         bb = extend_buckets(ec.batch_buckets, batch_rows)
         pending = []
         for b in batches:
             b.batch = pick_bucket(len(b.rows), bb)  # pad row count
             ids, seg, pos, pool, mapping = materialize(
-                b, toks, self.tokenizer.pad_id, self.config.pooling)
+                b, stoks, self.tokenizer.pad_id, self.config.pooling)
             pending.append((mapping,
                             self._forward_packed(ids, seg, pos, pool)))
         for mapping, pooled in pending:
             pooled = np.asarray(pooled)
             for r, s, i in mapping:
-                out[i] = pooled[r, s]
+                out[short[i]] = pooled[r, s]
         return out
 
     def _forward_packed(self, ids, seg, pos, pool):

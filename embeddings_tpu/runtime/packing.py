@@ -47,13 +47,17 @@ class PackedBatch:
 
 def plan_packing(lengths: Sequence[int], row_len: int, batch_rows: int,
                  seg_buckets: Sequence[int] = (1, 2, 4, 8, 16, 32, 64, 128),
-                 ) -> list[PackedBatch]:
+                 max_segs: int | None = None) -> list[PackedBatch]:
     """Best-fit-decreasing packing of sentence lengths into rows of
     row_len tokens, grouped into batches of at most batch_rows rows.
 
     O(n log n): open rows are kept in a capacity-sorted list and each
     sentence goes to the tightest row that fits (a naive first-fit scan
-    is O(n*rows) — hours of host time on retrieval-scale corpora)."""
+    is O(n*rows) — hours of host time on retrieval-scale corpora).
+
+    max_segs caps segments per row AND pins every batch's n_seg to that
+    exact value — serving needs one stable (rows, n_seg, row_len) shape
+    family or the jit cache churns (each new shape is a fresh compile)."""
     import bisect
     order = sorted(range(len(lengths)), key=lambda i: -lengths[i])
     rows: list[list[Segment]] = []
@@ -67,18 +71,21 @@ def plan_packing(lengths: Sequence[int], row_len: int, batch_rows: int,
             cap, r = open_rows.pop(j)  # tightest row that still fits
             rows[r].append(Segment(i, used[r], n))
             used[r] += n
-            if cap - n > 0:
+            if cap - n > 0 and (max_segs is None or len(rows[r]) < max_segs):
                 bisect.insort(open_rows, (cap - n, r))
         else:
             rows.append([Segment(i, 0, n)])
             used.append(n)
-            if row_len - n > 0:
+            if row_len - n > 0 and (max_segs is None or max_segs > 1):
                 bisect.insort(open_rows, (row_len - n, len(rows) - 1))
     batches = []
     for start in range(0, len(rows), batch_rows):
         chunk = rows[start:start + batch_rows]
-        most = max(len(r) for r in chunk)
-        n_seg = pick_bucket(most, extend_buckets(seg_buckets, most))
+        if max_segs is not None:
+            n_seg = max_segs
+        else:
+            most = max(len(r) for r in chunk)
+            n_seg = pick_bucket(most, extend_buckets(seg_buckets, most))
         batches.append(PackedBatch(chunk, len(chunk), row_len, n_seg))
     return batches
 

@@ -161,3 +161,24 @@ def test_planner_many_tiny_segments():
     t0 = time.time()
     plan_packing([5] * 200_000, row_len=128, batch_rows=256)
     assert time.time() - t0 < 5.0  # O(n log n); first-fit scan took ages
+
+
+def test_engine_packed_hybrid_long_sentences(small_vocab):
+    """Sentences longer than row_len must take the bucketed path (not be
+    truncated) while short ones pack — same results as plain encode."""
+    from embeddings_tpu.config import BertConfig, EngineConfig
+    from embeddings_tpu.runtime.engine import Engine
+    from embeddings_tpu.tokenizer import WordPieceTokenizer, WordPieceVocab
+    tok = WordPieceTokenizer(WordPieceVocab.from_tokens(small_vocab))
+    cfg = BertConfig(vocab_size=len(small_vocab), hidden_size=64,
+                     num_hidden_layers=2, num_attention_heads=4,
+                     intermediate_size=128, max_position_embeddings=64)
+    eng = Engine(P.init_params(cfg, rng=0), cfg, tok,
+                 EngineConfig(seq_buckets=(8, 16, 32), max_seq_len=32,
+                              batch_size=4, batch_buckets=(1, 2, 4)))
+    texts = ["hello world", "a " * 20 + "test", "model",  # 2nd exceeds 16
+             "the quick brown fox", "b " * 25]
+    ref = eng.encode_batch(texts)
+    got = eng.encode_batch_packed(texts, row_len=16)
+    cos = (got * ref).sum(-1)
+    assert cos.min() > 0.9999, cos
