@@ -168,12 +168,14 @@ class Engine:
         ec = self.engine_config
         toks = [self.tokenize(t) for t in texts]
         # short rows beat long ones: attention is O(row_len^2) per row and
-        # the segmented kernel computes cross-segment blocks too (wasted),
-        # so 128 with ~32K tokens per dispatch measured fastest (1.8x over
-        # bucketed batching on an STSB-length corpus). row_len stays FIXED
-        # across calls — a per-batch value derived from the longest text
-        # churns the jit cache (compile stalls under serving load);
-        # sentences longer than row_len take the bucketed path instead.
+        # the segmented kernel computes cross-segment blocks too (wasted);
+        # 128 with ~32K tokens per dispatch measured fastest (~15% lower
+        # device time than bucketed batching on an STSB-length corpus,
+        # with 28% fewer padded tokens and 5.5x fewer dispatches).
+        # row_len stays FIXED across calls — a per-batch value derived
+        # from the longest text churns the jit cache (compile stalls
+        # under serving load); sentences longer than row_len take the
+        # bucketed path instead.
         row_len = row_len or min(128, self.max_seq_len)
         batch_rows = batch_rows or max(ec.batch_size, 32768 // row_len)
         out = np.empty((len(texts), self.n_embd), np.float32)
