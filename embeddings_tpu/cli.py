@@ -141,7 +141,8 @@ def cmd_convert(args) -> int:
               f"({os.path.getsize(args.out)/1e6:.2f} MB, ggml {args.dtype})")
         return 0
     if args.dtype != "f32":
-        params = P.quantize_params(params, args.dtype)
+        params = P.quantize_params(params, args.dtype,
+                                   pack4=args.dtype.startswith("q4"))
     P.save_native(args.out, params, config)
     size = os.path.getsize(args.out) / 1e6
     print(f"wrote {args.out} ({size:.2f} MB, dtype={args.dtype})")
@@ -160,7 +161,8 @@ def cmd_quantize(args) -> int:
     from .models import params as P
     from .ops.quant import QuantizedTensor, codes_int8, nibble_histogram
     params, config = P.load_native(args.input)
-    qp = P.quantize_params(params, args.dtype)
+    qp = P.quantize_params(params, args.dtype,
+                           pack4=args.dtype.startswith("q4"))
     P.save_native(args.out, qp, config)
     if args.dtype.startswith("q4"):
         import jax

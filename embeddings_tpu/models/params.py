@@ -239,6 +239,24 @@ def pack_q4_params(params: Params) -> Params:
         params, is_leaf=lambda x: isinstance(x, QuantizedTensor))
 
 
+def unpack_q4_params(params: Params) -> Params:
+    """Inverse of pack_q4_params: back to int8 codes. Mesh engines need
+    this — tensor-parallel shards of the group-64 packed layout are only
+    valid when each shard keeps whole 32-packed-row groups, which small
+    models' TP factors break."""
+    from ..ops.quant import codes_int8
+
+    def unpack(x):
+        if isinstance(x, QuantizedTensor) and x.packed:
+            return QuantizedTensor(jnp.asarray(codes_int8(x)), x.scales,
+                                   x.mins, x.kind, x.block_axis,
+                                   packed=False)
+        return x
+
+    return jax.tree_util.tree_map(
+        unpack, params, is_leaf=lambda x: isinstance(x, QuantizedTensor))
+
+
 def quantize_params(params: Params, kind: str, *,
                     quantize_embeddings: bool = True,
                     pack_int4: bool = False,
@@ -347,7 +365,11 @@ def save_native(path: str | Path, params: Params, config: BertConfig) -> None:
                 [node.kind, str(node.block_axis),
                  "1" if node.packed else "0"], dtype=object)
             # packed codes are uint8 nibble pairs; unpacked are int8
-            flat[prefix + ".codes"] = np.asarray(node.codes)
+            # (explicit cast: jnp.int4 codes would otherwise save as raw
+            # void bytes that np.load cannot hand back to JAX)
+            codes = np.asarray(node.codes.astype(
+                jnp.uint8 if node.packed else jnp.int8))
+            flat[prefix + ".codes"] = codes
             flat[prefix + ".scales"] = np.asarray(node.scales)
             if node.mins is not None:
                 flat[prefix + ".mins"] = np.asarray(node.mins)

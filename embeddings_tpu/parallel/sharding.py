@@ -62,6 +62,15 @@ def param_pspecs(params: Params, mesh: Mesh) -> Params:
         if isinstance(w, QuantizedTensor):
             pieces = [w.codes, w.scales] + ([] if w.mins is None else [w.mins])
             ok = all(_divisible(x.shape, w_spec, mesh) for x in pieces)
+            if ok and w.packed:
+                # group-64 nibble layout: a shard of the packed-row axis
+                # (-2 of codes) must hold whole 32-packed-row groups or
+                # per-shard dequant breaks
+                spec_t = tuple(w_spec) + (None,) * len(w.codes.shape)
+                pos = len(w.codes.shape) - 2
+                axis = spec_t[pos]
+                if axis is not None:
+                    ok = (w.codes.shape[pos] // mesh.shape[axis]) % 32 == 0
             wspec = (QuantizedTensor(w_spec, w_spec,
                                      None if w.mins is None else w_spec,
                                      w.kind, w.block_axis, w.packed) if ok

@@ -127,12 +127,18 @@ class Engine:
         while the TPU computes chunk i, and the D2H copies drain at the
         end — the reference's ggml threadpool blocks per chunk instead
         (bert.cpp:1436-1442)."""
+        toks = [self.tokenize(t) for t in texts]
+        return self._encode_toks(toks, batch_size)
+
+    def _encode_toks(self, toks: list[list[int]],
+                     batch_size: int | None = None) -> np.ndarray:
+        """Bucketed encode of pre-tokenized inputs (shared by encode_batch
+        and the packed path's long-sentence routing)."""
         ec = self.engine_config
         batch_size = batch_size or ec.batch_size
         # under a mesh, device batches must divide by the data-axis size
         batch_size = -(-batch_size // self._dp) * self._dp
-        toks = [self.tokenize(t) for t in texts]
-        out = np.empty((len(texts), self.n_embd), np.float32)
+        out = np.empty((len(toks), self.n_embd), np.float32)
         # a caller-supplied batch_size may exceed the configured buckets
         # (e.g. encode() passes len(texts)); grow the bucket set to cover it
         bb = extend_buckets(ec.batch_buckets, batch_size)
@@ -182,7 +188,7 @@ class Engine:
         short = [i for i, t in enumerate(toks) if len(t) <= row_len]
         long_idx = [i for i, t in enumerate(toks) if len(t) > row_len]
         if long_idx:
-            out[long_idx] = self.encode_batch([texts[i] for i in long_idx])
+            out[long_idx] = self._encode_toks([toks[i] for i in long_idx])
         if not short:
             return out
         stoks = [toks[i] for i in short]
@@ -292,10 +298,17 @@ def load_model(path: str | Path, *, dtype: str = "f32",
     if dtype != "f32" and not already_quant:
         params = P.quantize_params(params, dtype)
     if dtype.startswith("q4"):
-        # store q4 matmul weights truly 4-bit (2 codes/byte): halves the
-        # HBM weight footprint and the weight-read bandwidth that bounds
-        # small-batch latency
-        params = P.pack_q4_params(params)
+        if mesh is None:
+            # store q4 matmul weights truly 4-bit (2 codes/byte): halves
+            # the HBM weight footprint and the weight-read bandwidth that
+            # bounds small-batch latency
+            params = P.pack_q4_params(params)
+        else:
+            # tensor-parallel shards of the group-64 packed layout are
+            # only valid when every shard keeps whole packed groups —
+            # small models' TP factors break that, so mesh engines use
+            # int8 codes (packed checkpoints are unpacked on load)
+            params = P.unpack_q4_params(params)
     config = dataclasses.replace(
         config,
         cls_token_id=tokenizer.cls_id, sep_token_id=tokenizer.sep_id,

@@ -183,3 +183,27 @@ def test_packed_gather_rows_matches(rng):
     ids = jnp.asarray(rng.integers(0, 50, (4, 7)), jnp.int32)
     np.testing.assert_allclose(np.asarray(gather_rows(qp, ids)),
                                np.asarray(gather_rows(qt, ids)), atol=0)
+
+
+def test_packed_checkpoint_roundtrip(rng, tmp_path):
+    """Packed q4 save -> load roundtrip preserves codes and the packed
+    flag (and the file is ~half the int8-coded size)."""
+    import os
+    from embeddings_tpu.config import BertConfig
+    from embeddings_tpu.models import params as P
+    from embeddings_tpu.ops.quant import QuantizedTensor, codes_int8
+    cfg = BertConfig(vocab_size=256, hidden_size=64, num_hidden_layers=2,
+                     num_attention_heads=4, intermediate_size=128,
+                     max_position_embeddings=32)
+    qp = P.quantize_params(P.init_params(cfg, rng=0), "q4_0", pack4=True)
+    up = qp["layers"]["mlp"]["up"]["w"]
+    assert up.packed
+    P.save_native(str(tmp_path / "packed.npz"), qp, cfg)
+    P.save_native(str(tmp_path / "int8.npz"),
+                  P.unpack_q4_params(qp), cfg)
+    assert (os.path.getsize(tmp_path / "packed.npz")
+            < 0.75 * os.path.getsize(tmp_path / "int8.npz"))
+    loaded, _ = P.load_native(str(tmp_path / "packed.npz"))
+    lw = loaded["layers"]["mlp"]["up"]["w"]
+    assert isinstance(lw, QuantizedTensor) and lw.packed
+    np.testing.assert_array_equal(codes_int8(lw), codes_int8(up))

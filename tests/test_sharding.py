@@ -173,3 +173,29 @@ def test_mesh_use_pallas_never_reaches_trace(cfg, dense_params):
         attn_ops.fused_attention = orig_attn
         qmm.qmatmul = orig_qmm
     assert "attn" in calls and "qmm" in calls, calls
+
+
+def test_mesh_load_model_unpacks_q4(cfg, dense_params, small_vocab, tmp_path):
+    """A packed q4 checkpoint loaded into a mesh engine must unpack
+    (group-64 shards misalign for small models' TP factors) and still
+    produce correct embeddings."""
+    import dataclasses
+    from embeddings_tpu.config import EngineConfig
+    from embeddings_tpu.ops.quant import QuantizedTensor
+    from embeddings_tpu.runtime.engine import load_model
+    from embeddings_tpu.tokenizer import WordPieceVocab
+    cfg2 = dataclasses.replace(cfg, vocab_size=len(small_vocab))
+    qp = P.pack_q4_params(P.quantize_params(
+        P.init_params(cfg2, rng=0), "q4_0"))
+    P.save_native(str(tmp_path / "m.npz"), qp, cfg2)
+    (tmp_path / "vocab.txt").write_text("\n".join(small_vocab))
+    eng = load_model(tmp_path / "m.npz", dtype="q4_0",
+                     engine_config=EngineConfig(seq_buckets=(16,),
+                                                max_seq_len=16,
+                                                batch_size=8,
+                                                batch_buckets=(8,)),
+                     mesh=make_mesh(dp=4, tp=2))
+    w = eng.params["layers"]["attn"]["o"]["w"]
+    assert isinstance(w, QuantizedTensor) and not w.packed
+    out = eng.encode_batch(["hello world"] * 8)
+    assert np.isfinite(out).all() and out.shape == (8, cfg2.hidden_size)
