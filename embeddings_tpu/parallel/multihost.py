@@ -34,8 +34,15 @@ def auto_initialize(coordinator: str | None = None,
     initialize). Returns True if distributed mode is active. Safe to call
     twice (second call is a no-op).
     """
-    if jax.process_count() > 1:
-        return True  # already initialized
+    # Check "already initialized" WITHOUT touching the backend:
+    # jax.process_count() would initialize XLA, after which
+    # jax.distributed.initialize refuses to run.
+    try:
+        from jax._src import distributed as _dist
+        if _dist.global_state.client is not None:
+            return jax.process_count() > 1
+    except Exception:  # pragma: no cover - private API moved
+        pass
     coordinator = coordinator or os.environ.get("JAX_COORDINATOR_ADDRESS")
     if num_processes is None and os.environ.get("JAX_NUM_PROCESSES"):
         num_processes = int(os.environ["JAX_NUM_PROCESSES"])

@@ -43,3 +43,27 @@ def test_distributed_encode_matches_local(small_vocab):
     texts = ["hello world", "the quick brown fox", "a lazy dog"] * 3
     out = distributed_encode_batch(eng, texts)
     np.testing.assert_allclose(out, eng.encode_batch(texts), atol=1e-6)
+
+
+def test_two_process_distributed_encode():
+    """Spawn TWO real processes, bring up jax.distributed over a
+    localhost coordinator, and check distributed_encode_batch returns the
+    full bit-exact result on every process (SURVEY §4: multi-host logic
+    validated on CPU). Also regression-guards auto_initialize against
+    initializing the XLA backend before jax.distributed.initialize."""
+    import socket
+    import subprocess
+    import sys
+    from pathlib import Path
+    worker = Path(__file__).parent / "helpers" / "multihost_worker.py"
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    procs = [subprocess.Popen(
+        [sys.executable, "-u", str(worker), str(i), "2", str(port)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        for i in range(2)]
+    outs = [(p.communicate(timeout=240)[0], p.returncode) for p in procs]
+    for out, rc in outs:
+        assert rc == 0, out[-2000:]
+        assert "max|distributed - local| = 0.00e+00" in out, out[-1000:]
