@@ -259,7 +259,6 @@ def unpack_q4_params(params: Params) -> Params:
 
 def quantize_params(params: Params, kind: str, *,
                     quantize_embeddings: bool = True,
-                    pack_int4: bool = False,
                     pack4: bool = False) -> Params:
     """Quantize all 2-D matmul weights (+ the word-embedding table).
 
@@ -275,8 +274,7 @@ def quantize_params(params: Params, kind: str, *,
 
     def qt(x, block_axis=-2):
         return quantize(np.asarray(x, np.float32), kind,
-                        block_axis=block_axis, pack_int4=pack_int4,
-                        pack4=pack4)
+                        block_axis=block_axis, pack4=pack4)
 
     out = jax.tree_util.tree_map(lambda x: x, params)  # shallow-ish copy
     emb = dict(out["embeddings"])

@@ -15,8 +15,9 @@ Layout: for a weight W[K, N] used as ``x @ W`` (K = contraction axis),
 ``codes`` is int8 [K, N] (int4-valued for Q4), ``scales``/``mins`` are
 f32 [K//32, N]. Structure-of-arrays instead of ggml's array-of-structs so
 each piece is a dense, tileable TPU operand; the Pallas kernel
-(ops/qmatmul.py) consumes them directly. ``codes`` may optionally be stored
-as jnp.int4 (XLA packs two per byte in HBM — true 4-bit footprint).
+(ops/qmatmul.py) consumes them directly. q4 codes can additionally be
+stored two-per-byte (group-64 nibble layout, ``pack_q4``) for the true
+4-bit HBM/disk footprint, unpacked inside the kernel.
 """
 
 from __future__ import annotations
@@ -29,7 +30,6 @@ import numpy as np
 
 QK = 32  # ggml block size (quantize.cpp uses ggml's QK=32 formats)
 
-_INT4 = jnp.int4
 
 
 @jax.tree_util.register_pytree_node_class
@@ -198,7 +198,7 @@ def quantize_q8_0(w: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
 
 def quantize(w: np.ndarray | jax.Array, kind: str, *,
-             block_axis: int = -2, pack_int4: bool = False,
+             block_axis: int = -2,
              pack4: bool = False) -> QuantizedTensor:
     """Quantize a weight array to a QuantizedTensor.
 
@@ -233,10 +233,8 @@ def quantize(w: np.ndarray | jax.Array, kind: str, *,
         d = np.swapaxes(d, -1, -2)
         if mins is not None:
             mins = jnp.swapaxes(mins, -1, -2)
-    codes = jnp.asarray(q)
-    if pack_int4 and kind in ("q4_0", "q4_1"):
-        codes = codes.astype(_INT4)
-    qt = QuantizedTensor(codes, jnp.asarray(d), mins, kind, block_axis)
+    qt = QuantizedTensor(jnp.asarray(q), jnp.asarray(d), mins, kind,
+                         block_axis)
     if pack4:
         qt = pack_q4(qt)
     return qt

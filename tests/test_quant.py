@@ -124,15 +124,6 @@ def test_stacked_quantize_matches_per_layer(rng):
         np.asarray(qt.scales), np.stack([np.asarray(p.scales) for p in per]))
 
 
-def test_int4_packing(rng):
-    w = rng.standard_normal((64, 8), dtype=np.float32)
-    qt8 = quantize(w, "q4_0", pack_int4=False)
-    qt4 = quantize(w, "q4_0", pack_int4=True)
-    assert qt4.codes.dtype == jnp.int4
-    np.testing.assert_allclose(np.asarray(dequantize(qt4)),
-                               np.asarray(dequantize(qt8)), rtol=1e-6)
-
-
 def test_pack_g64_roundtrip(rng):
     from embeddings_tpu.ops.quant import (codes_int8, pack_codes_g64,
                                           pack_q4, quantize,
