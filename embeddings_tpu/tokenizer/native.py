@@ -44,6 +44,16 @@ def _load_lib():
                 fn = getattr(lib, f"etok_{name}_id")
                 fn.restype = ctypes.c_int32
                 fn.argtypes = [ctypes.c_void_p]
+            # tables baked at build time must match the runtime's Unicode
+            # data or normalization silently diverges from the Python path
+            try:
+                lib.etok_unidata_version.restype = ctypes.c_char_p
+                import unicodedata
+                built = lib.etok_unidata_version().decode()
+                if built != unicodedata.unidata_version:
+                    return None  # stale .so: fall back to Python
+            except AttributeError:
+                return None  # old .so without the version symbol
             _lib = lib
             return lib
     return None

@@ -11,6 +11,7 @@
 #include <stdio.h>
 #include <stdlib.h>
 #include <string.h>
+#include <math.h>
 #include <time.h>
 
 typedef struct et_ctx et_ctx;
@@ -109,6 +110,7 @@ int main(int argc, char **argv) {
         double norm = 0;
         for (int32_t j = 0; j < n_embd; j++)
             norm += (double)embs[i][j] * embs[i][j];
+        norm = sqrt(norm);
         printf("emb[%d] head:", i);
         for (int32_t j = 0; j < 8 && j < n_embd; j++)
             printf(" %.5f", embs[i][j]);

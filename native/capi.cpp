@@ -89,10 +89,19 @@ def forward_batch(engine, token_lists):
     return np.ascontiguousarray(engine.forward(ids, mask), np.float32)
 
 def tokenize(engine, text, n_max):
-    return engine.tokenize(text)[: int(n_max)]
+    ids = engine.tokenize(text)
+    n_max = int(n_max)
+    if 0 < n_max < len(ids):
+        # truncate the body but keep the trailing [SEP] (the reference
+        # truncates at n_max_tokens-1 the same way, bert.cpp:386)
+        ids = ids[: n_max - 1] + [engine.tokenizer.sep_id]
+    return ids
 
 def id_to_token(engine, i):
-    return engine.tokenizer.id_to_token(int(i))
+    i = int(i)
+    if i < 0:
+        raise IndexError(i)
+    return engine.tokenizer.id_to_token(i)
 )PY";
 
 PyObject *g_helpers = nullptr;  /* module dict of the helper namespace */
@@ -274,7 +283,10 @@ ET_API int et_encode_batch(et_ctx *ctx, int32_t n_batch_size,
     }
     Gil gil;
     PyObject *list = PyList_New(n_inputs);
-    if (!list) return -1;
+    if (!list) {
+        set_error_from_python();
+        return -1;
+    }
     for (int32_t i = 0; i < n_inputs; i++) {
         PyObject *s = PyUnicode_FromString(texts[i] ? texts[i] : "");
         if (!s) {
@@ -352,10 +364,14 @@ ET_API int et_forward_batch(et_ctx *ctx, int32_t n_batch,
     }
     Gil gil;
     PyObject *outer = PyList_New(n_batch);
-    if (!outer) return -1;
+    if (!outer) {
+        set_error_from_python();
+        return -1;
+    }
     for (int32_t i = 0; i < n_batch; i++) {
         PyObject *inner = PyList_New(n_tokens[i]);
         if (!inner) {
+            set_error_from_python();
             Py_DECREF(outer);
             return -1;
         }
@@ -368,6 +384,7 @@ ET_API int et_forward_batch(et_ctx *ctx, int32_t n_batch,
     if (!arr) return -1;
     int rc = 0;
     for (int32_t i = 0; i < n_batch && rc == 0; i++) {
+        if (!batch_embeddings[i]) continue;  // tolerated like et_encode_batch
         PyObject *row = PySequence_GetItem(arr, i);
         if (!row || !copy_f32(row, batch_embeddings[i], ctx->n_embd)) rc = -1;
         Py_XDECREF(row);

@@ -25,18 +25,26 @@ namespace {
 // UTF-8 <-> codepoints
 // ---------------------------------------------------------------------------
 
+static inline bool cont(const char* s, size_t k) {
+  return ((unsigned char)s[k] & 0xC0) == 0x80;
+}
+
 static size_t utf8_decode(const char* s, size_t len, size_t i, uint32_t* cp) {
   const unsigned char c = s[i];
   if (c < 0x80) { *cp = c; return 1; }
-  if ((c >> 5) == 0x6 && i + 1 < len) {
+  // continuation bytes are validated: an invalid sequence yields U+FFFD
+  // and consumes ONE byte, so the following valid character survives
+  // (matches Python's errors='replace' / HF clean_text behavior)
+  if ((c >> 5) == 0x6 && i + 1 < len && cont(s, i + 1)) {
     *cp = ((c & 0x1F) << 6) | (s[i + 1] & 0x3F);
     return 2;
   }
-  if ((c >> 4) == 0xE && i + 2 < len) {
+  if ((c >> 4) == 0xE && i + 2 < len && cont(s, i + 1) && cont(s, i + 2)) {
     *cp = ((c & 0x0F) << 12) | ((s[i + 1] & 0x3F) << 6) | (s[i + 2] & 0x3F);
     return 3;
   }
-  if ((c >> 3) == 0x1E && i + 3 < len) {
+  if ((c >> 3) == 0x1E && i + 3 < len && cont(s, i + 1) && cont(s, i + 2) &&
+      cont(s, i + 3)) {
     *cp = ((c & 0x07) << 18) | ((s[i + 1] & 0x3F) << 12) |
           ((s[i + 2] & 0x3F) << 6) | (s[i + 3] & 0x3F);
     return 4;
@@ -146,9 +154,16 @@ static void normalize_and_split(const EtokCtx& ctx, const char* text,
     i += utf8_decode(text, len, i, &cp);
     if (cp == 0 || cp == 0xFFFD || is_ctrl(cp)) continue;  // clean_text
     if (is_ws(cp)) { flush(); continue; }
-    if (ctx.cjk_spacing && is_cjk(cp)) {  // CJK isolation happens pre-case
+    if (ctx.cjk_spacing && is_cjk(cp)) {
+      // CJK isolation is decided on the PRE-normalization codepoint (HF
+      // BertNormalizer order), but the char itself still goes through the
+      // NFD/lowercase transform — compatibility ideographs (U+F900..)
+      // map to their canonical unified forms.
       flush();
-      push_cp(cp);
+      uint32_t tr[4];
+      int n = 1;
+      if (ctx.lowercase) n = transform_cp(cp, tr); else tr[0] = cp;
+      for (int j = 0; j < n; ++j) push_cp(tr[j]);
       flush();
       continue;
     }
@@ -180,13 +195,15 @@ static void wordpiece(const EtokCtx& ctx, const Word& w,
   }
   std::vector<int32_t> ids;
   const auto* table = &ctx.word;
+  std::string probe;  // reused across lookups: no per-probe allocation
   size_t i = 0;
   while (i < n_chars) {
     size_t j = n_chars;
     int32_t hit = -1;
     for (; j > i; --j) {
       const size_t b0 = w.char_offsets[i], b1 = w.char_offsets[j];
-      auto it = table->find(w.text.substr(b0, b1 - b0));
+      probe.assign(w.text.data() + b0, b1 - b0);
+      auto it = table->find(probe);
       if (it != table->end()) { hit = it->second; break; }
     }
     if (hit < 0) {  // whole-word UNK (HF semantics)
@@ -249,6 +266,11 @@ int32_t etok_encode(const EtokCtx* ctx, const char* text, int32_t text_len,
   out[body + 1] = ctx->sep_id;
   return total;
 }
+
+// unicodedata version the tables were generated with; the Python binding
+// refuses the fast path when it differs from the runtime's unicodedata
+// (a silent mismatch would break native/Python tokenizer parity).
+const char* etok_unidata_version(void) { return kUnidataVersion; }
 
 int32_t etok_cls_id(const EtokCtx* ctx) { return ctx->cls_id; }
 int32_t etok_sep_id(const EtokCtx* ctx) { return ctx->sep_id; }

@@ -40,6 +40,7 @@ PROMPTS = [
     "한국어 텍스트",  # Hangul (not CJK-spaced by HF)
     "𫡐𫤰",  # around the 0x2B920 quirk boundary
     "combining á è marks",
+    "\uF900 a\uF900b",  # CJK compat ideograph: NFD maps U+F900 -> U+8C48
 ]
 
 
