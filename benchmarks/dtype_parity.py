@@ -124,15 +124,20 @@ def main() -> int:
                   + [f"tok{i}" for i in range(cfg.vocab_size - 5)])
         tok = WordPieceTokenizer(WordPieceVocab.from_tokens(tokens))
         # hash words onto the synthetic vocab so texts map deterministically
-        orig_encode = tok.wordpiece
+        # across processes (builtin hash() is salted; crc32 is stable)
+        import zlib
 
         def hashed_wordpiece(word: str):
-            return [5 + (hash(word) % (cfg.vocab_size - 5))]
+            return [5 + (zlib.crc32(word.encode()) % (cfg.vocab_size - 5))]
         tok.wordpiece = hashed_wordpiece  # type: ignore[method-assign]
 
         def make_engine(dt):
             p = base if dt == "f32" else P.quantize_params(base, dt)
-            return Engine(p, cfg, tok, EngineConfig(batch_size=args.batch))
+            eng = Engine(p, cfg, tok, EngineConfig(batch_size=args.batch))
+            # the native fast tokenizer rebuilds from the vocab and would
+            # silently bypass the hashed monkeypatch (every word -> [UNK])
+            eng._fast_tokenizer = None
+            return eng
     else:
         if not args.model:
             print("need -m MODEL or --random ARCH", file=sys.stderr)
@@ -149,8 +154,11 @@ def main() -> int:
     # quality gate mirroring the reference budget (Δ <= 0.003 spearman for
     # q8_0/q4_1/q4_0 against the f32 similarity structure would be ideal;
     # we flag anything below 0.99 as suspicious)
-    bad = {d: r for d, r in results.items()
-           if isinstance(r, dict) and r.get("sts_proxy_spearman", 1) < 0.99}
+    def weak(r):
+        x = r.get("sts_proxy_spearman", 1.0)
+        return not (x >= 0.99)  # NaN (collapsed embeddings) must FAIL
+
+    bad = {d: r for d, r in results.items() if isinstance(r, dict) and weak(r)}
     if bad:
         print(f"WARNING: weak similarity preservation: {list(bad)}",
               file=sys.stderr)

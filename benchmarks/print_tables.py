@@ -6,17 +6,38 @@ benchmarks/print_tables.py equivalent). Handles both MTEB result JSONs
 from __future__ import annotations
 
 import json
+import re
 import sys
 from collections import defaultdict
 from pathlib import Path
 
 
+# mode suffix of a results dir name: {model}_{mode}. Modes themselves
+# contain underscores (q4_0, q8_0), so match against the known grammar
+# instead of splitting on "_".
+_MODE_RE = re.compile(
+    r"_(f32|f16|bf16|q4_0|q4_1|q8_0|sbert)((?:-[a-z]+)*)$")
+
+
+def split_run_name(name: str) -> tuple[str, str] | None:
+    m = _MODE_RE.search(name)
+    if m:
+        return name[: m.start()], m.group(0)[1:]
+    if "_" in name:  # unknown mode: best effort
+        model, mode = name.rsplit("_", 1)
+        return model, mode
+    return None
+
+
 def extract_mteb(results_dir: Path) -> dict:
     table: dict = defaultdict(dict)
     for run_dir in sorted(results_dir.iterdir()):
-        if not run_dir.is_dir() or "_" not in run_dir.name:
+        if not run_dir.is_dir():
             continue
-        model, mode = run_dir.name.rsplit("_", 1)
+        parsed = split_run_name(run_dir.name)
+        if parsed is None:
+            continue
+        model, mode = parsed
         for f in run_dir.glob("*.json"):
             data = json.loads(f.read_text())
             task = f.stem
@@ -31,8 +52,12 @@ def extract_mteb(results_dir: Path) -> dict:
                     score = (cos.get("spearman") or node.get("spearman")
                              or node.get("main_score"))
                     if score is not None:
+                        # old MTEB layouts nest evaluation_time per split
+                        t_split = node.get("evaluation_time")
                         break
-            t = data.get("evaluation_time")
+            else:
+                t_split = None
+            t = data.get("evaluation_time", t_split)
             table[(model, task)][mode] = (score, t)
     return table
 
@@ -46,7 +71,11 @@ def print_mteb(results_dir: Path) -> None:
         cells = []
         for m in modes:
             s, t = row.get(m, (None, None))
-            cells.append(f"{s:.4f} ({t:.1f}s)" if s is not None else "-")
+            if s is None:
+                cells.append("-")
+            else:
+                cells.append(f"{s:.4f} ({t:.1f}s)" if t is not None
+                             else f"{s:.4f}")
         print(f"| {model} | {task} | " + " | ".join(cells) + " |")
 
 

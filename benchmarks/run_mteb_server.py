@@ -73,7 +73,9 @@ def main() -> int:
               file=sys.stderr)
         return 2
 
-    model_name = Path(args.model).stem
+    mp = Path(args.model)
+    # .name for dirs (stem would strip 'v1.5' to 'v1'); stem for files
+    model_name = mp.name if mp.is_dir() else mp.stem
     for mode in args.modes:
         proc = subprocess.Popen(
             [sys.executable, "-m", "embeddings_tpu.cli", "serve",

@@ -32,6 +32,8 @@ def main() -> int:
         print(f"connected; n_embd = {client.n_embd}")
         texts = args.texts or [line.rstrip("\n") for line in sys.stdin]
         for text in texts:
+            if not text:
+                continue  # a zero-byte send would deadlock the protocol
             emb = client.embed(text)
             head = " ".join(f"{v:.5f}" for v in emb[:8])
             print(f"[{head} ...] <- {text!r}")

@@ -88,6 +88,8 @@ def main() -> int:
 
     if args.query:
         for q in args.query:
+            if not q.strip():
+                continue  # empty query: zero-byte TCP send would hang
             print(f"> {q}")
             run_query(q)
         return 0

@@ -39,7 +39,16 @@ def main() -> int:
     path = hf_hub_download(
         repo_id=REPO, filename=f"{model}/ggml-model-{dtype}.bin",
         local_dir=dest)
-    print(f"downloaded to {path}")
+    # the repo filename includes the model subdir, so hf nests it at
+    # dest/{model}/...; move it up to the documented layout
+    import shutil
+    final = dest / f"ggml-model-{dtype}.bin"
+    if Path(path).resolve() != final.resolve():
+        shutil.move(path, final)
+        nested = dest / model
+        if nested.is_dir() and not any(nested.iterdir()):
+            nested.rmdir()
+    print(f"downloaded to {final}")
     return 0
 
 
