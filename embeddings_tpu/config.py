@@ -95,6 +95,10 @@ class EngineConfig:
     compute_dtype: str | None = None
     mask_value: float = -1e9  # additive mask for pad positions (ref uses -1e5·…)
     use_pallas: str = "auto"  # "auto" | "always" | "never"
+    # max device batches dispatched ahead of result read-back: keeps the
+    # host/device pipeline full while bounding live output buffers (a
+    # retrieval-scale encode holds O(inflight) buffers, not O(corpus))
+    inflight_batches: int = 4
 
     def __post_init__(self) -> None:
         self.seq_buckets = tuple(sorted(set(int(b) for b in self.seq_buckets)))
@@ -109,6 +113,40 @@ class EngineConfig:
             b = min(b * 2, self.batch_size)
             bb.add(b)
         self.batch_buckets = tuple(sorted(bb))
+
+
+def detect_pooling(model_dir: str | Path) -> str | None:
+    """Infer the sentence-pooling mode for an HF/SentenceTransformers model
+    directory. Returns None when nothing identifies it (caller keeps the
+    default).
+
+    Order: (1) SentenceTransformers ``1_Pooling/config.json`` flags —
+    authoritative when present; (2) match the directory name (and the
+    checkpoint's ``_name_or_path``) against KNOWN_MODELS. The reference
+    mean-pools everything (bert.cpp:1087-1089) including CLS-pooled BGE
+    models; this detection is deliberately better than parity.
+    """
+    model_dir = Path(model_dir)
+    pool_cfg = model_dir / "1_Pooling" / "config.json"
+    if pool_cfg.exists():
+        with open(pool_cfg) as f:
+            d = json.load(f)
+        for mode, key in (("cls", "pooling_mode_cls_token"),
+                          ("mean", "pooling_mode_mean_tokens"),
+                          ("max", "pooling_mode_max_tokens")):
+            if d.get(key):
+                return mode
+    names = [model_dir.name.lower()]
+    cfg = model_dir / "config.json"
+    if cfg.exists():
+        with open(cfg) as f:
+            ref = json.load(f).get("_name_or_path", "")
+        if ref:
+            names.append(str(ref).lower())
+    for known, kw in KNOWN_MODELS.items():
+        if any(known.lower() in n for n in names):
+            return kw.get("pooling", "mean")
+    return None
 
 
 # Known model families (the reference supports these via its converter;

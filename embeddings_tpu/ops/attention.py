@@ -17,9 +17,10 @@ B=128 L=256 H=12 D=64 on TPU; bit-identical outputs at bf16 resolution):
 
 - exp2 instead of exp, with log2(e) folded into the 1/√d score scale
   (the VPU's native exponential is base-2);
-- no max-subtraction: scores are clamped to [-100, 120] instead — exp2
-  cannot overflow and the denominator cannot reach zero (CLS is always a
-  valid key), saving a full [L, L] reduce+broadcast-subtract per head;
+- no max-subtraction: scores are clamped to [-100, 118] instead — neither
+  exp2 nor the L<=512-term f32 denominator sum can overflow and the
+  denominator cannot reach zero (CLS is always a valid key), saving a
+  full [L, L] reduce+broadcast-subtract per head;
 - the softmax DENOMINATOR comes out of the PV matmul: v is augmented with
   a ones column into the otherwise-wasted lanes of its [L, 128] tile
   ([v | 1 | 0…]), so row-sum(p) is one extra MXU column instead of a
@@ -43,9 +44,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 LANE = 128
 LOG2E = 1.4426950408889634
-# clamp bounds for base-2 scores: exp2(120) stays finite in f32 and
-# exp2(-100) stays normal, so probs are always finite and denom > 0
-_CLAMP_LO, _CLAMP_HI = -100.0, 120.0
+# clamp bounds for base-2 scores: exp2(-100) stays normal, and with
+# L <= 512 keys the f32 denominator sum is bounded by 512 * 2^118 =
+# 2^127 < f32 max — overflow (inf/inf = NaN) is structurally impossible
+_CLAMP_LO, _CLAMP_HI = -100.0, 118.0
 
 
 def _attn_kernel(lengths_ref, q_ref, k_ref, v_ref, o_ref, *,
@@ -76,8 +78,11 @@ def _attn_kernel(lengths_ref, q_ref, k_ref, v_ref, o_ref, *,
 
 
 def supported(L: int, H: int, D: int) -> bool:
-    # ones column must fit the [L, 2D] tile next to v; rows sublane-tiled
-    return D <= LANE and L % 8 == 0
+    # ones column must fit the [L, 2D] tile next to v; rows sublane-tiled;
+    # the q/k/v BlockSpecs slice E-wide lanes out of the [M, 3E] array, so
+    # Mosaic needs E to be a whole number of 128-lane tiles (all production
+    # models: E in {384, 512, 768, 1024}; tiny test models fall back to XLA)
+    return D <= LANE and L % 8 == 0 and (H * D) % LANE == 0
 
 
 def _attn_kernel_segmented(q_ref, k_ref, v_ref, segq_ref, segk_ref, o_ref, *,

@@ -16,10 +16,20 @@ import numpy as np
 
 
 class TcpClient:
+    """framing="v1" = raw reference protocol (one send per message);
+    framing="v2" = length-prefixed frames (robust to TCP fragmentation and
+    messages of any size) — opted in by sending ``ETF2`` after the
+    greeting (server's _serve_v2)."""
+
     def __init__(self, host: str = "127.0.0.1", port: int = 8080,
-                 timeout: float = 30.0):
+                 timeout: float = 30.0, framing: str = "v1"):
+        if framing not in ("v1", "v2"):
+            raise ValueError(f"framing must be v1|v2, got {framing!r}")
+        self.framing = framing
         self.sock = socket.create_connection((host, port), timeout=timeout)
         self.n_embd = struct.unpack("<i", self._recv_exact(4))[0]
+        if framing == "v2":
+            self.sock.sendall(b"ETF2")
 
     def _recv_exact(self, n: int) -> bytes:
         buf = b""
@@ -31,7 +41,11 @@ class TcpClient:
         return buf
 
     def embed(self, text: str) -> np.ndarray:
-        self.sock.sendall(text.encode("utf-8"))
+        payload = text.encode("utf-8")
+        if self.framing == "v2":
+            self.sock.sendall(struct.pack("<I", len(payload)) + payload)
+        else:
+            self.sock.sendall(payload)
         data = self._recv_exact(self.n_embd * 4)
         return np.frombuffer(data, np.float32).copy()
 

@@ -23,6 +23,7 @@ grid. Optional mesh/shardings route the same jitted fn over a TPU mesh
 from __future__ import annotations
 
 import dataclasses
+from collections import deque
 from pathlib import Path
 from typing import Any, Sequence
 
@@ -105,6 +106,11 @@ class Engine:
 
     # -- forward on pre-tokenized, padded arrays ----------------------------
     def forward(self, ids: np.ndarray, mask: np.ndarray) -> np.ndarray:
+        if self._dp > 1 and ids.shape[0] % self._dp:
+            raise ValueError(
+                f"batch size {ids.shape[0]} not divisible by the data-axis "
+                f"size {self._dp}; pad the batch (encode_batch does this "
+                f"automatically) or use a divisible batch")
         out = self._forward(self.params, ids, mask)
         return np.asarray(out)
 
@@ -122,11 +128,13 @@ class Engine:
         """Tokenize, length-sort into bucketed chunks, run, scatter back
         (bert_encode_batch semantics, bert.cpp:1374-1444).
 
-        All device calls are issued before any result is read back: JAX
-        dispatch is asynchronous, so the host pads/transfers chunk i+1
-        while the TPU computes chunk i, and the D2H copies drain at the
-        end — the reference's ggml threadpool blocks per chunk instead
-        (bert.cpp:1436-1442)."""
+        Device calls run ahead of result read-back through a bounded
+        window: JAX dispatch is asynchronous, so the host pads/transfers
+        chunk i+1 while the TPU computes chunk i — the reference's ggml
+        threadpool blocks per chunk instead (bert.cpp:1436-1442). The
+        window (engine_config.inflight_batches) caps how many output
+        buffers are live at once, so retrieval-scale corpora encode in
+        O(window) device memory."""
         toks = [self.tokenize(t) for t in texts]
         return self._encode_toks(toks, batch_size)
 
@@ -144,13 +152,21 @@ class Engine:
         bb = extend_buckets(ec.batch_buckets, batch_size)
         plans = plan_batches([len(t) for t in toks], batch_size,
                              self._seq_buckets(), bb)
-        pending = []
+        window = max(1, ec.inflight_batches)
+        pending: deque = deque()
+
+        def drain_one():
+            plan, emb = pending.popleft()
+            out[list(plan.indices)] = np.asarray(emb)[: len(plan.indices)]
+
         for plan in plans:
             ids, mask = pad_batch([toks[i] for i in plan.indices],
                                   plan.batch, plan.seq, self.tokenizer.pad_id)
             pending.append((plan, self._forward(self.params, ids, mask)))
-        for plan, emb in pending:
-            out[list(plan.indices)] = np.asarray(emb)[: len(plan.indices)]
+            if len(pending) > window:
+                drain_one()
+        while pending:
+            drain_one()
         return out
 
     def encode_batch_packed(self, texts: Sequence[str],
@@ -197,17 +213,25 @@ class Engine:
         batches = plan_packing([len(t) for t in stoks], row_len, batch_rows,
                                max_segs=max(2, row_len // 8))
         bb = extend_buckets(ec.batch_buckets, batch_rows)
-        pending = []
+        window = max(1, ec.inflight_batches)
+        pending: deque = deque()
+
+        def drain_one():
+            mapping, pooled = pending.popleft()
+            pooled = np.asarray(pooled)
+            for r, s, i in mapping:
+                out[short[i]] = pooled[r, s]
+
         for b in batches:
             b.batch = pick_bucket(len(b.rows), bb)  # pad row count
             ids, seg, pos, pool, mapping = materialize(
                 b, stoks, self.tokenizer.pad_id, self.config.pooling)
             pending.append((mapping,
                             self._forward_packed(ids, seg, pos, pool)))
-        for mapping, pooled in pending:
-            pooled = np.asarray(pooled)
-            for r, s, i in mapping:
-                out[short[i]] = pooled[r, s]
+            if len(pending) > window:
+                drain_one()
+        while pending:
+            drain_one()
         return out
 
     def _forward_packed(self, ids, seg, pos, pool):
@@ -272,6 +296,15 @@ def load_model(path: str | Path, *, dtype: str = "f32",
     path = Path(path)
     if path.is_dir():
         params, config = P.load_hf_dir(path)
+        if pooling is None:
+            # HF config.json has no pooling field; SentenceTransformers
+            # keeps it in 1_Pooling/config.json, else match KNOWN_MODELS
+            # (bge-* are CLS-pooled; the reference mean-pools them all,
+            # bert.cpp:1087-1089 — we detect instead of silently meaning)
+            from ..config import detect_pooling
+            detected = detect_pooling(path)
+            if detected is not None:
+                config = dataclasses.replace(config, pooling=detected)
         if tokenizer is None:
             tokenizer = WordPieceTokenizer.from_pretrained(path)
     elif path.suffix == ".bin":

@@ -82,6 +82,14 @@ class BatchingService:
         self.max_wait_ms = max_wait_ms
         self.request_timeout_s = request_timeout_s
         # token-level packing for the device batches (short-text speedup)
+        if packed and engine.config.pooling not in ("mean", "cls"):
+            raise ValueError(
+                f"packed=True requires mean/cls pooling, engine has "
+                f"{engine.config.pooling!r}")
+        if packed and engine.mesh is not None:
+            log.warning("packed=True on a mesh engine: token packing is "
+                        "single-device only, batches fall back to bucketed "
+                        "encode_batch")
         self.packed = packed
         self.stats = ServiceStats()
         self._queue: asyncio.Queue = asyncio.Queue()
@@ -181,25 +189,46 @@ def _utf8_incomplete_tail(data: bytes) -> bool:
     return False
 
 
+V2_MAGIC = b"ETF2"  # length-prefixed framing opt-in (first client bytes)
+
+
 async def _handle_tcp(service: BatchingService, reader: asyncio.StreamReader,
                       writer: asyncio.StreamWriter) -> None:
-    """Reference wire protocol (server.cpp:100-118). Inherits its framing
-    limitation: one recv == one message, so a text fragmented across TCP
-    segments arrives as multiple messages (the reference behaves the same;
-    use the HTTP front-end for robust framing). Multi-byte UTF-8 sequences
-    split at a read boundary ARE reassembled before decoding."""
+    """Reference wire protocol (server.cpp:100-118), plus an opt-in
+    length-prefixed v2 mode behind the same greeting.
+
+    v1 (reference clients, e.g. sample_client.py) inherits the reference's
+    framing limitation: one recv == one message, so a text fragmented
+    across TCP segments arrives as multiple messages. Multi-byte UTF-8
+    sequences split at a read boundary ARE reassembled before decoding
+    (bounded by a short timeout so a truncated tail can't wedge the
+    connection).
+
+    v2: a client whose FIRST bytes after the greeting are ``ETF2``
+    switches the connection to robust framing — each request is
+    ``<u32 LE byte-length><utf-8 payload>``, each response the usual
+    n_embd float32s. No message-size cap beyond sanity (16 MiB)."""
     peer = writer.get_extra_info("peername")
     log.info("client connected: %s", peer)
     try:
         # greeting: int32 n_embd (server.cpp:107)
         writer.write(struct.pack("<i", service.engine.n_embd))
         await writer.drain()
-        while True:
-            data = await reader.read(RECV_MAX)
-            if not data:
-                break
+        first = await reader.read(RECV_MAX)
+        if first.startswith(V2_MAGIC):
+            await _serve_v2(service, reader, writer, first[len(V2_MAGIC):])
+            return
+        data = first
+        while data:
             while _utf8_incomplete_tail(data) and len(data) < RECV_MAX:
-                more = await reader.read(RECV_MAX - len(data))
+                # a stalled continuation read must not wedge the
+                # connection: after a short wait, decode what we have
+                # (errors="replace" covers the truncated tail)
+                try:
+                    more = await asyncio.wait_for(
+                        reader.read(RECV_MAX - len(data)), timeout=0.25)
+                except asyncio.TimeoutError:
+                    break
                 if not more:
                     break
                 data += more
@@ -207,11 +236,43 @@ async def _handle_tcp(service: BatchingService, reader: asyncio.StreamReader,
             emb = await service.embed(text)
             writer.write(np.asarray(emb, np.float32).tobytes())
             await writer.drain()
+            data = await reader.read(RECV_MAX)
     except (ConnectionResetError, asyncio.IncompleteReadError):
         pass
     finally:
         writer.close()
         log.info("client disconnected: %s", peer)
+
+
+_V2_MAX = 16 * 1024 * 1024  # sanity cap per framed message
+
+
+async def _serve_v2(service: BatchingService, reader: asyncio.StreamReader,
+                    writer: asyncio.StreamWriter, leftover: bytes) -> None:
+    """Length-prefixed request loop. ``leftover`` is any bytes that arrived
+    in the same read as the magic (start of the first frame)."""
+    buf = bytearray(leftover)
+
+    async def need(n: int) -> bool:
+        while len(buf) < n:
+            chunk = await reader.read(RECV_MAX)
+            if not chunk:
+                return False
+            buf.extend(chunk)
+        return True
+
+    while await need(4):
+        (length,) = struct.unpack("<I", buf[:4])
+        if length > _V2_MAX:
+            log.warning("v2 frame too large (%d bytes); closing", length)
+            return
+        if not await need(4 + length):
+            return
+        text = bytes(buf[4:4 + length]).decode("utf-8", errors="replace")
+        del buf[:4 + length]
+        emb = await service.embed(text)
+        writer.write(np.asarray(emb, np.float32).tobytes())
+        await writer.drain()
 
 
 async def serve_tcp(engine_or_service, host: str = "0.0.0.0",

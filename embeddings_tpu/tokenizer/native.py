@@ -11,12 +11,17 @@ faster on long batches. Falls back cleanly when the .so isn't built:
 from __future__ import annotations
 
 import ctypes
+import os
 from pathlib import Path
 
 import numpy as np
 
+_NATIVE_DIR = Path(__file__).resolve().parent.parent.parent / "native"
 _LIB_PATHS = [
-    Path(__file__).resolve().parent.parent.parent / "native/build/libetok.so",
+    # ET_NATIVE_BUILD_DIR selects an alternate build flavor (e.g. the
+    # sanitizer build, native/Makefile SANITIZE=...)
+    _NATIVE_DIR / os.environ.get("ET_NATIVE_BUILD_DIR", "build")
+    / "libetok.so",
     Path(__file__).resolve().parent / "libetok.so",
 ]
 

@@ -89,6 +89,15 @@ int main(int argc, char **argv) {
         fprintf(stderr, "tokenize failed: %s\n", last_error());
         return 1;
     }
+    /* capacity edge cases: n_max_tokens<=0 must fail cleanly (not write),
+     * and a small buffer must never be overrun (copy clamps to capacity) */
+    et_vocab_id tiny[4] = {-9, -9, -9, -9};
+    int32_t n_tiny = 0;
+    int rc_zero = tokenize(ctx, prompts[0], tiny, &n_tiny, 0);
+    int rc_tiny = tokenize(ctx, prompts[0], tiny, &n_tiny, 4);
+    printf("tokenize caps: rc(cap=0)=%d rc(cap=4)=%d n_tiny=%d\n",
+           rc_zero, rc_tiny, n_tiny);
+
     printf("tokens[0] (%d):", n_ids);
     for (int32_t i = 0; i < n_ids; i++) {
         char tok[64];

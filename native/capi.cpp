@@ -326,7 +326,7 @@ ET_API int et_encode_batch(et_ctx *ctx, int32_t n_batch_size,
 
 ET_API int et_tokenize(et_ctx *ctx, const char *text, et_vocab_id *tokens,
                        int32_t *n_tokens, int32_t n_max_tokens) {
-    if (!ctx || !text || !tokens || !n_tokens) {
+    if (!ctx || !text || !tokens || !n_tokens || n_max_tokens <= 0) {
         set_error("bad arguments");
         return -1;
     }
@@ -335,6 +335,7 @@ ET_API int et_tokenize(et_ctx *ctx, const char *text, et_vocab_id *tokens,
         "tokenize", Py_BuildValue("(Osi)", ctx->engine, text, n_max_tokens));
     if (!ids) return -1;
     Py_ssize_t n = PyList_Size(ids);
+    if (n > n_max_tokens) n = n_max_tokens;  // never write past the buffer
     for (Py_ssize_t i = 0; i < n; i++)
         tokens[i] = (et_vocab_id)PyLong_AsLong(PyList_GET_ITEM(ids, i));
     *n_tokens = (int32_t)n;

@@ -95,6 +95,46 @@ class TestEngine:
         n = engine.warmup(batch_sizes=(1, 2), seq_lens=(8, 16))
         assert n == 4
 
+    def test_encode_batch_backpressure_window(self, engine):
+        """In-flight device batches are bounded by inflight_batches: the
+        dispatch/drain interleaving never holds more than window+1 results
+        (so retrieval-scale encodes run in O(window) device memory)."""
+        events = []
+        real_forward = engine._forward
+
+        class _Lazy:
+            def __init__(self, arr, i):
+                self.arr, self.i = arr, i
+
+            def __array__(self, dtype=None, copy=None):
+                events.append(("drain", self.i))
+                return np.asarray(self.arr)
+
+        def spy(params, ids, mask):
+            i = sum(1 for e in events if e[0] == "dispatch")
+            events.append(("dispatch", i))
+            return _Lazy(real_forward(params, ids, mask), i)
+
+        engine._forward = spy
+        try:
+            engine.engine_config.inflight_batches = 2
+            texts = [f"hello world {'a ' * (i % 5)}" for i in range(24)]
+            out = engine.encode_batch(texts, batch_size=2)
+        finally:
+            engine._forward = real_forward
+            engine.engine_config.inflight_batches = 4
+        assert out.shape == (24, engine.n_embd)
+        live = peak = 0
+        for kind, _ in events:
+            live += 1 if kind == "dispatch" else -1
+            peak = max(peak, live)
+        n_dispatch = sum(1 for e in events if e[0] == "dispatch")
+        assert n_dispatch >= 6, events       # enough batches to exercise it
+        assert peak <= 3, (peak, events)     # window + the one just issued
+        # results still land in input order
+        ref = engine.encode_batch(texts, batch_size=2)
+        np.testing.assert_allclose(out, ref, atol=1e-5)
+
 
 def test_extend_buckets():
     from embeddings_tpu.runtime.batching import extend_buckets

@@ -12,14 +12,19 @@ from pathlib import Path
 import pytest
 
 ROOT = Path(__file__).resolve().parent.parent
-LIB = ROOT / "native" / "build" / "libembeddings_c.so"
-DEMO = ROOT / "native" / "build" / "capi_demo"
+# ET_NATIVE_BUILD_DIR selects an alternate build flavor (sanitizer builds)
+BUILD_DIR = os.environ.get("ET_NATIVE_BUILD_DIR", "build")
+LIB = ROOT / "native" / BUILD_DIR / "libembeddings_c.so"
+DEMO = ROOT / "native" / BUILD_DIR / "capi_demo"
 
 
 @pytest.fixture(scope="module")
 def binaries():
-    r = subprocess.run(["make", "-C", str(ROOT / "native"), "capi", "demo"],
-                       capture_output=True, text=True)
+    make_args = ["make", "-C", str(ROOT / "native"), "capi", "demo"]
+    san = os.environ.get("ET_NATIVE_SANITIZE")
+    if san:
+        make_args.append(f"SANITIZE={san}")
+    r = subprocess.run(make_args, capture_output=True, text=True)
     if r.returncode != 0 or not (LIB.exists() and DEMO.exists()):
         pytest.skip(f"C ABI shim did not build: {r.stderr[-500:]}")
     return LIB, DEMO
@@ -57,6 +62,12 @@ def test_capi_end_to_end(binaries, tiny_checkpoint):
     m = re.search(r"forward parity: max\|[^|]*\| = ([0-9.e+-]+)", out)
     assert m, out
     assert float(m.group(1)) < 1e-4, out
+    # capacity edges: cap=0 -> error (no write), cap=4 -> <=4 ids written
+    m = re.search(r"tokenize caps: rc\(cap=0\)=(-?\d+) rc\(cap=4\)=(-?\d+) "
+                  r"n_tiny=(\d+)", out)
+    assert m, out
+    assert int(m.group(1)) == -1 and int(m.group(2)) == 0, out
+    assert 0 < int(m.group(3)) <= 4, out
 
 
 def test_capi_error_reporting(binaries):

@@ -199,6 +199,88 @@ def test_utf8_incomplete_tail():
     assert not _utf8_incomplete_tail(b"")
 
 
+def test_tcp_v2_framing(engine):
+    """Length-prefixed v2 mode: large messages (> one recv) and several
+    frames coalesced into one TCP segment both work."""
+    from embeddings_tpu.runtime.client import TcpClient
+
+    async def go():
+        server, svc = await serve_tcp(engine, host="127.0.0.1", port=0)
+        port = server.sockets[0].getsockname()[1]
+        results = {}
+
+        def client():
+            with TcpClient("127.0.0.1", port, framing="v2") as c:
+                results["emb1"] = c.embed("hello world")
+                # > RECV_MAX: impossible to send intact under v1 framing
+                results["big"] = c.embed("hello world " * 4000)
+                # two frames in one send: must yield two distinct replies
+                a, b = "hello world".encode(), "test".encode()
+                c.sock.sendall(struct.pack("<I", len(a)) + a +
+                               struct.pack("<I", len(b)) + b)
+                results["r1"] = np.frombuffer(
+                    c._recv_exact(c.n_embd * 4), np.float32).copy()
+                results["r2"] = np.frombuffer(
+                    c._recv_exact(c.n_embd * 4), np.float32).copy()
+
+        await asyncio.to_thread(client)
+        server.close()
+        await server.wait_closed()
+        await svc.stop()
+        return results
+
+    r = run_async(go())
+    np.testing.assert_allclose(r["emb1"], engine.encode("hello world"),
+                               atol=1e-5)
+    assert r["big"].shape == (engine.n_embd,)
+    np.testing.assert_allclose(r["r1"], engine.encode("hello world"),
+                               atol=1e-5)
+    np.testing.assert_allclose(r["r2"], engine.encode("test"), atol=1e-5)
+
+
+def test_tcp_truncated_utf8_tail_does_not_deadlock(engine):
+    """A v1 message ending mid-multibyte-sequence with no continuation must
+    get a (replacement-decoded) reply after the short reassembly timeout,
+    not hang the connection."""
+    import socket as socket_mod
+
+    async def go():
+        server, svc = await serve_tcp(engine, host="127.0.0.1", port=0)
+        port = server.sockets[0].getsockname()[1]
+        results = {}
+
+        def client():
+            s = socket_mod.create_connection(("127.0.0.1", port), timeout=10)
+            s.recv(4)  # greeting
+            s.sendall("hello é".encode("utf-8")[:-1])  # truncated tail
+            buf = b""
+            while len(buf) < engine.n_embd * 4:
+                chunk = s.recv(engine.n_embd * 4 - len(buf))
+                if not chunk:
+                    break
+                buf += chunk
+            results["n"] = len(buf)
+            s.close()
+
+        await asyncio.wait_for(asyncio.to_thread(client), timeout=15)
+        server.close()
+        await server.wait_closed()
+        await svc.stop()
+        return results
+
+    r = run_async(go())
+    assert r["n"] == engine.n_embd * 4
+
+
+def test_packed_requires_mean_or_cls_pooling(engine):
+    import dataclasses
+    bad = Engine(P.init_params(engine.config, rng=0),
+                 dataclasses.replace(engine.config, pooling="max"),
+                 engine.tokenizer, engine.engine_config)
+    with pytest.raises(ValueError, match="packed"):
+        BatchingService(bad, packed=True)
+
+
 def test_batching_service_packed(engine):
     async def go():
         svc = BatchingService(engine, max_batch=8, max_wait_ms=50,
