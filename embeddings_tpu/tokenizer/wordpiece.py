@@ -64,7 +64,9 @@ def _is_whitespace(ch: str) -> bool:
 def _is_control(ch: str) -> bool:
     if ch in ("\t", "\n", "\r"):
         return False
-    return unicodedata.category(ch).startswith("C")
+    # hf-rust removes Cc/Cf/Co (and surrogates) but KEEPS unassigned (Cn)
+    # codepoints — e.g. U+FF00 and U+2B81F flow through to the model
+    return unicodedata.category(ch) in ("Cc", "Cf", "Co", "Cs")
 
 
 def _is_punctuation(ch: str) -> bool:

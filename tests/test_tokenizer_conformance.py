@@ -1,0 +1,152 @@
+"""Large-scale tokenizer conformance: ~23k-token vocab, 211 adversarial
+prompts, committed HF-rust-oracle goldens (tests/fixtures/big_vocab,
+regenerable/checkable via tools/gen_conformance_fixture.py --check).
+
+Full-strength replication of the reference's test method
+(test_tokenizer.sh: HF AutoTokenizer goldens diffed against bert_tokenize
+over the real model vocab) — the round-1 suite only covered a ~150-token
+toy vocab. Both the Python and native C++ tokenizers are held to
+token-for-token equality, and a hypothesis fuzz hammers arbitrary unicode
+against the in-process oracle.
+"""
+
+import sys
+from pathlib import Path
+
+import pytest
+
+from embeddings_tpu.tokenizer import WordPieceTokenizer, WordPieceVocab
+from embeddings_tpu.tokenizer import native as nat
+
+FIXTURE = Path(__file__).resolve().parent / "fixtures" / "big_vocab"
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+
+pytestmark = pytest.mark.skipif(
+    not (FIXTURE / "vocab.txt").exists(),
+    reason="big_vocab fixture not generated")
+
+
+@pytest.fixture(scope="module")
+def vocab():
+    return (FIXTURE / "vocab.txt").read_text(encoding="utf-8").splitlines()
+
+
+@pytest.fixture(scope="module")
+def prompts():
+    from gen_conformance_fixture import load_prompts
+    return load_prompts(FIXTURE)
+
+
+@pytest.fixture(scope="module")
+def golden():
+    lines = (FIXTURE / "hf_golden_ids.txt").read_text(
+        encoding="utf-8").splitlines()
+    return [[int(x) for x in ln.split()] if ln.strip() else [] for ln in lines]
+
+
+@pytest.fixture(scope="module")
+def py_tok(vocab):
+    return WordPieceTokenizer(WordPieceVocab.from_tokens(vocab))
+
+
+@pytest.fixture(scope="module")
+def native_tok(py_tok):
+    if not nat.available():
+        pytest.skip("native tokenizer not built")
+    cc = nat.NativeWordPieceTokenizer.wrap(py_tok)
+    assert cc is not None
+    return cc
+
+
+@pytest.fixture(scope="module")
+def oracle(vocab):
+    from gen_conformance_fixture import build_oracle
+    return build_oracle(vocab)
+
+
+def test_fixture_not_stale(prompts, golden, oracle):
+    """The committed goldens still match the installed rust tokenizers —
+    the in-process equivalent of gen_conformance_fixture --check."""
+    assert len(prompts) == len(golden)
+    for p, g in zip(prompts, golden):
+        assert oracle.encode(p).ids == g, repr(p)
+
+
+def test_python_tokenizer_matches_goldens(py_tok, prompts, golden):
+    bad = [(i, p) for i, (p, g) in enumerate(zip(prompts, golden))
+           if py_tok.encode(p) != g]
+    assert not bad, f"{len(bad)} mismatches, first: {bad[:3]}"
+
+
+def test_native_tokenizer_matches_goldens(native_tok, prompts, golden):
+    bad = [(i, p) for i, (p, g) in enumerate(zip(prompts, golden))
+           if native_tok.encode(p) != g]
+    assert not bad, f"{len(bad)} mismatches, first: {bad[:3]}"
+
+
+def test_gen_fixtures_check_script(tmp_path, vocab, prompts):
+    """tools/gen_tokenizer_fixtures.py --check passes against a real
+    AutoTokenizer built from the big vocab (the reference's file-based
+    test_tokenizer.sh flow, wired into pytest per VERDICT #3)."""
+    import subprocess
+    from transformers import BertTokenizerFast
+    model_dir = tmp_path / "model"
+    model_dir.mkdir()
+    vf = model_dir / "vocab.txt"
+    vf.write_text("\n".join(vocab) + "\n", encoding="utf-8")
+    BertTokenizerFast(vocab_file=str(vf)).save_pretrained(model_dir)
+    pf = tmp_path / "prompts.txt"
+    # the script reads raw lines: restrict to prompts with no embedded
+    # newlines/controls (escaped storage covers those elsewhere)
+    # AutoTokenizer additionally runs added-token extraction, turning
+    # literal "[CLS]"/"[SEP]" text into special ids — a tokenizer-class
+    # feature outside the WordPiece pipeline (the reference's tokenizer
+    # treats them as plain text too, bert.cpp:373-414); skip those here
+    specials = ("[CLS]", "[SEP]", "[MASK]", "[PAD]", "[UNK]")
+    flat = [p for p in prompts
+            if "\n" not in p and "\r" not in p and "\x00" not in p
+            and p.strip() and not any(s in p for s in specials)]
+    pf.write_text("\n".join(flat) + "\n", encoding="utf-8")
+    r = subprocess.run(
+        [sys.executable,
+         str(Path(__file__).resolve().parent.parent
+             / "tools" / "gen_tokenizer_fixtures.py"),
+         str(model_dir), "--prompts", str(pf), "--check",
+         "--out", str(tmp_path / "ids.txt")],
+        capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stdout[-3000:] + r.stderr[-2000:]
+
+
+# ---------------------------------------------------------------------------
+# Property-based fuzz vs the oracle
+# ---------------------------------------------------------------------------
+
+hypothesis = pytest.importorskip("hypothesis")
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_text = st.text(
+    alphabet=st.one_of(
+        st.characters(min_codepoint=0x20, max_codepoint=0x7E),
+        st.characters(min_codepoint=0xA0, max_codepoint=0x2FF),
+        st.characters(min_codepoint=0x3000, max_codepoint=0x30FF),
+        st.characters(min_codepoint=0x4E00, max_codepoint=0x9FFF),
+        st.characters(min_codepoint=0xAC00, max_codepoint=0xD7A3),
+        st.characters(min_codepoint=0xF900, max_codepoint=0xFAFF),
+        st.characters(min_codepoint=0xFF00, max_codepoint=0xFFEF),
+        st.characters(min_codepoint=0x1F300, max_codepoint=0x1F6FF),
+        st.characters(min_codepoint=0x20000, max_codepoint=0x2BFFF),
+        st.characters(),  # anything else unicode
+    ),
+    max_size=60)
+
+
+@settings(max_examples=300, deadline=None, derandomize=True)
+@given(_text)
+def test_fuzz_python_matches_oracle(py_tok, oracle, text):
+    assert py_tok.encode(text) == oracle.encode(text).ids, repr(text)
+
+
+@settings(max_examples=300, deadline=None, derandomize=True)
+@given(_text)
+def test_fuzz_native_matches_oracle(native_tok, oracle, text):
+    assert native_tok.encode(text) == oracle.encode(text).ids, repr(text)
