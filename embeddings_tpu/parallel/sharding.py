@@ -123,6 +123,45 @@ def param_pspecs(params: Params, mesh: Mesh) -> Params:
     }
 
 
+def adapt_packed_params(params: Params, mesh: Mesh) -> Params:
+    """Keep true-4-bit packed weights under tensor parallelism wherever the
+    shards stay valid, unpacking only the exceptions.
+
+    Column-parallel weights (q/k/v, FFN-up) shard along N, which never
+    touches the packed-row axis — always fine packed. Row-parallel weights
+    (attn-out, FFN-down) shard along K: each shard must hold whole
+    group-64 nibble packs, i.e. (K/2)/tp % 32 == 0. When it does not
+    (e.g. MiniLM K=384 at tp=4), only that weight falls back to int8
+    codes; the rest of the model keeps the halved HBM weight footprint.
+    (Replaces the round-1 behavior of unpacking EVERYTHING under a mesh.)
+    """
+    tp = mesh.shape.get(MODEL_AXIS, 1)
+
+    def shardable_packed(w: QuantizedTensor) -> bool:
+        rows = w.codes.shape[-2]  # packed rows = K/2
+        return rows % tp == 0 and (rows // tp) % 32 == 0
+
+    def unpack_one(w: QuantizedTensor) -> QuantizedTensor:
+        from ..ops.quant import codes_int8
+        return QuantizedTensor(jnp.asarray(codes_int8(w)), w.scales,
+                               w.mins, w.kind, w.block_axis, packed=False)
+
+    if tp <= 1:
+        return params
+    out = dict(params)
+    out["layers"] = dict(params["layers"])
+    for grp, name in (("attn", "o"), ("mlp", "down")):
+        node = dict(out["layers"][grp])
+        lin = dict(node[name])
+        w = lin["w"]
+        if (isinstance(w, QuantizedTensor) and w.packed
+                and w.block_axis == -2 and not shardable_packed(w)):
+            lin["w"] = unpack_one(w)
+            node[name] = lin
+            out["layers"][grp] = node
+    return out
+
+
 def _tree_map_qt(f, specs, params):
     """Map f(spec_leaf, param_leaf) over congruent trees where
     QuantizedTensor is treated as an internal node on both sides."""

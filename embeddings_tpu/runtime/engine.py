@@ -331,17 +331,15 @@ def load_model(path: str | Path, *, dtype: str = "f32",
     if dtype != "f32" and not already_quant:
         params = P.quantize_params(params, dtype)
     if dtype.startswith("q4"):
-        if mesh is None:
-            # store q4 matmul weights truly 4-bit (2 codes/byte): halves
-            # the HBM weight footprint and the weight-read bandwidth that
-            # bounds small-batch latency
-            params = P.pack_q4_params(params)
-        else:
-            # tensor-parallel shards of the group-64 packed layout are
-            # only valid when every shard keeps whole packed groups —
-            # small models' TP factors break that, so mesh engines use
-            # int8 codes (packed checkpoints are unpacked on load)
-            params = P.unpack_q4_params(params)
+        # store q4 matmul weights truly 4-bit (2 codes/byte): halves the
+        # HBM weight footprint and the weight-read bandwidth that bounds
+        # small-batch latency
+        params = P.pack_q4_params(params)
+        if mesh is not None:
+            # keep packed under TP; only row-parallel weights whose
+            # K-shards would split group-64 packs fall back to int8 codes
+            from ..parallel.sharding import adapt_packed_params
+            params = adapt_packed_params(params, mesh)
     config = dataclasses.replace(
         config,
         cls_token_id=tokenizer.cls_id, sep_token_id=tokenizer.sep_id,

@@ -141,10 +141,15 @@ def test_mesh_use_pallas_never_reaches_trace(cfg, dense_params):
     """use_pallas='never' must govern the shard_map path too: force
     'always' through a mesh forward and check it actually dispatches
     pallas (interpret mode works on CPU), proving the knob is live."""
-    import functools
+    import dataclasses
     import embeddings_tpu.ops.attention as attn_ops
     import embeddings_tpu.ops.qmatmul as qmm
-    qp = P.quantize_params(dense_params, "q4_0")
+    # fused attention needs lane-aligned dims (per-shard H*D % 128 == 0,
+    # ops/attention.supported); use a config that satisfies it under tp=2
+    cfg = BertConfig(vocab_size=256, hidden_size=256, num_hidden_layers=2,
+                     num_attention_heads=2, intermediate_size=512,
+                     max_position_embeddings=32)
+    qp = P.quantize_params(P.init_params(cfg, rng=0), "q4_0")
     mesh = make_mesh(dp=4, tp=2)
     sp = shard_params(qp, cfg, mesh)
     calls = []
@@ -175,27 +180,69 @@ def test_mesh_use_pallas_never_reaches_trace(cfg, dense_params):
     assert "attn" in calls and "qmm" in calls, calls
 
 
-def test_mesh_load_model_unpacks_q4(cfg, dense_params, small_vocab, tmp_path):
-    """A packed q4 checkpoint loaded into a mesh engine must unpack
-    (group-64 shards misalign for small models' TP factors) and still
-    produce correct embeddings."""
+def test_mesh_load_model_keeps_packed_q4_selectively(cfg, dense_params,
+                                                     small_vocab, tmp_path):
+    """A packed q4 checkpoint loaded into a mesh engine keeps the true
+    4-bit layout wherever the TP shards stay group-aligned, unpacking ONLY
+    the row-parallel weights whose K-shards would split group-64 packs.
+    Here (hidden=64, intermediate=128, tp=2): attn.o (K=64 -> 16 packed
+    rows/shard) must unpack; mlp.down (K=128 -> 32/shard) and all
+    column-parallel weights stay packed. Embeddings still match the
+    single-device packed engine."""
     import dataclasses
     from embeddings_tpu.config import EngineConfig
     from embeddings_tpu.ops.quant import QuantizedTensor
     from embeddings_tpu.runtime.engine import load_model
-    from embeddings_tpu.tokenizer import WordPieceVocab
     cfg2 = dataclasses.replace(cfg, vocab_size=len(small_vocab))
     qp = P.pack_q4_params(P.quantize_params(
         P.init_params(cfg2, rng=0), "q4_0"))
     P.save_native(str(tmp_path / "m.npz"), qp, cfg2)
     (tmp_path / "vocab.txt").write_text("\n".join(small_vocab))
+    ec = EngineConfig(seq_buckets=(16,), max_seq_len=16,
+                      batch_size=8, batch_buckets=(8,))
     eng = load_model(tmp_path / "m.npz", dtype="q4_0",
-                     engine_config=EngineConfig(seq_buckets=(16,),
-                                                max_seq_len=16,
-                                                batch_size=8,
-                                                batch_buckets=(8,)),
-                     mesh=make_mesh(dp=4, tp=2))
-    w = eng.params["layers"]["attn"]["o"]["w"]
-    assert isinstance(w, QuantizedTensor) and not w.packed
+                     engine_config=ec, mesh=make_mesh(dp=4, tp=2))
+    layers = eng.params["layers"]
+    o_w = layers["attn"]["o"]["w"]
+    assert isinstance(o_w, QuantizedTensor) and not o_w.packed
+    for grp, name in (("attn", "q"), ("attn", "k"), ("attn", "v"),
+                      ("mlp", "up"), ("mlp", "down")):
+        w = layers[grp][name]["w"]
+        assert isinstance(w, QuantizedTensor) and w.packed, (grp, name)
     out = eng.encode_batch(["hello world"] * 8)
     assert np.isfinite(out).all() and out.shape == (8, cfg2.hidden_size)
+    single = load_model(tmp_path / "m.npz", dtype="q4_0",
+                        engine_config=dataclasses.replace(ec))
+    ref = single.encode_batch(["hello world"] * 8)
+    np.testing.assert_allclose(out, ref, atol=2e-4, rtol=1e-3)
+
+
+def test_mesh_fully_packed_q4_parity(small_vocab, tmp_path):
+    """Production-shaped dims (K % 64*tp == 0 everywhere): ALL matmul
+    weights stay packed under tp=2 and the mesh engine matches the
+    single-device packed engine."""
+    import dataclasses
+    from embeddings_tpu.config import EngineConfig
+    from embeddings_tpu.ops.quant import QuantizedTensor
+    from embeddings_tpu.runtime.engine import load_model
+    cfg = BertConfig(vocab_size=len(small_vocab), hidden_size=256,
+                     num_hidden_layers=2, num_attention_heads=4,
+                     intermediate_size=512, max_position_embeddings=32)
+    qp = P.pack_q4_params(P.quantize_params(P.init_params(cfg, rng=1),
+                                            "q4_0"))
+    P.save_native(str(tmp_path / "m.npz"), qp, cfg)
+    (tmp_path / "vocab.txt").write_text("\n".join(small_vocab))
+    ec = EngineConfig(seq_buckets=(16,), max_seq_len=16,
+                      batch_size=8, batch_buckets=(8,))
+    eng = load_model(tmp_path / "m.npz", dtype="q4_0",
+                     engine_config=ec, mesh=make_mesh(dp=4, tp=2))
+    for grp, name in (("attn", "q"), ("attn", "k"), ("attn", "v"),
+                      ("attn", "o"), ("mlp", "up"), ("mlp", "down")):
+        w = eng.params["layers"][grp][name]["w"]
+        assert isinstance(w, QuantizedTensor) and w.packed, (grp, name)
+    texts = ["hello world", "the quick brown fox"] * 4
+    out = eng.encode_batch(texts)
+    single = load_model(tmp_path / "m.npz", dtype="q4_0",
+                        engine_config=dataclasses.replace(ec))
+    np.testing.assert_allclose(out, single.encode_batch(texts),
+                               atol=2e-4, rtol=1e-3)
