@@ -76,6 +76,12 @@ def embed(params: Params, config: BertConfig, token_ids: jax.Array,
 def _fused_attn_dispatch(qkv2d, lengths, segments, B, L, H, D):
     from ..ops import attention as attn_ops
     if segments is not None:
+        if L > attn_ops.BQ and L % attn_ops.BQ == 0:
+            # long packed rows: skip key blocks sharing no segment with
+            # the query block (the O(L^2) cross-segment waste is what
+            # previously pinned packed rows to 128 tokens)
+            return attn_ops.fused_attention_segmented_blockskip(
+                qkv2d, segments, B=B, L=L, H=H, D=D)
         return attn_ops.fused_attention_segmented(
             qkv2d, segments, B=B, L=L, H=H, D=D)
     return attn_ops.fused_attention(qkv2d, lengths, B=B, L=L, H=H, D=D)

@@ -119,6 +119,140 @@ def _attn_kernel_segmented(q_ref, k_ref, v_ref, segq_ref, segk_ref, o_ref, *,
         o_ref[:, sl] = (of[:, :D] * (1.0 / denom)).astype(o_ref.dtype)
 
 
+BQ = 128  # query rows per block in the block-skipping segmented kernel
+
+
+def _attn_kernel_seg_blockskip(kbs_ref, kbe_ref, q_ref, k_ref, v_ref,
+                               segq_ref, segk_ref, o_ref, *,
+                               L: int, D: int, H: int, scale: float):
+    """Block-skipping variant of _attn_kernel_segmented: packing keeps each
+    row's segments contiguous and ascending, so for every 128-row query
+    block the key blocks sharing a segment form a contiguous range —
+    host/XLA precomputes it (packing.block_ranges) and the kernel fori_loops
+    over exactly those blocks instead of the full [L, L] tile. Cuts the
+    packed kernel's cross-segment waste from O(L^2) to O(L*overlap),
+    making long packed rows (256-512) profitable.
+
+    kbs/kbe: [B, L/BQ] int32 scalar-prefetch — first/last (inclusive) key
+    block per query block; kbe < kbs for all-pad blocks (loop runs empty).
+    segq_ref: [L, 1] this row's segment ids; segk_ref: [B*nK, BK] the
+    block-major segment table (seg.reshape) so key blocks are sublane-
+    dynamic slices."""
+    b = pl.program_id(0)
+    nQ = L // BQ
+    nK = L // BQ
+    s2 = scale * LOG2E
+    aug_col = jax.lax.broadcasted_iota(jnp.int32, (BQ, 2 * D), 1)
+    for h in range(H):
+        sl = slice(h * D, (h + 1) * D)
+        for qb in range(nQ):
+            qsl = slice(qb * BQ, (qb + 1) * BQ)
+            q = q_ref[qsl, sl]
+            segq = segq_ref[qsl, :]                       # [BQ, 1]
+
+            def body(kb, acc):
+                ksl = pl.dslice(kb * BQ, BQ)
+                k = k_ref[ksl, sl]                        # [BQ, D]
+                vaug = jnp.where(
+                    aug_col == D, jnp.ones((), v_ref.dtype),
+                    jnp.pad(v_ref[ksl, sl], ((0, 0), (0, D))))
+                segk = segk_ref[pl.dslice(b * nK + kb, 1), :]   # [1, BQ]
+                key_ok = (segq == segk) & (segk >= 0)
+                s = jax.lax.dot_general(
+                    q, k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32) * s2
+                s = jnp.clip(s, _CLAMP_LO, _CLAMP_HI)
+                p = jnp.where(key_ok, jnp.exp2(s), 0.0).astype(q.dtype)
+                return acc + jax.lax.dot(
+                    p, vaug, preferred_element_type=jnp.float32)
+
+            acc = jax.lax.fori_loop(
+                kbs_ref[b, qb], kbe_ref[b, qb] + 1, body,
+                jnp.zeros((BQ, 2 * D), jnp.float32))
+            denom = jnp.maximum(acc[:, D:D + 1], 1e-30)
+            o_ref[qsl, sl] = (acc[:, :D] * (1.0 / denom)).astype(o_ref.dtype)
+
+
+def block_ranges(seg_ids: jax.Array, L: int) -> tuple[jax.Array, jax.Array]:
+    """[B, L] segment ids -> (kbs, kbe) [B, L/BQ] int32: the first/last
+    key block overlapping each query block's segment span. Pure jnp (runs
+    fused inside the jitted forward; values are runtime data, shapes are
+    static). All-pad query blocks get (nK, -1) so the kernel loop is empty.
+    """
+    B = seg_ids.shape[0]
+    nQ = L // BQ
+    segb = seg_ids.reshape(B, nQ, BQ)
+    valid = segb >= 0
+    big = jnp.int32(1 << 30)
+    smin = jnp.min(jnp.where(valid, segb, big), axis=-1)      # [B, nQ]
+    smax = jnp.max(jnp.where(valid, segb, -1), axis=-1)
+    s = seg_ids[:, None, :]                                   # [B, 1, L]
+    in_span = ((s >= smin[..., None]) & (s <= smax[..., None]) & (s >= 0))
+    pos = jnp.arange(L, dtype=jnp.int32)[None, None, :]
+    first = jnp.min(jnp.where(in_span, pos, L), axis=-1)      # [B, nQ]
+    last = jnp.max(jnp.where(in_span, pos, -1), axis=-1)
+    return (first // BQ).astype(jnp.int32), \
+        jnp.where(last < 0, -1, last // BQ).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("B", "L", "H", "D",
+                                             "mask_value", "interpret"))
+def fused_attention_segmented_blockskip(
+        qkv: jax.Array, seg_ids: jax.Array, *, B: int, L: int, H: int,
+        D: int, mask_value: float = -1e9,
+        interpret: bool = False) -> jax.Array:
+    """Block-skipping fused_attention_segmented (requires L % 128 == 0).
+
+    Same contract as fused_attention_segmented; prefer this for packed
+    rows longer than 128 tokens."""
+    E = H * D
+    M = B * L
+    assert qkv.shape == (M, 3 * E), (qkv.shape, (M, 3 * E))
+    assert seg_ids.shape == (B, L), seg_ids.shape
+    assert L % BQ == 0 and supported(L, H, D), (L, H, D)
+    nK = L // BQ
+    kbs, kbe = block_ranges(seg_ids, L)
+    seg_col = seg_ids.reshape(M, 1)
+    seg_blk = seg_ids.reshape(B * nK, BQ)
+
+    kernel = functools.partial(_attn_kernel_seg_blockskip, L=L, D=D, H=H,
+                               scale=1.0 / (D ** 0.5))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((L, E), lambda b, *_: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, E), lambda b, *_: (b, 1),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, E), lambda b, *_: (b, 2),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, 1), lambda b, *_: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B * nK, BQ), lambda b, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((L, E), lambda b, *_: (b, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    # average over uniformly packed rows: each query block touches ~2 of
+    # nK key blocks, so flops scale with 2/nK of the dense tile
+    flops = 2 * 2 * B * H * L * min(2 * BQ, L) * D
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((M, E), qkv.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=M * 4 * E * qkv.dtype.itemsize,
+            transcendentals=B * H * L * min(2 * BQ, L)),
+        interpret=interpret,
+    )(kbs, kbe, qkv, qkv, qkv, seg_col, seg_blk)
+
+
 @functools.partial(jax.jit, static_argnames=("B", "L", "H", "D",
                                              "mask_value", "interpret"))
 def fused_attention_segmented(qkv: jax.Array, seg_ids: jax.Array, *, B: int,

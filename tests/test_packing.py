@@ -93,6 +93,99 @@ def test_packed_matches_unpacked(rng, tiny_config, pooling):
     np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-3)
 
 
+def test_block_ranges():
+    from embeddings_tpu.ops.attention import BQ, block_ranges
+    L = 2 * BQ
+    seg = np.full((3, L), -1, np.int32)
+    # row 0: seg 0 spans [0, 100), seg 1 [100, 150), seg 2 [150, 260)
+    seg[0, :100] = 0
+    seg[0, 100:150] = 1
+    seg[0, 150:256] = 2
+    # row 1: one segment entirely inside the first block
+    seg[1, :40] = 0
+    # row 2: all pad
+    kbs, kbe = block_ranges(jnp.asarray(seg), L)
+    kbs, kbe = np.asarray(kbs), np.asarray(kbe)
+    # row 0 qblock 0 holds segs 0-2 spanning tokens [0, 256) -> blocks 0-1
+    assert (kbs[0, 0], kbe[0, 0]) == (0, 1)
+    # row 0 qblock 1 holds segs 1-2 spanning [100, 256) -> blocks 0-1
+    assert (kbs[0, 1], kbe[0, 1]) == (0, 1)
+    # row 1 qblock 0: seg 0 spans [0, 40) -> block 0 only (skip saves 50%)
+    assert (kbs[1, 0], kbe[1, 0]) == (0, 0)
+    # empty query blocks run a zero-trip loop
+    assert kbe[1, 1] < kbs[1, 1]
+    assert (kbe[2] < kbs[2]).all()
+
+
+def test_blockskip_kernel_matches_full_segmented(rng):
+    """fused_attention_segmented_blockskip == fused_attention_segmented on
+    packed rows of 256 tokens (interpret mode)."""
+    from embeddings_tpu.ops.attention import (
+        fused_attention_segmented, fused_attention_segmented_blockskip)
+    B, L, H, D = 3, 256, 2, 64
+    E = H * D
+    qkv = jnp.asarray(rng.standard_normal((B * L, 3 * E)), jnp.float32)
+    seg = np.full((B, L), -1, np.int32)
+    cuts = [(0, [0, 90, 130, 200, 256]),      # segments straddle blocks
+            (1, [0, 256]),                    # one full-row segment
+            (2, [0, 60])]                     # short row, mostly pad
+    for b, edges in cuts:
+        for s, (lo, hi) in enumerate(zip(edges[:-1], edges[1:])):
+            seg[b, lo:hi] = s
+    segj = jnp.asarray(seg)
+    ref = np.asarray(fused_attention_segmented(
+        qkv, segj, B=B, L=L, H=H, D=D, interpret=True), np.float32)
+    got = np.asarray(fused_attention_segmented_blockskip(
+        qkv, segj, B=B, L=L, H=H, D=D, interpret=True), np.float32)
+    valid = (seg >= 0).reshape(B * L)
+    np.testing.assert_allclose(got[valid], ref[valid], atol=2e-3, rtol=1e-2)
+    assert np.isfinite(got).all()
+
+
+def test_packed_long_rows_blockskip_end_to_end(rng, tiny_config):
+    """encode_packed at row_len=256 routes through the blockskip kernel
+    and matches the einsum path."""
+    import dataclasses
+    import functools
+    import importlib
+    from embeddings_tpu.models import params as P2
+    import embeddings_tpu.ops.attention as attn_ops
+    linmod = importlib.import_module("embeddings_tpu.ops.linear")
+
+    cfg = dataclasses.replace(tiny_config, num_attention_heads=2,
+                              hidden_size=128,
+                              max_position_embeddings=256)
+    params = P2.fuse_qkv(P2.init_params(cfg, rng=0))
+    toks = [list(rng.integers(5, cfg.vocab_size, size=int(n)))
+            for n in rng.integers(20, 120, size=7)]
+    batches = plan_packing([len(t) for t in toks], row_len=256,
+                           batch_rows=4)
+    b = batches[0]
+    pids, seg, pos, pool, mapping = materialize(b, toks, pad_id=0)
+    args = (params, cfg, jnp.asarray(pids), jnp.asarray(seg),
+            jnp.asarray(pos), jnp.asarray(pool))
+    ref = np.asarray(bert.encode_packed(*args))  # einsum path (CPU)
+
+    calls = []
+    orig = attn_ops.fused_attention_segmented_blockskip
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return orig(*a, interpret=True, **kw)
+
+    attn_ops.fused_attention_segmented_blockskip = spy
+    try:
+        with linmod.pallas_mode("always"):
+            got = np.asarray(bert.encode_packed(*args))
+    finally:
+        attn_ops.fused_attention_segmented_blockskip = orig
+    assert calls, "blockskip kernel was not dispatched at row_len=256"
+    for r, s, i in mapping:
+        cos = float((got[r, s] * ref[r, s]).sum())
+        assert cos > 0.999, (r, s, cos)
+    assert np.isfinite(got).all()
+
+
 def test_segmented_fused_kernel_matches_einsum(rng, tiny_config):
     """Pallas segmented attention (interpret mode) == packed einsum path."""
     import dataclasses
