@@ -117,27 +117,49 @@ def main() -> int:
         from embeddings_tpu.runtime.engine import Engine
         from embeddings_tpu.tokenizer import WordPieceTokenizer, WordPieceVocab
         arch = KNOWN_MODELS[args.random]
-        # random model + deterministic synthetic vocab (hash-bucketed)
-        cfg = BertConfig(**{**arch, "vocab_size": arch.get("vocab_size", 30522)})
-        base = P.init_params(cfg, rng=0)
-        tokens = (["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"]
-                  + [f"tok{i}" for i in range(cfg.vocab_size - 5)])
-        tok = WordPieceTokenizer(WordPieceVocab.from_tokens(tokens))
-        # hash words onto the synthetic vocab so texts map deterministically
-        # across processes (builtin hash() is salted; crc32 is stable)
-        import zlib
+        big_vocab = (Path(__file__).resolve().parent.parent
+                     / "tests" / "fixtures" / "big_vocab" / "vocab.txt")
+        if big_vocab.exists():
+            # real WordPiece over the committed 23k-token conformance
+            # vocab: genuine multi-token tokenization of the corpus (the
+            # hash-bucketed fallback below maps one word -> one id)
+            vocab_tokens = big_vocab.read_text(
+                encoding="utf-8").splitlines()
+            cfg = BertConfig(**{**arch, "vocab_size": len(vocab_tokens)})
+            base = P.init_params(cfg, rng=0)
+            tok = WordPieceTokenizer(WordPieceVocab.from_tokens(vocab_tokens))
 
-        def hashed_wordpiece(word: str):
-            return [5 + (zlib.crc32(word.encode()) % (cfg.vocab_size - 5))]
-        tok.wordpiece = hashed_wordpiece  # type: ignore[method-assign]
+            def make_engine(dt):
+                p = base if dt == "f32" else P.quantize_params(base, dt)
+                return Engine(p, cfg, tok,
+                              EngineConfig(batch_size=args.batch))
+        else:
+            # fallback: deterministic synthetic vocab (hash-bucketed)
+            cfg = BertConfig(**{**arch,
+                                "vocab_size": arch.get("vocab_size", 30522)})
+            base = P.init_params(cfg, rng=0)
+            tokens = (["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"]
+                      + [f"tok{i}" for i in range(cfg.vocab_size - 5)])
+            tok = WordPieceTokenizer(WordPieceVocab.from_tokens(tokens))
+            # hash words onto the synthetic vocab so texts map
+            # deterministically across processes (builtin hash() is
+            # salted; crc32 is stable)
+            import zlib
 
-        def make_engine(dt):
-            p = base if dt == "f32" else P.quantize_params(base, dt)
-            eng = Engine(p, cfg, tok, EngineConfig(batch_size=args.batch))
-            # the native fast tokenizer rebuilds from the vocab and would
-            # silently bypass the hashed monkeypatch (every word -> [UNK])
-            eng._fast_tokenizer = None
-            return eng
+            def hashed_wordpiece(word: str):
+                return [5 + (zlib.crc32(word.encode())
+                             % (cfg.vocab_size - 5))]
+            tok.wordpiece = hashed_wordpiece  # type: ignore[method-assign]
+
+            def make_engine(dt):
+                p = base if dt == "f32" else P.quantize_params(base, dt)
+                eng = Engine(p, cfg, tok,
+                             EngineConfig(batch_size=args.batch))
+                # the native fast tokenizer rebuilds from the vocab and
+                # would silently bypass the hashed monkeypatch (every
+                # word -> [UNK])
+                eng._fast_tokenizer = None
+                return eng
     else:
         if not args.model:
             print("need -m MODEL or --random ARCH", file=sys.stderr)

@@ -30,7 +30,8 @@ from embeddings_tpu.config import BertConfig, KNOWN_MODELS
 from embeddings_tpu.models import bert, params as P
 from embeddings_tpu.ops.linear import pallas_mode
 from embeddings_tpu.runtime.batching import plan_batches
-from embeddings_tpu.runtime.packing import materialize, plan_packing
+from embeddings_tpu.runtime.packing import (materialize, max_block_span,
+                                            plan_packing)
 from embeddings_tpu.utils.benchmarking import device_time_us
 
 N_SENT = 2758          # STSB test-split sentence count (the ref's corpus)
@@ -55,25 +56,30 @@ def bench_packed(cfg, params, toks, row_len: int) -> dict:
     batches = plan_packing([len(t) for t in toks], row_len, batch_rows,
                            max_segs=max(2, row_len // 8))
 
-    def fwd(ids, p, seg, pos, pool):
+    def fwd(ids, p, seg, pos, pool, w):
         with pallas_mode("always"):
             return bert.encode_packed(p, cfg, ids, seg, pos, pool,
-                                      compute_dtype="bfloat16")
+                                      compute_dtype="bfloat16",
+                                      attn_window=w)
 
     total_us = 0.0
     shapes = {}
+    windows = set()
     for b in batches:
         b.batch = batch_rows  # one stable shape family
         key = (b.batch, b.seq, b.n_seg)
         if key not in shapes:
             ids, seg, pos, pool, _ = materialize(b, toks, 0, "mean")
+            w = max_block_span(seg) if row_len > 128 else 0
+            windows.add(w)
             args = tuple(jnp.asarray(x) for x in (ids, seg, pos, pool))
             shapes[key] = device_time_us(
-                lambda ids, p, *rest: fwd(ids, p, *rest),
+                lambda ids, p, *rest: fwd(ids, p, *rest, w),
                 (args[0], params) + args[1:], lo=10, hi=40)
         total_us += shapes[key]
     return {"strategy": f"packed{row_len}", "dispatches": len(batches),
             "tokens": int(sum(b.batch * b.seq for b in batches)),
+            "attn_window": sorted(windows),
             "device_ms": total_us / 1e3}
 
 

@@ -73,15 +73,23 @@ def embed(params: Params, config: BertConfig, token_ids: jax.Array,
     return layer_norm(x, emb["ln"]["scale"], emb["ln"]["bias"], config.layer_norm_eps)
 
 
-def _fused_attn_dispatch(qkv2d, lengths, segments, B, L, H, D):
+def _fused_attn_dispatch(qkv2d, lengths, segments, B, L, H, D,
+                         attn_window=0):
     from ..ops import attention as attn_ops
     if segments is not None:
-        if L > attn_ops.BQ and L % attn_ops.BQ == 0:
-            # long packed rows: skip key blocks sharing no segment with
-            # the query block (the O(L^2) cross-segment waste is what
-            # previously pinned packed rows to 128 tokens)
+        nK = L // attn_ops.BQ
+        if (L > attn_ops.BQ and L % attn_ops.BQ == 0
+                and 0 < attn_window <= nK - 2):
+            # long packed rows with a known small window: only compute
+            # key blocks sharing a segment with the query block (the
+            # O(L^2) cross-segment waste is what previously pinned packed
+            # rows to 128 tokens). attn_window comes from the host
+            # (packing.max_block_span) — it is a static shape parameter.
+            # Threshold nK-2: the windowed kernel's per-block overhead
+            # (~25% on v5e) needs >= 2 skipped blocks to pay off; at one
+            # saved block the monolithic [L, L] tile is still faster.
             return attn_ops.fused_attention_segmented_blockskip(
-                qkv2d, segments, B=B, L=L, H=H, D=D)
+                qkv2d, segments, B=B, L=L, H=H, D=D, window=attn_window)
         return attn_ops.fused_attention_segmented(
             qkv2d, segments, B=B, L=L, H=H, D=D)
     return attn_ops.fused_attention(qkv2d, lengths, B=B, L=L, H=H, D=D)
@@ -90,7 +98,8 @@ def _fused_attn_dispatch(qkv2d, lengths, segments, B, L, H, D):
 def attention_context(layer: Params, config: BertConfig, x: jax.Array,
                       mask_bias: jax.Array,
                       lengths: jax.Array | None = None,
-                      segments: jax.Array | None = None) -> jax.Array:
+                      segments: jax.Array | None = None,
+                      attn_window: int = 0) -> jax.Array:
     """Pad-masked multi-head self-attention, up to (not including) the
     output projection (bert.cpp:994-1036). Returns [B, L, E_local]
     context. Under shard_map tensor parallelism the q/k/v weights are
@@ -113,7 +122,7 @@ def attention_context(layer: Params, config: BertConfig, x: jax.Array,
         if want_fused and _use_pallas() and attn_ops.supported(L, H, D):
             # fully fused VMEM attention: scores/probs never touch HBM
             ctx = _fused_attn_dispatch(qkv.reshape(B * L, 3 * El), lengths,
-                                       segments, B, L, H, D)
+                                       segments, B, L, H, D, attn_window)
             return ctx.reshape(B, L, El)
         q = qkv[..., :El].reshape(B, L, H, D)
         k = qkv[..., El:2 * El].reshape(B, L, H, D)
@@ -127,7 +136,7 @@ def attention_context(layer: Params, config: BertConfig, x: jax.Array,
             v = linear(x, a["v"]["w"], a["v"]["b"])
             qkv = jnp.concatenate([q, k, v], axis=-1)
             ctx = _fused_attn_dispatch(qkv.reshape(B * L, 3 * El), lengths,
-                                       segments, B, L, H, D)
+                                       segments, B, L, H, D, attn_window)
             return ctx.reshape(B, L, El)
         q = q.reshape(B, L, H, D)
         k = linear(x, a["k"]["w"], a["k"]["b"]).reshape(B, L, H, D)
@@ -166,7 +175,8 @@ def encoder_layer(layer: Params, config: BertConfig, x: jax.Array,
                   mask_bias: jax.Array,
                   lengths: jax.Array | None = None,
                   tp_axis: str | None = None,
-                  segments: jax.Array | None = None) -> jax.Array:
+                  segments: jax.Array | None = None,
+                  attn_window: int = 0) -> jax.Array:
     """One transformer encoder block (post-LN, bert.cpp:987-1084).
 
     Single-device: the two residual+LayerNorm steps run fused inside the
@@ -177,7 +187,8 @@ def encoder_layer(layer: Params, config: BertConfig, x: jax.Array,
     from ..ops.linear import linear_residual_ln
     a, m = layer["attn"], layer["mlp"]
     eps = config.layer_norm_eps
-    ctx = attention_context(layer, config, x, mask_bias, lengths, segments)
+    ctx = attention_context(layer, config, x, mask_bias, lengths, segments,
+                            attn_window)
     act = "gelu_tanh" if config.hidden_act == "gelu_tanh" else "gelu"
     if tp_axis is not None:
         x = _row_parallel_residual_ln(ctx, a["o"]["w"], a["o"]["b"], x,
@@ -270,7 +281,8 @@ def encode_packed(params: Params, config: BertConfig, token_ids: jax.Array,
                   normalize: bool | None = None,
                   mask_value: float = -1e9,
                   compute_dtype: str | None = None,
-                  tp_axis: str | None = None) -> jax.Array:
+                  tp_axis: str | None = None,
+                  attn_window: int = 0) -> jax.Array:
     """Forward over token-packed rows (runtime/packing.py).
 
     token_ids:    int32 [B, L], several sentences back-to-back per row.
@@ -295,7 +307,8 @@ def encode_packed(params: Params, config: BertConfig, token_ids: jax.Array,
 
     def body(h, layer):
         return encoder_layer(layer, config, h, mask_bias, None,
-                             tp_axis=tp_axis, segments=seg_ids), None
+                             tp_axis=tp_axis, segments=seg_ids,
+                             attn_window=attn_window), None
 
     x, _ = lax.scan(body, x, params["layers"])
     pooled = jnp.einsum("bsl,ble->bse", pool_weights, x.astype(jnp.float32))

@@ -222,19 +222,25 @@ class Engine:
             for r, s, i in mapping:
                 out[short[i]] = pooled[r, s]
 
+        from .packing import max_block_span
         for b in batches:
             b.batch = pick_bucket(len(b.rows), bb)  # pad row count
             ids, seg, pos, pool, mapping = materialize(
                 b, stoks, self.tokenizer.pad_id, self.config.pooling)
+            # static attention window for the block-skip kernel (host-side
+            # numpy; rows longer than 128 only attend within it). The max
+            # over n_seg-pinned batches is stable, so the jit cache holds
+            # at most a couple of window values per row_len.
+            w = max_block_span(seg) if row_len > 128 else 0
             pending.append((mapping,
-                            self._forward_packed(ids, seg, pos, pool)))
+                            self._forward_packed(ids, seg, pos, pool, w)))
             if len(pending) > window:
                 drain_one()
         while pending:
             drain_one()
         return out
 
-    def _forward_packed(self, ids, seg, pos, pool):
+    def _forward_packed(self, ids, seg, pos, pool, attn_window: int = 0):
         if not hasattr(self, "_packed_fn"):
             cd = self._compute_dtype  # resolved once in __init__
             mv = self.engine_config.mask_value
@@ -243,13 +249,15 @@ class Engine:
 
             from ..ops.linear import pallas_mode
 
-            def _fwd(p, ids, seg, pos, pool):
+            def _fwd(p, ids, seg, pos, pool, attn_window):
                 with pallas_mode(mode):
                     return bert.encode_packed(p, config, ids, seg, pos, pool,
-                                              compute_dtype=cd, mask_value=mv)
+                                              compute_dtype=cd, mask_value=mv,
+                                              attn_window=attn_window)
 
-            self._packed_fn = jax.jit(_fwd)
-        return self._packed_fn(self.params, ids, seg, pos, pool)
+            self._packed_fn = jax.jit(_fwd, static_argnames=("attn_window",))
+        return self._packed_fn(self.params, ids, seg, pos, pool,
+                               attn_window=attn_window)
 
     # -- shape warmup --------------------------------------------------------
     def warmup(self, batch_sizes: Sequence[int] | None = None,

@@ -90,6 +90,28 @@ def plan_packing(lengths: Sequence[int], row_len: int, batch_rows: int,
     return batches
 
 
+def max_block_span(seg: np.ndarray, block: int = 128) -> int:
+    """Host-side: the largest number of `block`-sized key blocks any
+    query block's segment span covers (the static `window` for
+    ops.attention.fused_attention_segmented_blockskip). seg is the
+    [B, L] segment-id array from materialize (-1 = pad)."""
+    B, L = seg.shape
+    if L % block:
+        return 0
+    n = L // block
+    span = 1
+    for b in range(B):
+        row = seg[b]
+        for qb in range(n):
+            blk = row[qb * block:(qb + 1) * block]
+            valid = blk[blk >= 0]
+            if valid.size == 0:
+                continue
+            idx = np.nonzero((row >= valid[0]) & (row <= valid[-1]))[0]
+            span = max(span, int(idx[-1]) // block - int(idx[0]) // block + 1)
+    return span
+
+
 def materialize(batch: PackedBatch, toks: Sequence[Sequence[int]],
                 pad_id: int, pooling: str = "mean",
                 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray,

@@ -135,16 +135,23 @@ def test_blockskip_kernel_matches_full_segmented(rng):
     segj = jnp.asarray(seg)
     ref = np.asarray(fused_attention_segmented(
         qkv, segj, B=B, L=L, H=H, D=D, interpret=True), np.float32)
-    got = np.asarray(fused_attention_segmented_blockskip(
-        qkv, segj, B=B, L=L, H=H, D=D, interpret=True), np.float32)
-    valid = (seg >= 0).reshape(B * L)
-    np.testing.assert_allclose(got[valid], ref[valid], atol=2e-3, rtol=1e-2)
-    assert np.isfinite(got).all()
+    from embeddings_tpu.runtime.packing import max_block_span
+    for window in (max_block_span(seg), 0):  # exact window and full width
+        got = np.asarray(fused_attention_segmented_blockskip(
+            qkv, segj, B=B, L=L, H=H, D=D, window=window,
+            interpret=True), np.float32)
+        valid = (seg >= 0).reshape(B * L)
+        np.testing.assert_allclose(got[valid], ref[valid],
+                                   atol=2e-3, rtol=1e-2)
+        assert np.isfinite(got).all()
 
 
 def test_packed_long_rows_blockskip_end_to_end(rng, tiny_config):
-    """encode_packed at row_len=256 routes through the blockskip kernel
-    and matches the einsum path."""
+    """encode_packed at row_len=640 routes through the blockskip kernel
+    (window <= nK-2: segments span at most 3 of the 5 key blocks) and
+    matches the einsum path. Rows this long are the long-context
+    extension territory where the windowed kernel pays off; at L <= 512
+    the monolithic segmented kernel is dispatched instead."""
     import dataclasses
     import functools
     import importlib
@@ -154,14 +161,19 @@ def test_packed_long_rows_blockskip_end_to_end(rng, tiny_config):
 
     cfg = dataclasses.replace(tiny_config, num_attention_heads=2,
                               hidden_size=128,
-                              max_position_embeddings=256)
+                              max_position_embeddings=640)
     params = P2.fuse_qkv(P2.init_params(cfg, rng=0))
+    # segments shorter than one block span at most 3 key blocks (start
+    # in the previous block, end in the next), so window <= 3 <= nK-2 = 3
     toks = [list(rng.integers(5, cfg.vocab_size, size=int(n)))
-            for n in rng.integers(20, 120, size=7)]
-    batches = plan_packing([len(t) for t in toks], row_len=256,
+            for n in rng.integers(20, 120, size=16)]
+    batches = plan_packing([len(t) for t in toks], row_len=640,
                            batch_rows=4)
     b = batches[0]
     pids, seg, pos, pool, mapping = materialize(b, toks, pad_id=0)
+    from embeddings_tpu.runtime.packing import max_block_span
+    window = max_block_span(seg)
+    assert 1 <= window <= 3, window
     args = (params, cfg, jnp.asarray(pids), jnp.asarray(seg),
             jnp.asarray(pos), jnp.asarray(pool))
     ref = np.asarray(bert.encode_packed(*args))  # einsum path (CPU)
@@ -170,16 +182,18 @@ def test_packed_long_rows_blockskip_end_to_end(rng, tiny_config):
     orig = attn_ops.fused_attention_segmented_blockskip
 
     def spy(*a, **kw):
-        calls.append(1)
+        calls.append(kw.get("window"))
         return orig(*a, interpret=True, **kw)
 
     attn_ops.fused_attention_segmented_blockskip = spy
     try:
         with linmod.pallas_mode("always"):
-            got = np.asarray(bert.encode_packed(*args))
+            got = np.asarray(bert.encode_packed(*args,
+                                                attn_window=window))
     finally:
         attn_ops.fused_attention_segmented_blockskip = orig
-    assert calls, "blockskip kernel was not dispatched at row_len=256"
+    assert calls and calls[0] == window, \
+        "blockskip kernel was not dispatched at row_len=256"
     for r, s, i in mapping:
         cos = float((got[r, s] * ref[r, s]).sum())
         assert cos > 0.999, (r, s, cos)
