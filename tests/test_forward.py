@@ -215,8 +215,9 @@ def test_prefix_mask_false_routes_einsum(rng, tiny_config):
     import embeddings_tpu.ops.attention as attn_ops
     linmod = importlib.import_module("embeddings_tpu.ops.linear")
 
+    # fused attention requires H*D % 128 == 0 (ops/attention.supported)
     cfg = dataclasses.replace(tiny_config, num_attention_heads=2,
-                              hidden_size=64)
+                              hidden_size=128)
     params = P.fuse_qkv(P.init_params(cfg, rng=0))
     ids = rng.integers(5, cfg.vocab_size, (2, 16)).astype(np.int32)
     mask = np.ones((2, 16), np.int32)
