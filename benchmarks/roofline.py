@@ -1,19 +1,29 @@
-"""Roofline reproduction: measured TF/s of every fused dequant-matmul at
-the headline bench shapes vs the chip's dense-bf16 MXU ceiling.
+"""Roofline reproduction: per-op TF/s of the production forward, from a
+device profile of the exact headline-bench program.
 
 Backs the kernel-efficiency claims in docs/kernels.md with a committed,
-re-runnable artifact (benchmarks/results/roofline.json). Method: the
-slope-timing harness (utils/benchmarking.py) on (a) a plain XLA bf16
-matmul per shape — the practical MXU ceiling for that shape on this
-chip — and (b) the Pallas q4_0 kernel with its production epilogue.
+re-runnable artifact (benchmarks/results/roofline.json). Method: run the
+jitted bge-base q4_0 forward (B=128, L=256 — bench.py's configuration)
+under jax.profiler, parse the Chrome trace, and attribute device time to
+each Pallas kernel; TF/s = known per-op flops / measured time. A plain
+dense-bf16 matmul of the largest shape is profiled alongside as the
+chip's practical MXU ceiling.
+
+(An earlier version timed each op standalone in a slope loop; the loop's
+data-dependence feedback taxed fast ops by ~25% — profiling the real
+program is both simpler and honest.)
 
 Run on the TPU (default env): python benchmarks/roofline.py
 """
 
 from __future__ import annotations
 
+import collections
+import glob
+import gzip
 import json
 import sys
+import tempfile
 from pathlib import Path
 
 import numpy as np
@@ -23,78 +33,110 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import jax
 import jax.numpy as jnp
 
-from embeddings_tpu.ops.linear import linear, linear_residual_ln, pallas_mode
-from embeddings_tpu.ops.quant import (QuantizedTensor, pack_q4,
-                                      quantize_q4_0)
-from embeddings_tpu.utils.benchmarking import device_time_us
+from embeddings_tpu.config import BertConfig, KNOWN_MODELS
+from embeddings_tpu.models import bert, params as P
+from embeddings_tpu.ops.linear import pallas_mode
 
-M = 128 * 256  # headline bench: B=128, L=256 tokens
-# bge-base layer matmuls: (name, K, N, production op)
-SHAPES = [
-    ("qkv_proj", 768, 2304, "linear"),
-    ("attn_out+res_ln", 768, 768, "residual_ln"),
-    ("ffn_up+gelu", 768, 3072, "gelu"),
-    ("ffn_down+res_ln", 3072, 768, "residual_ln"),
-]
-# loop counts large enough that the slope dwarfs relay RTT variance
-# (per-iter times are 0.2-0.6 ms; 300 extra iters = 60-180 ms of slope)
-LO, HI, REPS = 100, 400, 4
+B, L = 128, 256
+REPS = 5
 
 
-def measure(name, K, N, op):
+def profile_op_times() -> tuple[dict, float, float]:
+    cfg = BertConfig(**{**KNOWN_MODELS["bge-base-en-v1.5"],
+                        "vocab_size": 30528})
+    params = P.fuse_qkv(P.pack_q4_params(
+        P.quantize_params(P.init_params(cfg, rng=0), "q4_0")))
     rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.standard_normal((M, K)), jnp.bfloat16)
-    w = rng.standard_normal((K, N)).astype(np.float32)
-    codes, scales = quantize_q4_0(w)
-    qt = pack_q4(QuantizedTensor(jnp.asarray(codes), jnp.asarray(scales),
-                                 None, "q4_0", -2))
-    bias = jnp.asarray(rng.standard_normal(N), jnp.float32)
-    wd = jnp.asarray(w, jnp.bfloat16)
-    res = jnp.asarray(rng.standard_normal((M, N)), jnp.bfloat16)
-    ones = jnp.ones((N,), jnp.float32)
-    zeros = jnp.zeros((N,), jnp.float32)
-    flops = 2 * M * N * K
+    ids = jnp.asarray(rng.integers(0, 30000, (B, L)), jnp.int32)
+    mask = jnp.ones((B, L), jnp.int32)
 
-    dense_us = device_time_us(
-        lambda x, w: jnp.dot(x, w, preferred_element_type=jnp.float32
-                             ).astype(jnp.bfloat16),
-        (x, wd), lo=LO, hi=HI, reps=REPS)
+    @jax.jit
+    def fwd(p, ids, mask):
+        with pallas_mode("always"):
+            return bert.encode_tokens(p, cfg, ids, mask,
+                                      compute_dtype="bfloat16")
 
-    # the exact op the production forward dispatches (ops/linear.py)
-    if op == "residual_ln":
-        def body(x, r, b):
-            with pallas_mode("always"):
-                return linear_residual_ln(x, qt, b, r, ones, zeros, 1e-12)
-        q_us = device_time_us(body, (x, res, bias), lo=LO, hi=HI, reps=REPS)
-    else:
-        act = "gelu" if op == "gelu" else None
+    # dense ceiling probe: the FFN-up shape as a plain XLA bf16 matmul
+    x = jnp.asarray(rng.standard_normal((B * L, 768)), jnp.bfloat16)
+    wd = jnp.asarray(rng.standard_normal((768, 3072)), jnp.bfloat16)
 
-        def body(x, b):
-            with pallas_mode("always"):
-                return linear(x, qt, b, act=act)
-        q_us = device_time_us(body, (x, bias), lo=LO, hi=HI, reps=REPS)
-    return {
-        "matmul": name, "M": M, "K": K, "N": N, "op": op,
-        "dense_bf16_tfs": round(flops / dense_us / 1e6, 1),
-        "q4_packed_tfs": round(flops / q_us / 1e6, 1),
-        "pct_of_dense": round(100 * dense_us / q_us, 1),
-    }
+    @jax.jit
+    def dense(x, w):
+        return jnp.dot(x, w, preferred_element_type=jnp.float32
+                       ).astype(jnp.bfloat16)
+
+    fwd(params, ids, mask).block_until_ready()
+    dense(x, wd).block_until_ready()
+    d = tempfile.mkdtemp()
+    with jax.profiler.trace(d):
+        for _ in range(REPS):
+            fwd(params, ids, mask).block_until_ready()
+        for _ in range(REPS * 12):  # comparable sample count to 12 layers
+            dense(x, wd).block_until_ready()
+    tracef = glob.glob(d + "/**/*.trace.json.gz", recursive=True)[0]
+    ev = json.loads(gzip.open(tracef).read())["traceEvents"]
+    dur: collections.Counter = collections.Counter()
+    for e in ev:
+        if e.get("ph") == "X" and "dur" in e:
+            dur[e.get("name", "?")] += e["dur"]
+    qm = sorted(((n, us) for n, us in dur.items()
+                 if n.startswith("qmatmul")), key=lambda x: -x[1])
+    attn = sum(us for n, us in dur.items()
+               if n.startswith("fused_attention"))
+    total = dur.get("jit_fwd", 0) or sum(
+        us for n, us in dur.items() if n.startswith("jit_fwd"))
+    dense_us = sum(us for n, us in dur.items()
+                   if "dot" in n or n.startswith("jit_dense"))
+    return {"qmatmul": qm, "attn_us": attn / REPS,
+            "total_us": total / REPS}, dense_us / (REPS * 12), total
+
+
+# per-layer flops at M = B*L tokens (bge-base): name -> (K, N)
+MATMULS = {"qkv_proj": (768, 2304), "ffn_up+gelu": (768, 3072),
+           "ffn_down+res_ln": (3072, 768), "attn_out+res_ln": (768, 768)}
 
 
 def main() -> int:
-    results = [measure(*s) for s in SHAPES]
-    for r in results:
-        print(json.dumps(r), flush=True)
+    times, dense_us, _ = profile_op_times()
+    M = B * L
+    NL = 12
+    # attribute the profiled qmatmul entries to shapes by flop ranking:
+    # the trace names are opaque (qmatmul.N), but per-shape flops differ,
+    # so sort both by expected time share
+    expected = sorted(MATMULS.items(), key=lambda kv: -kv[1][0] * kv[1][1])
+    measured = sorted(times["qmatmul"], key=lambda x: -x[1])
+    dense_flops = 2 * M * 768 * 3072
+    dense_tfs = dense_flops / dense_us / 1e6
+    results = []
+    for (name, (K, N)), (_, us_total) in zip(expected, measured):
+        us = us_total / REPS
+        flops = 2 * M * K * N * NL
+        tfs = flops / us / 1e6
+        results.append({
+            "matmul": name, "M": M, "K": K, "N": N,
+            "device_us_per_dispatch": round(us, 0),
+            "q4_tfs": round(tfs, 1),
+            "pct_of_dense_ceiling": round(100 * tfs / dense_tfs, 1)})
+    attn_flops = 2 * 2 * B * 12 * L * L * 64 * NL
+    attn_tfs = attn_flops / times["attn_us"] / 1e6
+    out_doc = {
+        "chip": str(jax.devices()[0]),
+        "config": {"model": "bge-base q4_0 packed", "B": B, "L": L,
+                   "tokens_per_dispatch": M},
+        "dense_bf16_ceiling_tfs": round(dense_tfs, 1),
+        "forward_us_per_dispatch": round(times["total_us"], 0),
+        "attention_us_per_dispatch": round(times["attn_us"], 0),
+        "attention_tfs": round(attn_tfs, 1),
+        "note": "per-op device times from a jax.profiler trace of the "
+                "production jitted forward (epilogues are inside the "
+                "matmul kernels); qmatmul trace entries attributed to "
+                "shapes by flop ranking",
+        "results": results,
+    }
+    print(json.dumps(out_doc, indent=1))
     out = Path(__file__).parent / "results" / "roofline.json"
     out.parent.mkdir(exist_ok=True)
-    out.write_text(json.dumps(
-        {"chip": str(jax.devices()[0]), "tokens_per_dispatch": M,
-         "note": "pct_of_dense = q4 fused kernel time vs plain XLA bf16 "
-                 "matmul of the same shape (the practical MXU ceiling); "
-                 "epilogues (bias/GELU/residual-LN) are INCLUDED in the "
-                 "kernel time, so >100% of a shape's dense ceiling is "
-                 "possible when the epilogue saves an HBM round trip",
-         "results": results}, indent=1))
+    out.write_text(json.dumps(out_doc, indent=1))
     print(f"wrote {out}")
     return 0
 
