@@ -65,55 +65,64 @@ def profile_op_times() -> tuple[dict, float, float]:
         return jnp.dot(x, w, preferred_element_type=jnp.float32
                        ).astype(jnp.bfloat16)
 
-    fwd(params, ids, mask).block_until_ready()
-    dense(x, wd).block_until_ready()
-    d = tempfile.mkdtemp()
-    with jax.profiler.trace(d):
-        for _ in range(REPS):
-            fwd(params, ids, mask).block_until_ready()
-        for _ in range(REPS * 12):  # comparable sample count to 12 layers
-            dense(x, wd).block_until_ready()
-    tracef = glob.glob(d + "/**/*.trace.json.gz", recursive=True)[0]
-    ev = json.loads(gzip.open(tracef).read())["traceEvents"]
-    dur: collections.Counter = collections.Counter()
-    for e in ev:
-        if e.get("ph") == "X" and "dur" in e:
-            dur[e.get("name", "?")] += e["dur"]
-    qm = sorted(((n, us) for n, us in dur.items()
+    def traced(fn, args, reps):
+        fn(*args).block_until_ready()  # compile outside the trace
+        d = tempfile.mkdtemp()
+        with jax.profiler.trace(d):
+            for _ in range(reps):
+                fn(*args).block_until_ready()
+        tracef = glob.glob(d + "/**/*.trace.json.gz", recursive=True)[0]
+        ev = json.loads(gzip.open(tracef).read())["traceEvents"]
+        dur: collections.Counter = collections.Counter()
+        for e in ev:
+            if e.get("ph") == "X" and "dur" in e:
+                dur[e.get("name", "?")] += e["dur"]
+        return dur
+
+    # separate traces: the dense probe must not pick up dot/fusion ops
+    # emitted inside the forward (or vice versa)
+    fdur = traced(fwd, (params, ids, mask), REPS)
+    ddur = traced(dense, (x, wd), REPS * 12)
+    qm = sorted(((n, us) for n, us in fdur.items()
                  if n.startswith("qmatmul")), key=lambda x: -x[1])
-    attn = sum(us for n, us in dur.items()
+    attn = sum(us for n, us in fdur.items()
                if n.startswith("fused_attention"))
-    total = dur.get("jit_fwd", 0) or sum(
-        us for n, us in dur.items() if n.startswith("jit_fwd"))
-    dense_us = sum(us for n, us in dur.items()
-                   if "dot" in n or n.startswith("jit_dense"))
+    total = sum(us for n, us in fdur.items() if n.startswith("jit_fwd"))
+    dense_us = sum(us for n, us in ddur.items()
+                   if n.startswith("jit_dense"))
     return {"qmatmul": qm, "attn_us": attn / REPS,
             "total_us": total / REPS}, dense_us / (REPS * 12), total
 
 
-# per-layer flops at M = B*L tokens (bge-base): name -> (K, N)
-MATMULS = {"qkv_proj": (768, 2304), "ffn_up+gelu": (768, 3072),
-           "ffn_down+res_ln": (3072, 768), "attn_out+res_ln": (768, 768)}
+# per-layer matmuls at M = B*L tokens (bge-base). The trace names are
+# opaque (qmatmul.N), so entries are attributed by flop ranking — and the
+# FFN up/down pair has IDENTICAL flops (768x3072 vs 3072x768), so those
+# two are reported as one combined row rather than guessing which is
+# which.
+MATMULS = [("ffn_up+gelu & ffn_down+res_ln (combined)", 768 * 3072, 2),
+           ("qkv_proj", 768 * 2304, 1),
+           ("attn_out+res_ln", 768 * 768, 1)]
 
 
 def main() -> int:
     times, dense_us, _ = profile_op_times()
     M = B * L
     NL = 12
-    # attribute the profiled qmatmul entries to shapes by flop ranking:
-    # the trace names are opaque (qmatmul.N), but per-shape flops differ,
-    # so sort both by expected time share
-    expected = sorted(MATMULS.items(), key=lambda kv: -kv[1][0] * kv[1][1])
     measured = sorted(times["qmatmul"], key=lambda x: -x[1])
+    assert len(measured) == 4, [n for n, _ in measured]
+    # flop order: up == down > qkv > o, so the two largest measured
+    # entries are the FFN pair, then qkv, then attn-out
+    grouped = [measured[0][1] + measured[1][1], measured[2][1],
+               measured[3][1]]
     dense_flops = 2 * M * 768 * 3072
     dense_tfs = dense_flops / dense_us / 1e6
     results = []
-    for (name, (K, N)), (_, us_total) in zip(expected, measured):
+    for (name, kn, count), us_total in zip(MATMULS, grouped):
         us = us_total / REPS
-        flops = 2 * M * K * N * NL
+        flops = 2 * M * kn * NL * count
         tfs = flops / us / 1e6
         results.append({
-            "matmul": name, "M": M, "K": K, "N": N,
+            "matmul": name, "M": M, "KxN": kn, "ops": count,
             "device_us_per_dispatch": round(us, 0),
             "q4_tfs": round(tfs, 1),
             "pct_of_dense_ceiling": round(100 * tfs / dense_tfs, 1)})

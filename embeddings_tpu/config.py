@@ -136,6 +136,17 @@ def detect_pooling(model_dir: str | Path) -> str | None:
                           ("max", "pooling_mode_max_tokens")):
             if d.get(key):
                 return mode
+        # the file exists but declares a mode we don't implement (e.g.
+        # pooling_mode_weightedmean_tokens): it is authoritative, so do
+        # NOT fall through to the name heuristic — surface it instead
+        unsupported = [k for k, v in d.items()
+                       if k.startswith("pooling_mode_") and v]
+        import logging
+        logging.getLogger("embeddings_tpu.config").warning(
+            "1_Pooling/config.json declares unsupported pooling %s; "
+            "keeping the default (pass pooling= to override)",
+            unsupported or "<none set>")
+        return None
     names = [model_dir.name.lower()]
     cfg = model_dir / "config.json"
     if cfg.exists():

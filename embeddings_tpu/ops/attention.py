@@ -17,10 +17,11 @@ B=128 L=256 H=12 D=64 on TPU; bit-identical outputs at bf16 resolution):
 
 - exp2 instead of exp, with log2(e) folded into the 1/√d score scale
   (the VPU's native exponential is base-2);
-- no max-subtraction: scores are clamped to [-100, 118] instead — neither
-  exp2 nor the L<=512-term f32 denominator sum can overflow and the
-  denominator cannot reach zero (CLS is always a valid key), saving a
-  full [L, L] reduce+broadcast-subtract per head;
+- no max-subtraction: scores are clamped to [-100, 127-ceil(log2 n_keys)]
+  instead (118 at 512 keys) — neither exp2 nor the n_keys-term f32
+  denominator sum can overflow at any row length, and the denominator
+  cannot reach zero (CLS is always a valid key), saving a full [L, L]
+  reduce+broadcast-subtract per head;
 - the softmax DENOMINATOR comes out of the PV matmul: v is augmented with
   a ones column into the otherwise-wasted lanes of its [L, 128] tile
   ([v | 1 | 0…]), so row-sum(p) is one extra MXU column instead of a
@@ -44,10 +45,17 @@ from jax.experimental.pallas import tpu as pltpu
 
 LANE = 128
 LOG2E = 1.4426950408889634
-# clamp bounds for base-2 scores: exp2(-100) stays normal, and with
-# L <= 512 keys the f32 denominator sum is bounded by 512 * 2^118 =
-# 2^127 < f32 max — overflow (inf/inf = NaN) is structurally impossible
-_CLAMP_LO, _CLAMP_HI = -100.0, 118.0
+# clamp bounds for base-2 scores: exp2(-100) stays normal, and the upper
+# bound is sized to the key count so the f32 denominator sum cannot
+# overflow — n_keys * 2^hi <= 2^127 < f32 max for hi = 127 - ceil(log2
+# n_keys). Overflow (inf/inf = NaN) is structurally impossible at ANY
+# row length, not just the 512 cap.
+_CLAMP_LO = -100.0
+
+
+def _clamp_hi(n_keys: int) -> float:
+    import math
+    return float(127 - math.ceil(math.log2(max(n_keys, 2))))
 
 
 def _attn_kernel(lengths_ref, q_ref, k_ref, v_ref, o_ref, *,
@@ -56,6 +64,7 @@ def _attn_kernel(lengths_ref, q_ref, k_ref, v_ref, o_ref, *,
     n = lengths_ref[b]
     key_ok = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1) < n
     s2 = scale * LOG2E
+    clamp_hi = _clamp_hi(L)
     aug_col = jax.lax.broadcasted_iota(jnp.int32, (L, 2 * D), 1)
     for h in range(H):
         sl = slice(h * D, (h + 1) * D)
@@ -68,7 +77,7 @@ def _attn_kernel(lengths_ref, q_ref, k_ref, v_ref, o_ref, *,
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * s2
-        s = jnp.clip(s, _CLAMP_LO, _CLAMP_HI)
+        s = jnp.clip(s, _CLAMP_LO, clamp_hi)
         p = jnp.where(key_ok, jnp.exp2(s), 0.0).astype(q.dtype)
         of = jax.lax.dot(p, vaug, preferred_element_type=jnp.float32)
         # all-pad filler rows (n==0) have denom 0; clamp so they stay
@@ -100,6 +109,7 @@ def _attn_kernel_segmented(q_ref, k_ref, v_ref, segq_ref, segk_ref, o_ref, *,
     segk = segk_ref[pl.dslice(b, 1), :]                    # [1, L]
     key_ok = (segq == segk) & (segk >= 0)                  # [L, L]
     s2 = scale * LOG2E
+    clamp_hi = _clamp_hi(L)
     aug_col = jax.lax.broadcasted_iota(jnp.int32, (L, 2 * D), 1)
     for h in range(H):
         sl = slice(h * D, (h + 1) * D)
@@ -110,7 +120,7 @@ def _attn_kernel_segmented(q_ref, k_ref, v_ref, segq_ref, segk_ref, o_ref, *,
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * s2
-        s = jnp.clip(s, _CLAMP_LO, _CLAMP_HI)
+        s = jnp.clip(s, _CLAMP_LO, clamp_hi)
         p = jnp.where(key_ok, jnp.exp2(s), 0.0).astype(q.dtype)
         of = jax.lax.dot(p, vaug, preferred_element_type=jnp.float32)
         # pad query rows have no valid keys -> denom==0; make it 1 so the
@@ -151,6 +161,7 @@ def _attn_kernel_seg_window(kbs_ref, kbe_ref, q_ref, k_ref, v_ref,
     nQ = L // BQ
     nK = L // BQ
     s2 = scale * LOG2E
+    clamp_hi = _clamp_hi(min(W * BQ, L))
     aug_col = jax.lax.broadcasted_iota(jnp.int32, (BQ, 2 * D), 1)
     for h in range(H):
         sl = slice(h * D, (h + 1) * D)
@@ -171,7 +182,7 @@ def _attn_kernel_seg_window(kbs_ref, kbe_ref, q_ref, k_ref, v_ref,
                 s = jax.lax.dot_general(
                     q, k, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32) * s2
-                s = jnp.clip(s, _CLAMP_LO, _CLAMP_HI)
+                s = jnp.clip(s, _CLAMP_LO, clamp_hi)
                 p = jnp.where(valid, jnp.exp2(s), 0.0).astype(q.dtype)
                 vaug = jnp.where(aug_col == D, jnp.ones((), v_ref.dtype),
                                  jnp.pad(v_ref[ksl, sl], ((0, 0), (0, D))))

@@ -94,22 +94,26 @@ def max_block_span(seg: np.ndarray, block: int = 128) -> int:
     """Host-side: the largest number of `block`-sized key blocks any
     query block's segment span covers (the static `window` for
     ops.attention.fused_attention_segmented_blockskip). seg is the
-    [B, L] segment-id array from materialize (-1 = pad)."""
+    [B, L] segment-id array from materialize (-1 = pad). Vectorized
+    numpy mirror of ops.attention.block_ranges — this runs per batch on
+    the encode hot path."""
     B, L = seg.shape
-    if L % block:
+    if L % block or B == 0:
         return 0
     n = L // block
-    span = 1
-    for b in range(B):
-        row = seg[b]
-        for qb in range(n):
-            blk = row[qb * block:(qb + 1) * block]
-            valid = blk[blk >= 0]
-            if valid.size == 0:
-                continue
-            idx = np.nonzero((row >= valid[0]) & (row <= valid[-1]))[0]
-            span = max(span, int(idx[-1]) // block - int(idx[0]) // block + 1)
-    return span
+    segb = seg.reshape(B, n, block)
+    valid = segb >= 0
+    big = np.int64(1) << 30
+    smin = np.where(valid, segb, big).min(-1)          # [B, n]
+    smax = np.where(valid, segb, -1).max(-1)
+    s = seg[:, None, :]                                # [B, 1, L]
+    in_span = (s >= smin[..., None]) & (s <= smax[..., None]) & (s >= 0)
+    pos = np.arange(L)[None, None, :]
+    first = np.where(in_span, pos, L).min(-1)          # [B, n]
+    last = np.where(in_span, pos, -1).max(-1)
+    has = smax >= 0
+    spans = np.where(has, last // block - first // block + 1, 1)
+    return int(max(1, spans.max()))
 
 
 def materialize(batch: PackedBatch, toks: Sequence[Sequence[int]],

@@ -215,6 +215,21 @@ async def _handle_tcp(service: BatchingService, reader: asyncio.StreamReader,
         writer.write(struct.pack("<i", service.engine.n_embd))
         await writer.drain()
         first = await reader.read(RECV_MAX)
+        # the 4-byte magic may arrive fragmented: while what we have is a
+        # strict prefix of it, keep reading before classifying — a v1
+        # text can't be a proper prefix of b"ETF2" and also keep coming
+        while first and len(first) < len(V2_MAGIC) and \
+                V2_MAGIC.startswith(first):
+            # short timeout: a v1 client whose whole message is "E"/"ET"/
+            # "ETF" must still get its (v1) reply, not a stalled read
+            try:
+                more = await asyncio.wait_for(
+                    reader.read(RECV_MAX - len(first)), timeout=0.25)
+            except asyncio.TimeoutError:
+                break
+            if not more:
+                break
+            first += more
         if first.startswith(V2_MAGIC):
             await _serve_v2(service, reader, writer, first[len(V2_MAGIC):])
             return

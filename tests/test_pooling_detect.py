@@ -69,6 +69,23 @@ def test_name_or_path_detected(tmp_path, cfg, small_vocab):
     assert detect_pooling(d) == "cls"
 
 
+def test_unsupported_pooling_config_is_authoritative(tmp_path, cfg,
+                                                     small_vocab):
+    """A 1_Pooling/config.json declaring a mode we don't implement must
+    NOT fall through to the name heuristic (the file is authoritative);
+    detection returns None and the default stays."""
+    d = _write_hf_dir(tmp_path / "bge-base-en-v1.5", cfg, small_vocab)
+    pool_dir = d / "1_Pooling"
+    pool_dir.mkdir()
+    (pool_dir / "config.json").write_text(json.dumps({
+        "pooling_mode_cls_token": False,
+        "pooling_mode_mean_tokens": False,
+        "pooling_mode_max_tokens": False,
+        "pooling_mode_weightedmean_tokens": True,
+    }))
+    assert detect_pooling(d) is None
+
+
 def test_minilm_stays_mean(tmp_path, cfg, small_vocab):
     d = _write_hf_dir(tmp_path / "all-MiniLM-L6-v2", cfg, small_vocab)
     assert detect_pooling(d) == "mean"

@@ -238,6 +238,58 @@ def test_tcp_v2_framing(engine):
     np.testing.assert_allclose(r["r2"], engine.encode("test"), atol=1e-5)
 
 
+def test_tcp_v2_magic_fragmented_across_segments(engine):
+    """The 4-byte ETF2 magic split across TCP reads must still select v2
+    framing (and a v1 text that is a proper prefix of the magic must get
+    a v1 reply after the short classification timeout)."""
+    import socket as socket_mod
+
+    async def go():
+        server, svc = await serve_tcp(engine, host="127.0.0.1", port=0)
+        port = server.sockets[0].getsockname()[1]
+        results = {}
+
+        def client():
+            s = socket_mod.create_connection(("127.0.0.1", port), timeout=10)
+            s.recv(4)  # greeting
+            s.sendall(b"ET")
+            import time as _t
+            _t.sleep(0.05)
+            payload = "hello world".encode()
+            s.sendall(b"F2" + struct.pack("<I", len(payload)) + payload)
+            buf = b""
+            while len(buf) < engine.n_embd * 4:
+                chunk = s.recv(engine.n_embd * 4 - len(buf))
+                if not chunk:
+                    break
+                buf += chunk
+            results["v2"] = np.frombuffer(buf, np.float32).copy()
+            s.close()
+            # v1 text "ET" alone: classified v1 after the timeout
+            s = socket_mod.create_connection(("127.0.0.1", port), timeout=10)
+            s.recv(4)
+            s.sendall(b"ET")
+            buf = b""
+            while len(buf) < engine.n_embd * 4:
+                chunk = s.recv(engine.n_embd * 4 - len(buf))
+                if not chunk:
+                    break
+                buf += chunk
+            results["v1_prefix"] = len(buf)
+            s.close()
+
+        await asyncio.wait_for(asyncio.to_thread(client), timeout=20)
+        server.close()
+        await server.wait_closed()
+        await svc.stop()
+        return results
+
+    r = run_async(go())
+    np.testing.assert_allclose(r["v2"], engine.encode("hello world"),
+                               atol=1e-5)
+    assert r["v1_prefix"] == engine.n_embd * 4
+
+
 def test_tcp_truncated_utf8_tail_does_not_deadlock(engine):
     """A v1 message ending mid-multibyte-sequence with no continuation must
     get a (replacement-decoded) reply after the short reassembly timeout,

@@ -121,8 +121,32 @@ def test_gen_fixtures_check_script(tmp_path, vocab, prompts):
 # Property-based fuzz vs the oracle
 # ---------------------------------------------------------------------------
 
-hypothesis = pytest.importorskip("hypothesis")
-from hypothesis import given, settings, strategies as st  # noqa: E402
+# guard ONLY the fuzz tests — a module-level importorskip would skip the
+# golden-conformance tests above wherever hypothesis isn't installed
+try:
+    from hypothesis import given, settings, strategies as st
+    _HAVE_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    _HAVE_HYPOTHESIS = False
+
+    def given(*a, **k):
+        return lambda f: pytest.mark.skip(reason="hypothesis not installed")(f)
+
+    def settings(*a, **k):
+        return lambda f: f
+
+    class st:  # type: ignore[no-redef]
+        @staticmethod
+        def text(*a, **k):
+            return None
+
+        @staticmethod
+        def one_of(*a, **k):
+            return None
+
+        @staticmethod
+        def characters(*a, **k):
+            return None
 
 _text = st.text(
     alphabet=st.one_of(

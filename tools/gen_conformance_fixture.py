@@ -199,7 +199,7 @@ def build_prompts(vocab: list[str]) -> list[str]:
             cut = rng.randint(1, len(w))
             frags.append(w[:cut] + w[cut:][::-1])
         prompts.append(" ".join(frags))
-    return [p.replace("\x00", "\\0") if False else p for p in prompts]
+    return prompts
 
 
 def build_oracle(vocab: list[str]):
