@@ -118,6 +118,11 @@ def cmd_convert(args) -> int:
         params, config, file_tok = load_ggml_model(src)
         v = file_tok.vocab.id_to_token
         src_tokens = [v[i] for i in range(len(v))]
+    elif src.suffix == ".gguf":
+        from .models.gguf_io import load_gguf_model
+        params, config, file_tok = load_gguf_model(src)
+        v = file_tok.vocab.id_to_token
+        src_tokens = [v[i] for i in range(len(v))]
     else:
         params, config = P.load_hf_dir(src)
         vocab_file = src / "vocab.txt"
@@ -139,6 +144,21 @@ def cmd_convert(args) -> int:
         write_ggml(args.out, params, config, src_tokens, dtype=args.dtype)
         print(f"wrote {args.out} "
               f"({os.path.getsize(args.out)/1e6:.2f} MB, ggml {args.dtype})")
+        return 0
+    if args.out.endswith(".gguf"):
+        # export as GGUF v3 (modern llama.cpp-era container)
+        from .models.gguf_io import DTYPE_TO_GGML, write_gguf
+        if args.dtype not in DTYPE_TO_GGML:
+            print(f"gguf cannot represent dtype {args.dtype} "
+                  f"(supported: {sorted(DTYPE_TO_GGML)})", file=sys.stderr)
+            return 1
+        if src_tokens is None:
+            print(f"no vocab found for {src} (need vocab.txt next to an HF "
+                  f"checkpoint, or a .bin/.gguf source)", file=sys.stderr)
+            return 1
+        write_gguf(args.out, params, config, src_tokens, dtype=args.dtype)
+        print(f"wrote {args.out} "
+              f"({os.path.getsize(args.out)/1e6:.2f} MB, gguf {args.dtype})")
         return 0
     if args.dtype != "f32":
         params = P.quantize_params(params, args.dtype,

@@ -178,16 +178,11 @@ def _j(x: np.ndarray):
     return jnp.asarray(x)
 
 
-def load_ggml_model(path: str | Path):
-    """.bin -> (params pytree, BertConfig, WordPieceTokenizer).
-
-    Quantized files keep their quantized weights (fed straight to the
-    Pallas kernel); f32/f16 files load dense.
-    """
-    from ..tokenizer import WordPieceTokenizer, WordPieceVocab
+def build_params_from_sd(sd: dict, config: BertConfig) -> dict:
+    """HF-named state dict (dense arrays and/or QuantizedTensors in ggml
+    [K, N] orientation) -> params pytree, keeping quantized leaves
+    quantized. Shared by the legacy .bin and GGUF loaders."""
     from . import params as P
-    sd, config, vocab_tokens = read_ggml(path, dequant=False)
-
     dense_sd = {}
     quants: dict[str, Q.QuantizedTensor] = {}
     for name, v in sd.items():
@@ -199,10 +194,20 @@ def load_ggml_model(path: str | Path):
         else:
             dense_sd[name] = v
     params = P.from_hf_state_dict(dense_sd, config)
-
     if quants:
         params = _install_quantized(params, quants, config)
+    return params
 
+
+def load_ggml_model(path: str | Path):
+    """.bin -> (params pytree, BertConfig, WordPieceTokenizer).
+
+    Quantized files keep their quantized weights (fed straight to the
+    Pallas kernel); f32/f16 files load dense.
+    """
+    from ..tokenizer import WordPieceTokenizer, WordPieceVocab
+    sd, config, vocab_tokens = read_ggml(path, dequant=False)
+    params = build_params_from_sd(sd, config)
     tok = WordPieceTokenizer(WordPieceVocab.from_tokens(vocab_tokens))
     return params, config, tok
 

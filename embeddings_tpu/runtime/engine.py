@@ -320,6 +320,11 @@ def load_model(path: str | Path, *, dtype: str = "f32",
         from ..models.ggml_io import load_ggml_model
         params, config, file_tok = load_ggml_model(path)
         tokenizer = tokenizer or file_tok
+    elif path.suffix == ".gguf":
+        # modern llama.cpp-era container (vocab embedded)
+        from ..models.gguf_io import load_gguf_model
+        params, config, file_tok = load_gguf_model(path)
+        tokenizer = tokenizer or file_tok
     else:
         params, config = P.load_native(path)
         if tokenizer is None:

@@ -1,0 +1,201 @@
+"""GGUF v3 container (models/gguf_io.py): spec-level layout checks,
+write/read round trips for every dtype, and engine parity with the HF
+checkpoint the file came from."""
+
+import struct
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from embeddings_tpu.config import BertConfig
+from embeddings_tpu.models import gguf_io, params as P
+from embeddings_tpu.ops import quant as Q
+
+FIXTURE = Path(__file__).resolve().parent / "fixtures" / "ref_parity"
+
+
+@pytest.fixture(scope="module")
+def cfg(small_vocab):
+    return BertConfig(vocab_size=len(small_vocab), hidden_size=64,
+                      num_hidden_layers=2, num_attention_heads=4,
+                      intermediate_size=128, max_position_embeddings=64)
+
+
+@pytest.fixture(scope="module")
+def params(cfg):
+    return P.init_params(cfg, rng=0)
+
+
+def test_q4_0_block_layout():
+    """One block, known values: f16 d first, low nibbles = elems 0..15
+    (the GGUF-era layout — the legacy .bin uses f32 d + adjacent pairs)."""
+    a = np.zeros((1, 32), np.float32)
+    a[0, 0] = -8.0   # absmax, signed -> d = 1.0
+    a[0, 16] = 7.0
+    buf = gguf_io.q4_0_to_bytes(a)
+    assert len(buf) == 18
+    (d,) = struct.unpack("<e", buf[:2])
+    assert d == 1.0
+    qs = np.frombuffer(buf[2:], np.uint8)
+    assert qs[0] & 0x0F == 0          # elem 0: code -8 -> stored 0 (low)
+    assert qs[0] >> 4 == 15           # elem 16: code +7 -> stored 15 (high)
+    codes, scales = gguf_io.q4_0_from_bytes(buf, 1, 32)
+    assert codes[0, 0] == -8 and codes[0, 16] == 7
+    assert scales[0, 0] == 1.0
+
+
+@pytest.mark.parametrize("codec,decode", [
+    (gguf_io.q4_0_to_bytes, gguf_io.q4_0_from_bytes),
+    (gguf_io.q8_0_to_bytes, gguf_io.q8_0_from_bytes),
+])
+def test_block_codec_roundtrip_quality(codec, decode, rng):
+    a = rng.standard_normal((8, 96)).astype(np.float32)
+    buf = codec(a)
+    out = decode(buf, 8, 96)
+    codes, d = out[0], out[1]
+    deq = (codes.reshape(8, 3, 32).astype(np.float32)
+           * d.reshape(8, 3, 1)).reshape(8, 96)
+    cos = (deq * a).sum() / (np.linalg.norm(deq) * np.linalg.norm(a))
+    assert cos > 0.98
+
+
+def test_write_read_roundtrip_f32(tmp_path, params, cfg, small_vocab):
+    path = tmp_path / "m.gguf"
+    gguf_io.write_gguf(path, params, cfg, small_vocab, dtype="f32")
+    sd, rcfg, meta = gguf_io.read_gguf(path)
+    ref = P.to_hf_state_dict(params)
+    assert set(sd) == {k for k in ref if gguf_io.hf_to_gguf_name(k)}
+    for name, arr in sd.items():
+        np.testing.assert_array_equal(arr, ref[name], err_msg=name)
+    assert rcfg.hidden_size == cfg.hidden_size
+    assert rcfg.num_hidden_layers == cfg.num_hidden_layers
+    assert rcfg.num_attention_heads == cfg.num_attention_heads
+    assert rcfg.intermediate_size == cfg.intermediate_size
+    assert meta["tokenizer.ggml.tokens"] == small_vocab
+    assert meta["general.architecture"] == "bert"
+
+
+def test_write_read_roundtrip_f16(tmp_path, params, cfg, small_vocab):
+    path = tmp_path / "m.gguf"
+    gguf_io.write_gguf(path, params, cfg, small_vocab, dtype="f16")
+    sd, _, _ = gguf_io.read_gguf(path)
+    ref = P.to_hf_state_dict(params)
+    for name, arr in sd.items():
+        expect = ref[name]
+        if expect.ndim == 2 and name.endswith(".weight"):
+            expect = expect.astype(np.float16).astype(np.float32)
+        np.testing.assert_array_equal(arr, expect, err_msg=name)
+
+
+@pytest.mark.parametrize("dtype", ["q4_0", "q4_1", "q8_0"])
+def test_write_read_quantized(tmp_path, params, cfg, small_vocab, dtype):
+    path = tmp_path / "m.gguf"
+    gguf_io.write_gguf(path, params, cfg, small_vocab, dtype=dtype)
+    sd, _, _ = gguf_io.read_gguf(path)
+    ref = P.to_hf_state_dict(params)
+    for name, v in sd.items():
+        expect = ref[name]
+        if isinstance(v, Q.QuantizedTensor):
+            assert v.kind == dtype, name
+            deq = np.asarray(Q.dequantize(v)).T  # back to HF [out, in]
+            cos = (deq * expect).sum() / (
+                np.linalg.norm(deq) * np.linalg.norm(expect))
+            assert cos > 0.98, (name, cos)
+        else:
+            np.testing.assert_array_equal(v, expect, err_msg=name)
+
+
+def test_tensor_offsets_aligned(tmp_path, params, cfg, small_vocab):
+    path = tmp_path / "m.gguf"
+    gguf_io.write_gguf(path, params, cfg, small_vocab, dtype="q4_0")
+    with open(path, "rb") as f:
+        magic, version, n_tensors, n_kv = struct.unpack("<IIQQ",
+                                                        f.read(24))
+        assert magic == gguf_io.MAGIC and version == 3
+        for _ in range(n_kv):
+            gguf_io._r_str(f)
+            (vt,) = struct.unpack("<I", f.read(4))
+            gguf_io._r_value(f, vt)
+        for _ in range(n_tensors):
+            gguf_io._r_str(f)
+            (nd,) = struct.unpack("<I", f.read(4))
+            f.read(8 * nd)
+            _, offset = struct.unpack("<IQ", f.read(12))
+            assert offset % gguf_io.ALIGNMENT == 0
+
+
+@pytest.mark.parametrize("dtype", ["f32", "q4_0"])
+def test_engine_from_gguf_matches_source(tmp_path, params, cfg,
+                                         small_vocab, dtype):
+    """load_model(.gguf) reproduces the source engine's embeddings."""
+    from embeddings_tpu.config import EngineConfig
+    from embeddings_tpu.runtime.engine import Engine, load_model
+    from embeddings_tpu.tokenizer import WordPieceTokenizer, WordPieceVocab
+    path = tmp_path / "m.gguf"
+    gguf_io.write_gguf(path, params, cfg, small_vocab, dtype=dtype)
+    ec = EngineConfig(seq_buckets=(16, 32), max_seq_len=32, batch_size=4,
+                      batch_buckets=(1, 2, 4))
+    eng = load_model(path, engine_config=ec)
+    tok = WordPieceTokenizer(WordPieceVocab.from_tokens(small_vocab))
+    src = Engine(params, cfg, tok, ec)
+    texts = ["hello world", "the quick brown fox", "你好世界"]
+    a = eng.encode_batch(texts)
+    b = src.encode_batch(texts)
+    if dtype == "f32":
+        np.testing.assert_allclose(a, b, atol=2e-5)
+    else:
+        cos = (a * b).sum(-1)
+        assert cos.min() > 0.98, cos
+
+
+def test_gguf_from_reference_checkpoint(tmp_path):
+    """HF checkpoint -> GGUF -> engine matches the HF-dir engine (uses
+    the committed ref_parity fixture)."""
+    if not (FIXTURE / "model.safetensors").exists():
+        pytest.skip("ref_parity fixture not generated")
+    from embeddings_tpu.runtime.engine import load_model
+    params, config = P.load_hf_dir(FIXTURE)
+    vocab = (FIXTURE / "vocab.txt").read_text(
+        encoding="utf-8").splitlines()
+    path = tmp_path / "ref.gguf"
+    gguf_io.write_gguf(path, params, config, vocab, dtype="f32")
+    e_hf = load_model(FIXTURE)
+    e_gguf = load_model(path)
+    texts = ["hello world", "the quick brown fox"]
+    np.testing.assert_allclose(e_gguf.encode(texts), e_hf.encode(texts),
+                               atol=2e-5)
+
+
+def test_cli_convert_to_gguf(tmp_path, params, cfg, small_vocab):
+    from embeddings_tpu.models import params as P2
+    src = tmp_path / "hf"
+    src.mkdir()
+    import json
+    (src / "config.json").write_text(json.dumps(dict(
+        vocab_size=cfg.vocab_size, hidden_size=cfg.hidden_size,
+        num_hidden_layers=cfg.num_hidden_layers,
+        num_attention_heads=cfg.num_attention_heads,
+        intermediate_size=cfg.intermediate_size,
+        max_position_embeddings=cfg.max_position_embeddings,
+        model_type="bert")))
+    (src / "vocab.txt").write_text("\n".join(small_vocab))
+    from safetensors.numpy import save_file
+    save_file(P2.to_hf_state_dict(params), str(src / "model.safetensors"))
+    out = tmp_path / "out.gguf"
+    r = subprocess.run(
+        [sys.executable, "-m", "embeddings_tpu.cli", "convert",
+         str(src), str(out), "--dtype", "q8_0"],
+        capture_output=True, text=True, timeout=300,
+        env={"JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin",
+             "PYTHONPATH": str(Path(__file__).resolve().parent.parent),
+             "HOME": "/root"})
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert out.exists()
+    sd, rcfg, meta = gguf_io.read_gguf(out)
+    assert meta["general.architecture"] == "bert"
+    assert rcfg.hidden_size == cfg.hidden_size
