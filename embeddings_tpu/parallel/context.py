@@ -1,0 +1,165 @@
+"""Sequence/context parallelism (CP): shard the sequence axis over a
+"seq" mesh axis.
+
+The reference is single-process with a hard 512-token cap
+(bert.cpp:867-871) — SURVEY §2 scopes ring/Ulysses CP out for parity but
+asks that attention be written so a CP axis can be added later. This is
+that axis: activations are sharded [B, L/sp, E] per chip, each layer
+all-gathers K/V over ICI and computes attention for its local query
+chunk (the standard all-gather CP for encoders — at encoder lengths the
+K/V gather is a few MB and one hop, so a ring schedule would only add
+latency), and pooling finishes with one psum. Embeddings use
+global positions via axis_index.
+
+Composability: the CP forward keeps weights replicated (BERT-family
+weights are <=0.4 GB even dense — TP exists for ICI bandwidth, not
+capacity); combine dp x sp via make_mesh_cp. Collectives: one all-gather
+per layer ([B, Lc, 2E] -> [B, L, 2E]) + one psum at pooling, all riding
+ICI.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..config import BertConfig
+from ..models import bert
+from ..ops.linear import linear, linear_residual_ln
+from .mesh import DATA_AXIS
+
+SEQ_AXIS = "seq"
+
+Params = dict[str, Any]
+
+
+def make_mesh_cp(dp: int | None = None, sp: int = 1,
+                 devices: list | None = None) -> Mesh:
+    """A ("data", "seq") mesh for DP x CP serving."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if dp is None:
+        dp = n // sp
+    if dp * sp != n:
+        raise ValueError(f"dp({dp}) x sp({sp}) != device count {n}")
+    arr = np.asarray(devices).reshape(dp, sp)
+    return Mesh(arr, (DATA_AXIS, SEQ_AXIS))
+
+
+def _cp_attention(layer: Params, config: BertConfig, x: jax.Array,
+                  mask_bias: jax.Array) -> jax.Array:
+    """Local-query attention: q from the local [B, Lc, E] chunk, k/v
+    all-gathered to the full sequence. Returns local context [B, Lc, E].
+    """
+    B, Lc, E = x.shape
+    D = config.head_dim
+    a = layer["attn"]
+    if "qkv" in a:
+        qkv = linear(x, a["qkv"]["w"], a["qkv"]["b"])   # [B, Lc, 3E]
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+    else:
+        q = linear(x, a["q"]["w"], a["q"]["b"])
+        k = linear(x, a["k"]["w"], a["k"]["b"])
+        v = linear(x, a["v"]["w"], a["v"]["b"])
+    H = q.shape[-1] // D
+    # one gather for k and v together: [B, L, 2E] over ICI
+    kv = lax.all_gather(jnp.concatenate([k, v], axis=-1), SEQ_AXIS,
+                        axis=1, tiled=True)
+    k_full, v_full = jnp.split(kv, 2, axis=-1)
+    L = k_full.shape[1]
+    qh = q.reshape(B, Lc, H, D)
+    kh = k_full.reshape(B, L, H, D)
+    vh = v_full.reshape(B, L, H, D)
+    scores = jnp.einsum("blhd,bmhd->bhlm", qh, kh,
+                        preferred_element_type=jnp.float32)
+    scores = scores * (1.0 / math.sqrt(D)) + mask_bias   # [B,1,1,L] bcast
+    probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+    ctx = jnp.einsum("bhlm,bmhd->blhd", probs, vh,
+                     preferred_element_type=jnp.float32).astype(x.dtype)
+    return ctx.reshape(B, Lc, H * D)
+
+
+def _cp_layer(layer: Params, config: BertConfig, x: jax.Array,
+              mask_bias: jax.Array) -> jax.Array:
+    """One encoder block with CP attention; everything after the
+    attention context is local along L (bert.encoder_layer numerics)."""
+    a, m = layer["attn"], layer["mlp"]
+    eps = config.layer_norm_eps
+    ctx = _cp_attention(layer, config, x, mask_bias)
+    act = "gelu_tanh" if config.hidden_act == "gelu_tanh" else "gelu"
+    x = linear_residual_ln(ctx, a["o"]["w"], a["o"]["b"], x,
+                           a["ln"]["scale"], a["ln"]["bias"], eps)
+    h = linear(x, m["up"]["w"], m["up"]["b"], act=act)
+    return linear_residual_ln(h, m["down"]["w"], m["down"]["b"], x,
+                              m["ln"]["scale"], m["ln"]["bias"], eps)
+
+
+def make_cp_forward(config: BertConfig, mesh: Mesh, *,
+                    pooling: str | None = None,
+                    compute_dtype: str | None = None,
+                    mask_value: float = -1e9):
+    """jitted (params, ids [B, L], mask [B, L]) -> [B, E] with B sharded
+    over "data" and L over "seq". B must divide the data-axis size and L
+    the seq-axis size. Weights are replicated."""
+    import inspect
+    try:
+        from jax import shard_map  # jax >= 0.8
+    except ImportError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map
+    _params = inspect.signature(shard_map).parameters
+    _nocheck = ({"check_vma": False} if "check_vma" in _params
+                else {"check_rep": False})
+    pool = pooling or config.pooling
+
+    def local_fwd(p, ids, mask):
+        B, Lc = ids.shape
+        idx = lax.axis_index(SEQ_AXIS)
+        pos = (idx * Lc + jnp.arange(Lc, dtype=jnp.int32))[None, :]
+        x = bert.embed(p, config, ids,
+                       position_ids=jnp.broadcast_to(pos, (B, Lc)))
+        if compute_dtype is not None:
+            x = x.astype(jnp.dtype(compute_dtype))
+        mask_full = lax.all_gather(mask, SEQ_AXIS, axis=1, tiled=True)
+        bias = ((1.0 - mask_full.astype(jnp.float32))
+                * mask_value)[:, None, None, :]          # [B, 1, 1, L]
+
+        def body(h, layer):
+            return _cp_layer(layer, config, h, bias), None
+
+        x, _ = lax.scan(body, x, p["layers"])
+        xf = x.astype(jnp.float32)
+        maskf = mask.astype(jnp.float32)
+        if pool == "mean":
+            s = lax.psum(jnp.einsum("ble,bl->be", xf, maskf), SEQ_AXIS)
+            denom = lax.psum(jnp.sum(maskf, axis=1, keepdims=True),
+                             SEQ_AXIS)
+            pooled = s / jnp.maximum(denom, 1.0)
+        elif pool == "cls":
+            # the CLS token lives on the first seq shard
+            pooled = lax.psum(
+                jnp.where(idx == 0, xf[:, 0], jnp.zeros_like(xf[:, 0])),
+                SEQ_AXIS)
+        elif pool == "max":
+            neg = jnp.float32(-1e30)
+            local = jnp.max(jnp.where(maskf[..., None] > 0, xf, neg),
+                            axis=1)
+            pooled = lax.pmax(local, SEQ_AXIS)
+        else:
+            raise ValueError(f"unknown pooling {pool!r}")
+        if config.normalize_embeddings:
+            norm = jnp.linalg.norm(pooled, axis=-1, keepdims=True)
+            pooled = pooled / jnp.maximum(norm, 1e-12)
+        return pooled
+
+    sharded = shard_map(
+        local_fwd, mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS, SEQ_AXIS), P(DATA_AXIS, SEQ_AXIS)),
+        out_specs=P(DATA_AXIS, None),
+        **_nocheck)
+    return jax.jit(sharded)

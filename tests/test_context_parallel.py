@@ -1,0 +1,90 @@
+"""Sequence/context parallelism: CP forward == single-device numerics on
+the virtual 8-device mesh (parallel/context.py)."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from embeddings_tpu.config import BertConfig
+from embeddings_tpu.models import bert, params as P
+from embeddings_tpu.parallel.context import make_cp_forward, make_mesh_cp
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 virtual devices")
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return BertConfig(vocab_size=256, hidden_size=64, num_hidden_layers=2,
+                      num_attention_heads=4, intermediate_size=128,
+                      max_position_embeddings=64)
+
+
+@pytest.fixture(scope="module")
+def params(cfg):
+    return P.init_params(cfg, rng=0)
+
+
+def _batch(cfg, rng, B=8, L=32):
+    ids = rng.integers(5, cfg.vocab_size, (B, L)).astype(np.int32)
+    mask = np.ones((B, L), np.int32)
+    mask[0, 20:] = 0    # pads ending inside the last seq shard
+    mask[1, 7:] = 0     # pads starting inside the first shard
+    return jnp.asarray(ids), jnp.asarray(mask)
+
+
+@pytest.mark.parametrize("dp,sp", [(4, 2), (2, 4), (1, 8)])
+@pytest.mark.parametrize("pooling", ["mean", "cls", "max"])
+def test_cp_matches_single_device(cfg, params, dp, sp, pooling):
+    cfg2 = dataclasses.replace(cfg, pooling=pooling)
+    ids, mask = _batch(cfg2, np.random.default_rng(0))
+    ref = np.asarray(bert.encode_tokens(params, cfg2, ids, mask))
+    mesh = make_mesh_cp(dp=dp, sp=sp)
+    fwd = make_cp_forward(cfg2, mesh)
+    got = np.asarray(fwd(params, ids, mask))
+    np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-5)
+
+
+def test_cp_with_fused_qkv_params(cfg, params):
+    """CP also accepts fuse_qkv'd params (the single-device layout)."""
+    fused = P.fuse_qkv(params)
+    ids, mask = _batch(cfg, np.random.default_rng(1))
+    ref = np.asarray(bert.encode_tokens(fused, cfg, ids, mask))
+    fwd = make_cp_forward(cfg, make_mesh_cp(dp=2, sp=4))
+    got = np.asarray(fwd(fused, ids, mask))
+    np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-5)
+
+
+def test_cp_quantized_weights(cfg, params):
+    """Quantized (q4_0) weights run under CP via the XLA dequant path."""
+    qp = P.quantize_params(params, "q4_0")
+    ids, mask = _batch(cfg, np.random.default_rng(2))
+    ref = np.asarray(bert.encode_tokens(qp, cfg, ids, mask))
+    fwd = make_cp_forward(cfg, make_mesh_cp(dp=2, sp=4))
+    got = np.asarray(fwd(qp, ids, mask))
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-3)
+
+
+def test_cp_global_positions(cfg, params):
+    """Each shard must embed GLOBAL positions: a CP forward on [B, L]
+    differs from L/sp independent position-0 chunks (guard that
+    axis_index offsetting is live)."""
+    rng = np.random.default_rng(3)
+    ids = jnp.asarray(rng.integers(5, cfg.vocab_size, (4, 32)), jnp.int32)
+    mask = jnp.ones((4, 32), jnp.int32)
+    fwd = make_cp_forward(cfg, make_mesh_cp(dp=1, sp=8))
+    got = np.asarray(fwd(params, ids, mask))
+    # zero out position table -> different embeddings, proving positions
+    # (incl. the offset ones on later shards) contribute
+    import jax.tree_util as jtu
+    p2 = jtu.tree_map(lambda x: x, params)
+    p2 = dict(p2)
+    p2["embeddings"] = dict(p2["embeddings"])
+    p2["embeddings"]["position"] = jnp.zeros_like(
+        params["embeddings"]["position"])
+    got2 = np.asarray(fwd(p2, ids, mask))
+    assert not np.allclose(got, got2)
