@@ -385,8 +385,14 @@ def read_gguf(path: str | Path, *, dequant: bool = False):
             (vtype,) = struct.unpack("<I", f.read(4))
             meta[key] = _r_value(f, vtype)
         arch = meta.get("general.architecture", "bert")
-        if arch not in ("bert", "nomic-bert", "jina-bert-v2"):
-            raise ValueError(f"not a BERT-family GGUF (arch={arch!r})")
+        if arch != "bert":
+            # nomic-bert (RoPE) / jina-bert-v2 (ALiBi) use the same
+            # container but different position handling — loading them
+            # through the vanilla BERT forward would silently produce
+            # wrong embeddings, so refuse instead
+            raise ValueError(
+                f"unsupported GGUF architecture {arch!r} (only vanilla "
+                f"'bert' encoders; nomic/jina variants need RoPE/ALiBi)")
         infos = []
         for _ in range(n_tensors):
             tname = _r_str(f)

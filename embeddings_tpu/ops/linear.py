@@ -110,9 +110,11 @@ def linear_residual_ln(x: jax.Array, w, b, residual: jax.Array,
             and (_use_pallas() or interpret)):
         x2d = x.reshape(-1, K)
         M = x2d.shape[0]
-        # shrink bm if the full-row LN tile doesn't fit VMEM at 256
-        # (e.g. FFN-down K=3072 N=768 fits at bm=128)
-        for bm in (min(256, max(8, -(-M // 8) * 8)), 128, 64):
+        # largest VMEM-feasible bm first: 512 measured 4% faster than 256
+        # on the o-proj shape (K=N=768) at M=32K; FFN-down (K=3072) only
+        # fits at 128
+        for bm in (min(512, max(8, -(-M // 8) * 8)),
+                   min(256, max(8, -(-M // 8) * 8)), 128, 64):
             if bm <= M + 8 and _qmm.residual_ln_fits(K, N, bm, w.packed):
                 xp = _pad_dim(x2d, 0, bm)
                 rp = _pad_dim(residual.reshape(-1, N).astype(x.dtype), 0, bm)
