@@ -1,0 +1,151 @@
+#!/usr/bin/env python
+"""STSBenchmark evaluation from a LOCAL data file — no `mteb` package, no
+network, no HF datasets.
+
+The reference's acceptance gate is the MTEB STSBenchmark cosine
+Spearman/Pearson per dtype (BASELINE.md). MTEB itself just scores
+cos-sim(encode(s1), encode(s2)) against the human ratings, which scipy
+does directly — so the moment a checkpoint and the standard STS-B file
+exist locally, this script produces the full dtype table and writes
+result JSONs in the reference's layout (results/{model}_{mode}/
+STSBenchmark.json, the fields print_tables.py reads). Accepted data
+formats:
+
+- the original STS-benchmark distribution `sts-test.tsv` / `sts-dev.tsv`
+  (tab-separated: genre, file, year, id, score, sentence1, sentence2);
+- a simple 3-column TSV: score<TAB>sentence1<TAB>sentence2;
+- a JSONL with {"score": float, "sentence1": str, "sentence2": str}.
+
+Usage:
+  python benchmarks/run_stsb_local.py -m models/bge-base-en-v1.5 \
+      --data sts-test.tsv [--modes f32 f16 q4_0 q4_1 q8_0] [--batch 32]
+
+Gate (the reference achieves ΔSpearman(q4_0, f16) = 0.0009; budget is
+<= 0.003 absolute = 0.3 points): the script prints the deltas and exits
+non-zero if any quantized mode exceeds the budget.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+MODES = ["f32", "f16", "q4_0", "q4_0-batchless", "q4_0-packed", "q4_1",
+         "q8_0"]
+BUDGET = 0.003  # 0.3 points, BASELINE.md
+
+
+def load_pairs(path: Path) -> tuple[list[str], list[str], np.ndarray]:
+    s1, s2, gold = [], [], []
+    if path.suffix == ".jsonl":
+        for line in path.read_text(encoding="utf-8").splitlines():
+            if not line.strip():
+                continue
+            d = json.loads(line)
+            s1.append(d["sentence1"])
+            s2.append(d["sentence2"])
+            gold.append(float(d["score"]))
+    else:
+        for line in path.read_text(encoding="utf-8").splitlines():
+            if not line.strip():
+                continue
+            cols = line.split("\t")
+            if len(cols) >= 7:      # original sts-benchmark layout
+                gold.append(float(cols[4]))
+                s1.append(cols[5])
+                s2.append(cols[6])
+            elif len(cols) == 3:    # score \t s1 \t s2
+                gold.append(float(cols[0]))
+                s1.append(cols[1])
+                s2.append(cols[2])
+            else:
+                raise ValueError(f"unrecognized row: {line[:80]!r}")
+    return s1, s2, np.asarray(gold, np.float64)
+
+
+def evaluate_mode(model_path: str, mode: str, s1, s2, gold,
+                  batch: int) -> dict:
+    from scipy import stats
+    from embeddings_tpu.runtime.engine import load_model
+    dtype = mode.split("-")[0]
+    engine = load_model(model_path, dtype=dtype)
+    t0 = time.time()
+    if mode.endswith("-packed"):
+        a = engine.encode_batch_packed(s1)
+        b = engine.encode_batch_packed(s2)
+    elif mode.endswith("-batchless"):
+        a = engine.encode_batch(s1, batch_size=1)
+        b = engine.encode_batch(s2, batch_size=1)
+    else:
+        a = engine.encode_batch(s1, batch_size=batch)
+        b = engine.encode_batch(s2, batch_size=batch)
+    dt = time.time() - t0
+    # embeddings are L2-normalized: cosine = dot
+    cos = np.einsum("ne,ne->n", a.astype(np.float64), b.astype(np.float64))
+    spear = float(stats.spearmanr(gold, cos).statistic)
+    pears = float(stats.pearsonr(gold, cos).statistic)
+    return {"spearman": spear, "pearson": pears,
+            "evaluation_time": round(dt, 2), "n_pairs": len(gold)}
+
+
+def write_result(out_dir: Path, model_name: str, mode: str, r: dict) -> None:
+    """Reference layout: results/{model}_{mode}/STSBenchmark.json with the
+    fields print_tables.py extracts (cos_sim.spearman + evaluation_time)."""
+    d = out_dir / f"{model_name}_{mode}"
+    d.mkdir(parents=True, exist_ok=True)
+    (d / "STSBenchmark.json").write_text(json.dumps({
+        "mteb_dataset_name": "STSBenchmark",
+        "test": {
+            "cos_sim": {"spearman": r["spearman"],
+                        "pearson": r["pearson"]},
+            "evaluation_time": r["evaluation_time"],
+        },
+        "source": "benchmarks/run_stsb_local.py (local data, no mteb pkg)",
+    }, indent=1))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("-m", "--model", required=True,
+                    help="HF dir / .npz / .bin / .gguf checkpoint")
+    ap.add_argument("--data", required=True,
+                    help="sts-test.tsv | score\\ts1\\ts2 TSV | JSONL")
+    ap.add_argument("--modes", nargs="+", default=MODES)
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--out", default=str(Path(__file__).parent / "results"))
+    args = ap.parse_args()
+
+    s1, s2, gold = load_pairs(Path(args.data))
+    print(f"{len(gold)} pairs from {args.data}", flush=True)
+    model_name = Path(args.model).stem or Path(args.model).name
+    results: dict[str, dict] = {}
+    for mode in args.modes:
+        r = evaluate_mode(args.model, mode, s1, s2, gold, args.batch)
+        results[mode] = r
+        write_result(Path(args.out), model_name, mode, r)
+        print(f"{mode:>16}: spearman={r['spearman']:.4f} "
+              f"pearson={r['pearson']:.4f} time={r['evaluation_time']}s",
+              flush=True)
+
+    ref = results.get("f16") or results.get("f32")
+    rc = 0
+    if ref:
+        for mode, r in results.items():
+            if mode.split("-")[0] in ("q4_0", "q4_1", "q8_0"):
+                delta = abs(ref["spearman"] - r["spearman"])
+                ok = delta <= BUDGET
+                print(f"ΔSpearman({mode} vs f16/f32) = {delta:.4f} "
+                      f"[{'OK' if ok else 'FAIL'} budget {BUDGET}]")
+                rc |= 0 if ok else 1
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main())
