@@ -124,7 +124,11 @@ def main() -> int:
 
     s1, s2, gold = load_pairs(Path(args.data))
     print(f"{len(gold)} pairs from {args.data}", flush=True)
-    model_name = Path(args.model).stem or Path(args.model).name
+    mp = Path(args.model)
+    # .stem would truncate dotted dir names ('bge-base-en-v1.5' -> 'v1');
+    # strip the extension only for file checkpoints
+    model_name = (mp.stem if mp.suffix in (".npz", ".bin", ".gguf")
+                  else mp.name)
     results: dict[str, dict] = {}
     for mode in args.modes:
         r = evaluate_mode(args.model, mode, s1, s2, gold, args.batch)

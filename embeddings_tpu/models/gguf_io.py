@@ -172,15 +172,20 @@ def q4_1_to_bytes(a: np.ndarray) -> bytes:
 
 
 def q4_1_from_bytes(buf: bytes, R: int, K: int):
+    """Returns the repo-wide QuantizedTensor q4_1 convention: CENTERED
+    codes in [-8, 7] with FOLDED mins (m + 8d), matching
+    ops.quant.unpack_ggml_q4_1 — pack_codes_g64 and the kernels assume
+    centered codes, so raw [0, 15] codes would overflow the nibble
+    packing and silently corrupt the weights."""
     nb = K // QK
     rec = np.dtype([("d", "<f2"), ("m", "<f2"), ("qs", "u1", (QK // 2,))])
     arr = np.frombuffer(buf, dtype=rec, count=R * nb).reshape(R, nb)
     d = arr["d"].astype(np.float32)
-    m = arr["m"].astype(np.float32)
+    m = arr["m"].astype(np.float32) + 8.0 * d   # fold the centering shift
     qs = arr["qs"]
     codes = np.empty((R, nb, QK), np.int8)
-    codes[..., :QK // 2] = (qs & 0x0F).astype(np.int8)
-    codes[..., QK // 2:] = (qs >> 4).astype(np.int8)
+    codes[..., :QK // 2] = (qs & 0x0F).astype(np.int8) - 8
+    codes[..., QK // 2:] = (qs >> 4).astype(np.int8) - 8
     return codes.reshape(R, K), d, m
 
 
@@ -216,6 +221,11 @@ def _tensor_nbytes(ggml_type: int, ne: tuple[int, ...]) -> int:
         return nel * 4
     if ggml_type == GGML_F16:
         return nel * 2
+    if ggml_type not in _BLOCK_BYTES:
+        raise ValueError(
+            f"unsupported ggml tensor type {ggml_type} (supported: "
+            f"{sorted(GGML_TYPE_NAMES.values())}; K-quants like Q4_K/Q6_K "
+            f"are not implemented — re-quantize to q4_0/q8_0)")
     return nel // QK * _BLOCK_BYTES[ggml_type]
 
 

@@ -129,10 +129,13 @@ def test_tensor_offsets_aligned(tmp_path, params, cfg, small_vocab):
             assert offset % gguf_io.ALIGNMENT == 0
 
 
-@pytest.mark.parametrize("dtype", ["f32", "q4_0"])
+@pytest.mark.parametrize("dtype", ["f32", "q4_0", "q4_1", "q8_0"])
 def test_engine_from_gguf_matches_source(tmp_path, params, cfg,
                                          small_vocab, dtype):
-    """load_model(.gguf) reproduces the source engine's embeddings."""
+    """load_model(.gguf, dtype=...) reproduces the source engine's
+    embeddings — INCLUDING the dtype-matched load path where q4 codes
+    get nibble-packed (a q4_1 centering bug once survived the dequant-
+    only round-trip test and corrupted exactly this path)."""
     from embeddings_tpu.config import EngineConfig
     from embeddings_tpu.runtime.engine import Engine, load_model
     from embeddings_tpu.tokenizer import WordPieceTokenizer, WordPieceVocab
@@ -140,7 +143,8 @@ def test_engine_from_gguf_matches_source(tmp_path, params, cfg,
     gguf_io.write_gguf(path, params, cfg, small_vocab, dtype=dtype)
     ec = EngineConfig(seq_buckets=(16, 32), max_seq_len=32, batch_size=4,
                       batch_buckets=(1, 2, 4))
-    eng = load_model(path, engine_config=ec)
+    eng = load_model(path, engine_config=ec,
+                     dtype="f32" if dtype == "f32" else dtype)
     tok = WordPieceTokenizer(WordPieceVocab.from_tokens(small_vocab))
     src = Engine(params, cfg, tok, ec)
     texts = ["hello world", "the quick brown fox", "你好世界"]
@@ -150,7 +154,7 @@ def test_engine_from_gguf_matches_source(tmp_path, params, cfg,
         np.testing.assert_allclose(a, b, atol=2e-5)
     else:
         cos = (a * b).sum(-1)
-        assert cos.min() > 0.98, cos
+        assert cos.min() > 0.98, (dtype, cos)
 
 
 def test_gguf_from_reference_checkpoint(tmp_path):
