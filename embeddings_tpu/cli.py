@@ -8,10 +8,13 @@ as subcommands of one tool:
 
   embeddings-tpu encode   -m MODEL -p "text" [--dtype q4_0]
   embeddings-tpu serve    -m MODEL [--port 8080] [--http-port 8081]
-  embeddings-tpu convert  HF_DIR OUT.npz [--dtype f32]
+  embeddings-tpu convert  HF_DIR OUT.{npz|bin|gguf} [--dtype f32]
   embeddings-tpu quantize IN.npz OUT.npz --dtype q4_0
   embeddings-tpu bench    -m MODEL [--batch 128 --seq 256]
   embeddings-tpu tokenize -m MODEL -p "text"
+
+MODEL is an HF directory, a native .npz, a reference-format ggml .bin,
+or a GGUF .gguf (vocab embedded for the latter two).
 """
 
 from __future__ import annotations
