@@ -116,14 +116,12 @@ def cmd_convert(args) -> int:
     from .models import params as P
     src = Path(args.hf_dir)
     src_tokens = None  # vocab as an ordered token list, wherever it came from
-    if src.suffix == ".bin":
-        from .models.ggml_io import load_ggml_model
-        params, config, file_tok = load_ggml_model(src)
-        v = file_tok.vocab.id_to_token
-        src_tokens = [v[i] for i in range(len(v))]
-    elif src.suffix == ".gguf":
-        from .models.gguf_io import load_gguf_model
-        params, config, file_tok = load_gguf_model(src)
+    if src.suffix in (".bin", ".gguf"):
+        if src.suffix == ".bin":
+            from .models.ggml_io import load_ggml_model as load_file_model
+        else:
+            from .models.gguf_io import load_gguf_model as load_file_model
+        params, config, file_tok = load_file_model(src)
         v = file_tok.vocab.id_to_token
         src_tokens = [v[i] for i in range(len(v))]
     else:

@@ -92,13 +92,12 @@ def gguf_to_hf_name(name: str) -> str | None:
     return None
 
 
+_STATIC_NAMES_INV = {v: k for k, v in _STATIC_NAMES.items()}
+
+
 def hf_to_gguf_name(name: str) -> str | None:
-    if not hasattr(hf_to_gguf_name, "_inv"):
-        inv = {v: k for k, v in _STATIC_NAMES.items()}
-        hf_to_gguf_name._inv = inv  # type: ignore[attr-defined]
-    inv = hf_to_gguf_name._inv  # type: ignore[attr-defined]
-    if name in inv:
-        return inv[name]
+    if name in _STATIC_NAMES_INV:
+        return _STATIC_NAMES_INV[name]
     if name.startswith("encoder.layer."):
         parts = name.split(".")
         i = parts[2]
@@ -239,6 +238,11 @@ def _w_str(f: BinaryIO, s: str) -> None:
     f.write(b)
 
 
+_SCALAR_FMT = {T_U8: "<B", T_I8: "<b", T_U16: "<H", T_I16: "<h",
+               T_U32: "<I", T_I32: "<i", T_F32: "<f", T_BOOL: "<?",
+               T_U64: "<Q", T_I64: "<q", T_F64: "<d"}
+
+
 def _w_value(f: BinaryIO, vtype: int, v: Any) -> None:
     if vtype == T_STRING:
         _w_str(f, v)
@@ -248,10 +252,7 @@ def _w_value(f: BinaryIO, vtype: int, v: Any) -> None:
         for it in items:
             _w_value(f, etype, it)
     else:
-        fmt = {T_U8: "<B", T_I8: "<b", T_U16: "<H", T_I16: "<h",
-               T_U32: "<I", T_I32: "<i", T_F32: "<f", T_BOOL: "<?",
-               T_U64: "<Q", T_I64: "<q", T_F64: "<d"}[vtype]
-        f.write(struct.pack(fmt, v))
+        f.write(struct.pack(_SCALAR_FMT[vtype], v))
 
 
 def _r_str(f: BinaryIO) -> str:
@@ -265,9 +266,7 @@ def _r_value(f: BinaryIO, vtype: int) -> Any:
     if vtype == T_ARRAY:
         etype, n = struct.unpack("<IQ", f.read(12))
         return [_r_value(f, etype) for _ in range(n)]
-    fmt = {T_U8: "<B", T_I8: "<b", T_U16: "<H", T_I16: "<h",
-           T_U32: "<I", T_I32: "<i", T_F32: "<f", T_BOOL: "<?",
-           T_U64: "<Q", T_I64: "<q", T_F64: "<d"}[vtype]
+    fmt = _SCALAR_FMT[vtype]
     (v,) = struct.unpack(fmt, f.read(struct.calcsize(fmt)))
     return v
 
