@@ -107,6 +107,13 @@ class BatchingService:
             except asyncio.CancelledError:
                 pass
             self._task = None
+        # fail queued requests so waiting clients get an error instead of
+        # hanging on a future that will never resolve
+        while not self._queue.empty():
+            _, fut = self._queue.get_nowait()
+            if not fut.done():
+                fut.set_exception(
+                    ConnectionAbortedError("service stopped"))
 
     async def embed(self, text: str) -> np.ndarray:
         """Enqueue one text; resolves when its batch has run. Raises

@@ -175,6 +175,50 @@ def test_gguf_from_reference_checkpoint(tmp_path):
                                atol=2e-5)
 
 
+def test_malformed_files_fail_cleanly(tmp_path, params, cfg, small_vocab):
+    """Corrupt/truncated GGUF input raises a clear exception (never hangs
+    or returns garbage): bad magic, bad version, truncation at several
+    depths, unsupported tensor type, wrong architecture."""
+    good = tmp_path / "good.gguf"
+    gguf_io.write_gguf(good, params, cfg, small_vocab, dtype="q4_0")
+    blob = good.read_bytes()
+
+    def expect_failure(data: bytes, name: str):
+        p = tmp_path / name
+        p.write_bytes(data)
+        with pytest.raises((ValueError, EOFError, struct.error, KeyError,
+                            UnicodeDecodeError, MemoryError, OSError)):
+            gguf_io.read_gguf(p)
+
+    expect_failure(b"NOPE" + blob[4:], "magic.gguf")
+    expect_failure(blob[:4] + struct.pack("<I", 99) + blob[8:], "ver.gguf")
+    for cut in (10, 30, 200, len(blob) // 2):
+        expect_failure(blob[:cut], f"trunc{cut}.gguf")
+    # unsupported tensor type: minimal file declaring a K-quant tensor
+    p = tmp_path / "ktype.gguf"
+    with open(p, "wb") as f:
+        f.write(struct.pack("<IIQQ", gguf_io.MAGIC, 3, 1, 1))
+        gguf_io._w_str(f, "general.architecture")
+        f.write(struct.pack("<I", gguf_io.T_STRING))
+        gguf_io._w_str(f, "bert")
+        gguf_io._w_str(f, "token_embd.weight")
+        f.write(struct.pack("<I", 2))
+        f.write(struct.pack("<QQ", 64, 64))
+        f.write(struct.pack("<IQ", 12, 0))  # GGML_TYPE_Q4_K
+        f.write(b"\x00" * 64)
+    with pytest.raises(ValueError, match="unsupported ggml tensor type"):
+        gguf_io.read_gguf(p)
+    # wrong architecture refuses with a clear message
+    p2 = tmp_path / "arch.gguf"
+    with open(p2, "wb") as f:
+        f.write(struct.pack("<IIQQ", gguf_io.MAGIC, 3, 0, 1))
+        gguf_io._w_str(f, "general.architecture")
+        f.write(struct.pack("<I", gguf_io.T_STRING))
+        gguf_io._w_str(f, "nomic-bert")
+    with pytest.raises(ValueError, match="unsupported GGUF architecture"):
+        gguf_io.read_gguf(p2)
+
+
 def test_cli_convert_to_gguf(tmp_path, params, cfg, small_vocab):
     from embeddings_tpu.models import params as P2
     src = tmp_path / "hf"

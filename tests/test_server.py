@@ -199,6 +199,23 @@ def test_utf8_incomplete_tail():
     assert not _utf8_incomplete_tail(b"")
 
 
+def test_stop_fails_pending_requests(engine):
+    """Requests still queued when the service stops must resolve with an
+    error, not hang their clients forever."""
+    async def go():
+        svc = BatchingService(engine)  # scheduler never started
+        task = asyncio.create_task(svc.embed("hello"))
+        await asyncio.sleep(0.05)      # let it enqueue
+        await svc.stop()
+        try:
+            await asyncio.wait_for(task, timeout=2)
+            return None
+        except ConnectionAbortedError as e:
+            return e
+    err = run_async(go())
+    assert err is not None and "stopped" in str(err)
+
+
 def test_tcp_v2_framing(engine):
     """Length-prefixed v2 mode: large messages (> one recv) and several
     frames coalesced into one TCP segment both work."""
