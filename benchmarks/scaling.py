@@ -55,7 +55,14 @@ def main() -> int:
     ap.add_argument("--seq", type=int, default=256)
     args = ap.parse_args()
 
+    import os
+
     import jax
+    # the image's sitecustomize pins the axon TPU platform at interpreter
+    # startup, so the env var alone doesn't stick — honor it explicitly
+    # (the docstring's virtual-CPU-mesh recipe depends on this)
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     from embeddings_tpu.config import BertConfig, KNOWN_MODELS
     from embeddings_tpu.models import bert, params as P
     from embeddings_tpu.parallel import make_mesh, make_sharded_forward, \
