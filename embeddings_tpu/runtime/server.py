@@ -161,8 +161,12 @@ class BatchingService:
         texts = [t for t, _ in batch]
         try:
             # the device step runs in a worker thread so the event loop
-            # keeps accepting requests while the TPU is busy
-            if self.packed:
+            # keeps accepting requests while the TPU is busy. Packed mode
+            # only pays off once a batch fills a meaningful fraction of a
+            # packed row grid; micro-batches (light load) go bucketed —
+            # measured faster there (planner+materialize overhead and a
+            # mostly-empty fixed row shape dominate tiny batches).
+            if self.packed and len(texts) >= 8:
                 embs = await asyncio.to_thread(
                     self.engine.encode_batch_packed, texts)
             else:

@@ -357,10 +357,14 @@ def test_batching_service_packed(engine):
         await svc.start()
         texts = [f"hello world {'a ' * (i % 4)}" for i in range(12)]
         outs = await svc.embed_many(texts)
+        # micro-batch (light load): routed to the bucketed path
+        single = await svc.embed("hello world")
         await svc.stop()
-        return outs
-    outs = run_async(go())
+        return outs, single
+    outs, single = run_async(go())
     ref = engine.encode_batch([f"hello world {'a ' * (i % 4)}"
                                for i in range(12)])
     cos = (outs * ref).sum(-1)
     assert cos.min() > 0.9999, cos.min()
+    np.testing.assert_allclose(single, engine.encode("hello world"),
+                               atol=1e-5)
