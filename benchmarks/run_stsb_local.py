@@ -71,8 +71,24 @@ def load_pairs(path: Path) -> tuple[list[str], list[str], np.ndarray]:
 
 
 def evaluate_mode(model_path: str, mode: str, s1, s2, gold,
-                  batch: int) -> dict:
+                  batch: int, server_url: str | None = None) -> dict:
     from scipy import stats
+    if server_url:
+        # drive a live server instead (the reference's run_mteb_server.py
+        # flow); the server's engine defines the dtype — mode is a label
+        from embeddings_tpu.runtime.client import HttpClient
+        client = HttpClient(server_url, timeout=600)
+        t0 = time.time()
+        a = np.concatenate([client.embed(s1[i:i + batch])
+                            for i in range(0, len(s1), batch)])
+        b = np.concatenate([client.embed(s2[i:i + batch])
+                            for i in range(0, len(s2), batch)])
+        dt = time.time() - t0
+        cos = np.einsum("ne,ne->n", a.astype(np.float64),
+                        b.astype(np.float64))
+        return {"spearman": float(stats.spearmanr(gold, cos).statistic),
+                "pearson": float(stats.pearsonr(gold, cos).statistic),
+                "evaluation_time": round(dt, 2), "n_pairs": len(gold)}
     from embeddings_tpu.runtime.engine import load_model
     dtype = mode.split("-")[0]
     engine = load_model(model_path, dtype=dtype)
@@ -119,6 +135,11 @@ def main() -> int:
                     help="sts-test.tsv | score\\ts1\\ts2 TSV | JSONL")
     ap.add_argument("--modes", nargs="+", default=MODES)
     ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--server-url", default=None,
+                    help="evaluate through a live HTTP server instead of "
+                         "loading the model in-process (the reference's "
+                         "run_mteb_server.py flow); --modes then names "
+                         "the single label to record")
     ap.add_argument("--out", default=str(Path(__file__).parent / "results"))
     args = ap.parse_args()
 
@@ -130,8 +151,10 @@ def main() -> int:
     model_name = (mp.stem if mp.suffix in (".npz", ".bin", ".gguf")
                   else mp.name)
     results: dict[str, dict] = {}
-    for mode in args.modes:
-        r = evaluate_mode(args.model, mode, s1, s2, gold, args.batch)
+    modes = args.modes[:1] if args.server_url else args.modes
+    for mode in modes:
+        r = evaluate_mode(args.model, mode, s1, s2, gold, args.batch,
+                          server_url=args.server_url)
         results[mode] = r
         write_result(Path(args.out), model_name, mode, r)
         print(f"{mode:>16}: spearman={r['spearman']:.4f} "

@@ -60,6 +60,48 @@ def test_formats_parse(tmp_path, fmt):
     assert gold.max() == 5.0 and gold.min() == 0.5
 
 
+def test_server_mode(tmp_path, tiny_model):
+    """--server-url drives a live HTTP server (the reference's
+    run_mteb_server.py flow)."""
+    import asyncio
+    import threading
+
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from embeddings_tpu.runtime.engine import load_model
+    from embeddings_tpu.runtime.server import serve_http
+    pytest.importorskip("aiohttp")
+    data = _dataset(tmp_path, "tsv3")
+    engine = load_model(tiny_model)
+    out = tmp_path / "results"
+
+    async def go():
+        runner, svc = await serve_http(engine, host="127.0.0.1", port=0)
+        port = runner.addresses[0][1]
+
+        def run_script():
+            import subprocess
+            return subprocess.run(
+                [sys.executable,
+                 str(ROOT / "benchmarks" / "run_stsb_local.py"),
+                 "-m", str(tiny_model), "--data", str(data),
+                 "--modes", "served", "--out", str(out),
+                 "--server-url", f"http://127.0.0.1:{port}"],
+                capture_output=True, text=True, timeout=300,
+                env={"JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin",
+                     "PYTHONPATH": str(ROOT), "HOME": "/root"})
+
+        r = await asyncio.to_thread(run_script)
+        await runner.cleanup()
+        await svc.stop()
+        return r
+
+    r = asyncio.run(go())
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    res = json.loads((out / "tiny_served" / "STSBenchmark.json").read_text())
+    assert res["test"]["cos_sim"]["spearman"] > 0.5
+
+
 def test_end_to_end_gate_and_layout(tmp_path, tiny_model):
     data = _dataset(tmp_path, "sts")
     out = tmp_path / "results"
