@@ -152,22 +152,34 @@ class Engine:
         bb = extend_buckets(ec.batch_buckets, batch_size)
         plans = plan_batches([len(t) for t in toks], batch_size,
                              self._seq_buckets(), bb)
-        window = max(1, ec.inflight_batches)
-        pending: deque = deque()
 
-        def drain_one():
-            plan, emb = pending.popleft()
+        def dispatch():
+            for plan in plans:
+                ids, mask = pad_batch([toks[i] for i in plan.indices],
+                                      plan.batch, plan.seq,
+                                      self.tokenizer.pad_id)
+                yield plan, self._forward(self.params, ids, mask)
+
+        def scatter(plan, emb):
             out[list(plan.indices)] = np.asarray(emb)[: len(plan.indices)]
 
-        for plan in plans:
-            ids, mask = pad_batch([toks[i] for i in plan.indices],
-                                  plan.batch, plan.seq, self.tokenizer.pad_id)
-            pending.append((plan, self._forward(self.params, ids, mask)))
-            if len(pending) > window:
-                drain_one()
-        while pending:
-            drain_one()
+        self._windowed_drain(dispatch(), scatter)
         return out
+
+    def _windowed_drain(self, tasks, scatter) -> None:
+        """Drive a (meta, device_value) generator with a bounded in-flight
+        window: dispatch runs ahead of result read-back by at most
+        engine_config.inflight_batches device batches, keeping the
+        host/device pipeline full while holding O(window) output buffers
+        (shared by the bucketed and packed encode paths)."""
+        window = max(1, self.engine_config.inflight_batches)
+        pending: deque = deque()
+        for meta, val in tasks:
+            pending.append((meta, val))
+            if len(pending) > window:
+                scatter(*pending.popleft())
+        while pending:
+            scatter(*pending.popleft())
 
     def encode_batch_packed(self, texts: Sequence[str],
                             row_len: int | None = None,
@@ -213,31 +225,27 @@ class Engine:
         batches = plan_packing([len(t) for t in stoks], row_len, batch_rows,
                                max_segs=max(2, row_len // 8))
         bb = extend_buckets(ec.batch_buckets, batch_rows)
-        window = max(1, ec.inflight_batches)
-        pending: deque = deque()
+        from .packing import max_block_span
 
-        def drain_one():
-            mapping, pooled = pending.popleft()
+        def dispatch():
+            for b in batches:
+                b.batch = pick_bucket(len(b.rows), bb)  # pad row count
+                ids, seg, pos, pool, mapping = materialize(
+                    b, stoks, self.tokenizer.pad_id, self.config.pooling)
+                # static attention window for the block-skip kernel
+                # (host-side numpy; rows longer than 128 only attend
+                # within it). The max over n_seg-pinned batches is
+                # stable, so the jit cache holds at most a couple of
+                # window values per row_len.
+                w = max_block_span(seg) if row_len > 128 else 0
+                yield mapping, self._forward_packed(ids, seg, pos, pool, w)
+
+        def scatter(mapping, pooled):
             pooled = np.asarray(pooled)
             for r, s, i in mapping:
                 out[short[i]] = pooled[r, s]
 
-        from .packing import max_block_span
-        for b in batches:
-            b.batch = pick_bucket(len(b.rows), bb)  # pad row count
-            ids, seg, pos, pool, mapping = materialize(
-                b, stoks, self.tokenizer.pad_id, self.config.pooling)
-            # static attention window for the block-skip kernel (host-side
-            # numpy; rows longer than 128 only attend within it). The max
-            # over n_seg-pinned batches is stable, so the jit cache holds
-            # at most a couple of window values per row_len.
-            w = max_block_span(seg) if row_len > 128 else 0
-            pending.append((mapping,
-                            self._forward_packed(ids, seg, pos, pool, w)))
-            if len(pending) > window:
-                drain_one()
-        while pending:
-            drain_one()
+        self._windowed_drain(dispatch(), scatter)
         return out
 
     def _forward_packed(self, ids, seg, pos, pool, attn_window: int = 0):

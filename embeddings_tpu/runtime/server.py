@@ -94,6 +94,7 @@ class BatchingService:
         self.stats = ServiceStats()
         self._queue: asyncio.Queue = asyncio.Queue()
         self._task: asyncio.Task | None = None
+        self._runs: set[asyncio.Task] = set()  # in-flight device batches
 
     async def start(self) -> None:
         if self._task is None:
@@ -107,6 +108,10 @@ class BatchingService:
             except asyncio.CancelledError:
                 pass
             self._task = None
+        # let in-flight device batches finish (their futures resolve)
+        if self._runs:
+            await asyncio.gather(*self._runs, return_exceptions=True)
+            self._runs.clear()
         # fail queued requests so waiting clients get an error instead of
         # hanging on a future that will never resolve
         while not self._queue.empty():
@@ -137,25 +142,49 @@ class BatchingService:
         return out
 
     async def embed_many(self, texts: list[str]) -> np.ndarray:
+        if not texts:
+            return np.empty((0, self.engine.n_embd), np.float32)
         outs = await asyncio.gather(*(self.embed(t) for t in texts))
         return np.stack(outs)
 
     async def _scheduler(self) -> None:
-        while True:
-            text, fut = await self._queue.get()
-            batch = [(text, fut)]
-            # straggler window: keep draining until max_batch or timeout
-            deadline = asyncio.get_running_loop().time() + self.max_wait_ms / 1e3
-            while len(batch) < self.max_batch:
-                timeout = deadline - asyncio.get_running_loop().time()
-                if timeout <= 0:
-                    break
-                try:
-                    batch.append(await asyncio.wait_for(self._queue.get(),
-                                                        timeout))
-                except asyncio.TimeoutError:
-                    break
-            await self._run_batch(batch)
+        runs: set[asyncio.Task] = self._runs
+        batch: list = []
+        try:
+            while True:
+                batch = [await self._queue.get()]
+                # straggler window: drain until max_batch or timeout
+                loop = asyncio.get_running_loop()
+                deadline = loop.time() + self.max_wait_ms / 1e3
+                while len(batch) < self.max_batch:
+                    timeout = deadline - loop.time()
+                    if timeout <= 0:
+                        break
+                    try:
+                        batch.append(await asyncio.wait_for(
+                            self._queue.get(), timeout))
+                    except asyncio.TimeoutError:
+                        break
+                # pipeline: let one batch run on the device while the
+                # next is drained/tokenized — host prep no longer
+                # serializes with the device step
+                while len(runs) >= 2:
+                    done, _ = await asyncio.wait(
+                        runs, return_when=asyncio.FIRST_COMPLETED)
+                    runs.difference_update(done)
+                task = asyncio.create_task(self._run_batch(batch))
+                runs.add(task)
+                task.add_done_callback(runs.discard)
+                batch = []
+        except asyncio.CancelledError:
+            # fail the batch being formed; in-flight _run_batch tasks
+            # keep running (stop() awaits them) so their clients still
+            # get results
+            for _, fut in batch:
+                if not fut.done():
+                    fut.set_exception(
+                        ConnectionAbortedError("service stopped"))
+            raise
 
     async def _run_batch(self, batch: list) -> None:
         texts = [t for t, _ in batch]
@@ -174,6 +203,8 @@ class BatchingService:
                     self.engine.encode_batch, texts, len(texts))
             self.stats.requests += len(batch)
             self.stats.batches += 1
+            self.stats.tokens += sum(
+                len(self.engine.tokenize(t)) for t in texts)
             for (_, fut), e in zip(batch, embs):
                 if not fut.done():
                     fut.set_result(e)
@@ -241,7 +272,7 @@ async def _handle_tcp(service: BatchingService, reader: asyncio.StreamReader,
             if not more:
                 break
             first += more
-        if first.startswith(V2_MAGIC):
+        if first.startswith(V2_MAGIC) and _looks_like_v2(first):
             await _serve_v2(service, reader, writer, first[len(V2_MAGIC):])
             return
         data = first
@@ -271,6 +302,18 @@ async def _handle_tcp(service: BatchingService, reader: asyncio.StreamReader,
 
 
 _V2_MAX = 16 * 1024 * 1024  # sanity cap per framed message
+
+
+def _looks_like_v2(first: bytes) -> bool:
+    """Disambiguate a v1 TEXT that merely starts with 'ETF2' from a real
+    v2 handshake: v2 clients send the bare magic (or magic + a frame
+    whose length prefix is sane); a v1 text like 'ETF2000 report' would
+    decode its next 4 bytes as an absurd length."""
+    rest = first[len(V2_MAGIC):]
+    if len(rest) < 4:
+        return True  # bare magic (possibly with <4 coalesced bytes)
+    (length,) = struct.unpack("<I", rest[:4])
+    return length <= _V2_MAX
 
 
 async def _serve_v2(service: BatchingService, reader: asyncio.StreamReader,
@@ -326,11 +369,13 @@ def make_http_app(service: BatchingService):
     async def embed(request: web.Request) -> web.Response:
         try:
             body = await request.json()
+            if not isinstance(body, dict):
+                raise ValueError("body must be a JSON object")
             texts = body["texts"] if "texts" in body else [body["text"]]
             if not isinstance(texts, list) or not all(
                     isinstance(t, str) for t in texts):
                 raise ValueError("texts must be a list of strings")
-        except (json.JSONDecodeError, KeyError, ValueError) as e:
+        except (json.JSONDecodeError, KeyError, ValueError, TypeError) as e:
             return web.json_response({"error": str(e) or "bad request"},
                                      status=400)
         try:

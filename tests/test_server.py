@@ -199,6 +199,91 @@ def test_utf8_incomplete_tail():
     assert not _utf8_incomplete_tail(b"")
 
 
+def test_stop_waits_for_inflight_batches(engine):
+    """A request already being processed when stop() is called still
+    resolves with its embedding (stop awaits in-flight device batches)."""
+    async def go():
+        svc = BatchingService(engine, max_wait_ms=1)
+        await svc.start()
+        task = asyncio.create_task(svc.embed("hello world"))
+        await asyncio.sleep(0.2)   # scheduler picks it up + device runs
+        await svc.stop()
+        return await asyncio.wait_for(task, timeout=5)
+    emb = run_async(go())
+    np.testing.assert_allclose(emb, engine.encode("hello world"), atol=1e-5)
+
+
+def test_v1_text_starting_with_magic_not_hijacked(engine):
+    """A reference-protocol client whose first TEXT happens to start with
+    'ETF2' must still get a v1 embedding (frame-plausibility check)."""
+    import socket as socket_mod
+
+    async def go():
+        server, svc = await serve_tcp(engine, host="127.0.0.1", port=0)
+        port = server.sockets[0].getsockname()[1]
+        results = {}
+
+        def client():
+            s = socket_mod.create_connection(("127.0.0.1", port), timeout=10)
+            s.recv(4)
+            s.sendall(b"ETF2000 report hello world")
+            buf = b""
+            while len(buf) < engine.n_embd * 4:
+                chunk = s.recv(engine.n_embd * 4 - len(buf))
+                if not chunk:
+                    break
+                buf += chunk
+            results["emb"] = np.frombuffer(buf, np.float32).copy()
+            s.close()
+
+        await asyncio.wait_for(asyncio.to_thread(client), timeout=15)
+        server.close()
+        await server.wait_closed()
+        await svc.stop()
+        return results
+
+    r = run_async(go())
+    np.testing.assert_allclose(
+        r["emb"], engine.encode("ETF2000 report hello world"), atol=1e-5)
+
+
+def test_http_empty_and_bad_bodies(engine):
+    pytest.importorskip("aiohttp")
+
+    async def go():
+        runner, svc = await serve_http(engine, host="127.0.0.1", port=0)
+        port = runner.addresses[0][1]
+        results = {}
+
+        def client():
+            import urllib.request, urllib.error, json as j
+            def post(data):
+                req = urllib.request.Request(
+                    f"http://127.0.0.1:{port}/embed", data=data,
+                    headers={"Content-Type": "application/json"})
+                try:
+                    with urllib.request.urlopen(req, timeout=10) as resp:
+                        return resp.status, j.loads(resp.read())
+                except urllib.error.HTTPError as e:
+                    return e.code, None
+            results["empty"] = post(b'{"texts": []}')
+            results["int"] = post(b"42")
+            results["list"] = post(b'["a"]')
+            results["ints_in_texts"] = post(b'{"texts": [1, 2]}')
+
+        await asyncio.to_thread(client)
+        await runner.cleanup()
+        await svc.stop()
+        return results
+
+    r = run_async(go())
+    status, body = r["empty"]
+    assert status == 200 and body["embeddings"] == []
+    assert r["int"][0] == 400
+    assert r["list"][0] == 400
+    assert r["ints_in_texts"][0] == 400
+
+
 def test_stop_fails_pending_requests(engine):
     """Requests still queued when the service stops must resolve with an
     error, not hang their clients forever."""
