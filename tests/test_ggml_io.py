@@ -99,3 +99,33 @@ def test_load_ggml_model_end_to_end(tmp_path, cfg, params, small_vocab,
     assert cos.min() > (0.999999 if dtype == "f32" else 0.995), cos
     if dtype == "f32":
         np.testing.assert_allclose(got, ref, atol=atol)
+
+
+def test_malformed_bin_fails_cleanly(tmp_path, cfg, params, small_vocab):
+    """Corrupt/truncated .bin input raises a clear exception (never hangs
+    or returns garbage) — mirrors the GGUF reader's robustness tests."""
+    import struct
+    good = tmp_path / "good.bin"
+    ggml_io.write_ggml(good, params, cfg, small_vocab, dtype="q4_0")
+    blob = good.read_bytes()
+
+    def expect_failure(data, name):
+        p = tmp_path / name
+        p.write_bytes(data)
+        with pytest.raises((ValueError, EOFError, struct.error, KeyError,
+                            MemoryError, OSError)):
+            ggml_io.read_ggml(p)
+
+    expect_failure(b"XXXX" + blob[4:], "magic.bin")
+    for cut in (6, 20, 120, len(blob) // 2):
+        expect_failure(blob[:cut], f"trunc{cut}.bin")
+    # unsupported tensor ftype in the first tensor record: locate the
+    # first record (after header + vocab) and patch its ftype field
+    n_vocab = len(small_vocab)
+    off = 8 + 24  # magic+n_vocab, 6 more hparams
+    for tok in small_vocab:
+        off += 4 + len(tok.encode())
+    bad = bytearray(blob)
+    # record layout: i32 n_dims, i32 name_len, i32 ftype
+    bad[off + 8:off + 12] = struct.pack("<i", 99)
+    expect_failure(bytes(bad), "ftype.bin")
