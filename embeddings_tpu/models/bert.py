@@ -151,14 +151,6 @@ def attention_context(layer: Params, config: BertConfig, x: jax.Array,
     return ctx.reshape(B, L, El)
 
 
-def attention(layer: Params, config: BertConfig, x: jax.Array,
-              mask_bias: jax.Array, lengths: jax.Array | None = None) -> jax.Array:
-    """Full attention incl. output projection (bert.cpp:994-1056)."""
-    ctx = attention_context(layer, config, x, mask_bias, lengths)
-    a = layer["attn"]
-    return linear(ctx, a["o"]["w"], a["o"]["b"])
-
-
 def _row_parallel_residual_ln(h, w, b, residual, ln, eps, tp_axis):
     """Megatron row-parallel linear + residual + LN: each shard holds a
     K/tp slice of the weight, partial products are summed over ICI with
@@ -316,14 +308,3 @@ def encode_packed(params: Params, config: BertConfig, token_ids: jax.Array,
         norm = jnp.linalg.norm(pooled, axis=-1, keepdims=True)
         pooled = pooled / jnp.maximum(norm, 1e-12)
     return pooled
-
-
-def make_forward(config: BertConfig, *, pooling: str | None = None,
-                 normalize: bool | None = None, donate: bool = False):
-    """Build the jittable forward fn: (params, token_ids, mask) -> [B, E]."""
-
-    def fwd(params, token_ids, attention_mask):
-        return encode_tokens(params, config, token_ids, attention_mask,
-                             pooling=pooling, normalize=normalize)
-
-    return jax.jit(fwd)

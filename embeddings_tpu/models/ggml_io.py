@@ -166,10 +166,14 @@ def read_ggml(path: str | Path, *, dequant: bool = False):
                 raise ValueError(f"unsupported tensor ftype {t_ftype} ({name})")
 
     from ..config import BertConfig
+    # max_position_embeddings must reflect the file's position table size
+    # (an inflated value would let tokenize() emit inputs longer than the
+    # table and crash embed(); the reference's 512 hardcode is a property
+    # of ITS models, not of the format)
     config = BertConfig(vocab_size=n_vocab, hidden_size=n_embd,
                         num_hidden_layers=n_layer, num_attention_heads=n_head,
                         intermediate_size=n_intermediate,
-                        max_position_embeddings=max(n_max_tokens, 512))
+                        max_position_embeddings=n_max_tokens)
     return sd, config, vocab_tokens
 
 
@@ -228,8 +232,25 @@ def _install_quantized(params: dict, quants: dict, config: BertConfig) -> dict:
             qs[0].kind, -2)
 
     def maybe(name: str, node: dict, fmt: str) -> None:
-        if fmt.format(0) + ".weight" in quants:
+        names = [fmt.format(i) + ".weight" for i in range(NL)]
+        present = [n for n in names if n in quants]
+        if not present:
+            return
+        kinds = {quants[n].kind for n in present}
+        if len(present) == NL and len(kinds) == 1:
             node[name] = {"w": stack_qt(fmt), "b": node[name]["b"]}
+            return
+        # per-tensor mixed types are legal in the formats (quantize.cpp
+        # only converts 2-D .weight and could in principle skip some;
+        # GGUF allows any per-tensor type): the stacked-kernel layout
+        # needs one kind across layers, so fall back to dense for this
+        # weight — filling the zero placeholders build_params_from_sd
+        # inserted, NOT leaving them (that loaded garbage silently)
+        w = jnp.asarray(node[name]["w"])
+        for i, n in enumerate(names):
+            if n in quants:
+                w = w.at[i].set(_dequant_np(quants[n]))
+        node[name] = {"w": w, "b": node[name]["b"]}
 
     emb_name = "embeddings.word_embeddings.weight"
     if emb_name in quants:
@@ -243,7 +264,6 @@ def _install_quantized(params: dict, quants: dict, config: BertConfig) -> dict:
     for nm in ("position", "token_type"):
         key = f"embeddings.{nm}_embeddings.weight"
         if key in quants:
-            from .params import _set_path  # noqa: F401  (not needed; dense)
             params["embeddings"][nm] = _dequant_np(quants[key]).T
 
     attn, mlp = params["layers"]["attn"], params["layers"]["mlp"]

@@ -196,7 +196,9 @@ def q8_0_to_bytes(a: np.ndarray) -> bytes:
     d = (amax / 127.0).astype(np.float16)
     df = d.astype(np.float32)
     inv = np.where(df != 0.0, 1.0 / np.where(df == 0.0, 1.0, df), 0.0)
-    q = np.rint(blocks * inv).astype(np.int8)
+    v = blocks * inv
+    # half-away-from-zero like C roundf (llama.cpp quantize_row_q8_0)
+    q = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int8)
     rec = np.zeros(R * nb, dtype=np.dtype([("d", "<f2"),
                                            ("qs", "i1", (QK,))]))
     rec["d"] = d[:, 0]

@@ -95,7 +95,15 @@ def init_params(config: BertConfig, rng: jax.Array | int = 0,
 
 def _strip_prefix(sd: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
     """Drop the 'bert.' / '0.auto_model.' style prefixes HF checkpoints use."""
-    for prefix in ("bert.", "roberta.", "0.auto_model."):
+    if any(k.startswith("roberta.") for k in sd):
+        # RoBERTa offsets position embeddings by padding_idx+1 (rows 0-1
+        # are pad/special; position i uses row i+2) and uses a BPE
+        # tokenizer — loading it through the BERT path would silently
+        # produce wrong embeddings, so refuse
+        raise ValueError(
+            "RoBERTa checkpoints are not supported (position-embedding "
+            "offset + BPE tokenizer differ from BERT)")
+    for prefix in ("bert.", "0.auto_model."):
         if any(k.startswith(prefix + "embeddings") for k in sd):
             sd = {k[len(prefix):]: v for k, v in sd.items()
                   if k.startswith(prefix)}
@@ -268,11 +276,16 @@ def quantize_params(params: Params, kind: str, *,
     harmless either way for the Δ-vs-f16 budget; we keep them dense to skip
     two dequant-gathers per step).
     """
+    from ..ops.quant import dequantize
     if kind in DENSE_KINDS:
         return cast_params(params, kind)
     assert kind in QUANT_KINDS, kind
 
     def qt(x, block_axis=-2):
+        if isinstance(x, QuantizedTensor):
+            # re-quantization (cmd_quantize on an already-quantized
+            # checkpoint): go through dense f32 first
+            x = dequantize(x)
         return quantize(np.asarray(x, np.float32), kind,
                         block_axis=block_axis, pack4=pack4)
 
@@ -298,12 +311,16 @@ def cast_params(params: Params, kind: str) -> Params:
     """Cast matmul weights + embedding tables to f32/bf16/f16; LayerNorm
     params and biases stay f32 (matches the reference's f16 mode,
     convert-to-ggml.py:93-98: only 2-D .weight tensors become f16)."""
+    from ..ops.quant import dequantize
     target = {"f32": jnp.float32, "bf16": jnp.bfloat16, "f16": jnp.float16}[kind]
 
     def cast(path, x):
         name = "/".join(str(p) for p in path)
         if isinstance(x, QuantizedTensor):
-            return x
+            # casting a quantized checkpoint to a dense kind must yield
+            # dense weights (re-quantization path), not a silently
+            # still-quantized tensor labeled f32
+            x = dequantize(x)
         if x.ndim >= 2 and "ln" not in name:
             return x.astype(target)
         return x

@@ -186,14 +186,17 @@ def quantize_q4_1(w: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
 
 
 def quantize_q8_0(w: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """ggml Q8_0: d = absmax/127, q = round(x/d) int8."""
+    """ggml Q8_0: d = absmax/127, q = roundf(x/d) int8 — half-AWAY-from-
+    zero like C roundf (np.rint's half-to-even differs on exact ties,
+    breaking bit parity with reference-quantized artifacts)."""
     _check_shape(w)
     *lead, K, N = w.shape
     blocks = w.reshape(*lead, K // QK, QK, N).astype(np.float32)
     amax = np.abs(blocks).max(axis=-2, keepdims=True)
     d = amax / 127.0
     inv = np.where(d != 0.0, 1.0 / np.where(d == 0.0, 1.0, d), 0.0)
-    q = np.rint(blocks * inv).astype(np.int8)
+    v = blocks * inv
+    q = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int8)
     return q.reshape(*lead, K, N), d.squeeze(-2).astype(np.float32)
 
 
@@ -332,12 +335,12 @@ def pack_ggml_q4_0(codes: np.ndarray, scales: np.ndarray) -> bytes:
     lo, hi = q[..., 0::2], q[..., 1::2]
     packed = (lo | (hi << 4)).astype(np.uint8)          # [N, K//32, 16]
     d = scales.T.astype(np.float32)                     # [N, K//32]
-    out = bytearray()
-    for n in range(N):
-        for b in range(K // QK):
-            out += d[n, b].tobytes()
-            out += packed[n, b].tobytes()
-    return bytes(out)
+    nb = K // QK
+    rec = np.zeros(N * nb, dtype=np.dtype([("d", "<f4"),
+                                           ("qs", "u1", (QK // 2,))]))
+    rec["d"] = d.reshape(-1)
+    rec["qs"] = packed.reshape(N * nb, QK // 2)
+    return rec.tobytes()
 
 
 def unpack_ggml_q4_0(buf: bytes, K: int, N: int) -> tuple[np.ndarray, np.ndarray]:
@@ -365,13 +368,13 @@ def pack_ggml_q4_1(codes_raw: np.ndarray, scales: np.ndarray,
     packed = (lo | (hi << 4)).astype(np.uint8)
     d = scales.T.astype(np.float32)
     m = mins_raw.T.astype(np.float32)
-    out = bytearray()
-    for n in range(N):
-        for b in range(K // QK):
-            out += d[n, b].tobytes()
-            out += m[n, b].tobytes()
-            out += packed[n, b].tobytes()
-    return bytes(out)
+    nb = K // QK
+    rec = np.zeros(N * nb, dtype=np.dtype([("d", "<f4"), ("m", "<f4"),
+                                           ("qs", "u1", (QK // 2,))]))
+    rec["d"] = d.reshape(-1)
+    rec["m"] = m.reshape(-1)
+    rec["qs"] = packed.reshape(N * nb, QK // 2)
+    return rec.tobytes()
 
 
 def unpack_ggml_q4_1(buf: bytes, K: int, N: int
@@ -396,12 +399,12 @@ def pack_ggml_q8_0(codes: np.ndarray, scales: np.ndarray) -> bytes:
     K, N = codes.shape
     q = codes.T.reshape(N, K // QK, QK).astype(np.int8)
     d = scales.T.astype(np.float32)
-    out = bytearray()
-    for n in range(N):
-        for b in range(K // QK):
-            out += d[n, b].tobytes()
-            out += q[n, b].tobytes()
-    return bytes(out)
+    nb = K // QK
+    rec = np.zeros(N * nb, dtype=np.dtype([("d", "<f4"),
+                                           ("qs", "i1", (QK,))]))
+    rec["d"] = d.reshape(-1)
+    rec["qs"] = q.reshape(N * nb, QK)
+    return rec.tobytes()
 
 
 def unpack_ggml_q8_0(buf: bytes, K: int, N: int) -> tuple[np.ndarray, np.ndarray]:
