@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import ctypes
 import os
+import threading
 from pathlib import Path
 
 import numpy as np
@@ -33,34 +34,38 @@ def _load_lib():
     if _lib is not None:
         return _lib
     for p in _LIB_PATHS:
-        if p.exists():
+        if not p.exists():
+            continue
+        try:
             lib = ctypes.CDLL(str(p))
-            lib.etok_new.restype = ctypes.c_void_p
-            lib.etok_new.argtypes = [ctypes.POINTER(ctypes.c_char_p),
-                                     ctypes.c_int32, ctypes.c_int32,
-                                     ctypes.c_int32]
-            lib.etok_free.argtypes = [ctypes.c_void_p]
-            lib.etok_encode.restype = ctypes.c_int32
-            lib.etok_encode.argtypes = [
-                ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int32,
-                ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
-                ctypes.c_int32]
-            for name in ("cls", "sep", "unk", "pad"):
-                fn = getattr(lib, f"etok_{name}_id")
-                fn.restype = ctypes.c_int32
-                fn.argtypes = [ctypes.c_void_p]
-            # tables baked at build time must match the runtime's Unicode
-            # data or normalization silently diverges from the Python path
-            try:
-                lib.etok_unidata_version.restype = ctypes.c_char_p
-                import unicodedata
-                built = lib.etok_unidata_version().decode()
-                if built != unicodedata.unidata_version:
-                    return None  # stale .so: fall back to Python
-            except AttributeError:
-                return None  # old .so without the version symbol
-            _lib = lib
-            return lib
+        except OSError:
+            continue  # corrupt/wrong-arch .so: try the next candidate
+        lib.etok_new.restype = ctypes.c_void_p
+        lib.etok_new.argtypes = [ctypes.POINTER(ctypes.c_char_p),
+                                 ctypes.c_int32, ctypes.c_int32,
+                                 ctypes.c_int32]
+        lib.etok_free.argtypes = [ctypes.c_void_p]
+        lib.etok_encode.restype = ctypes.c_int32
+        lib.etok_encode.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+            ctypes.c_int32]
+        for name in ("cls", "sep", "unk", "pad"):
+            fn = getattr(lib, f"etok_{name}_id")
+            fn.restype = ctypes.c_int32
+            fn.argtypes = [ctypes.c_void_p]
+        # tables baked at build time must match the runtime's Unicode
+        # data or normalization silently diverges from the Python path
+        try:
+            lib.etok_unidata_version.restype = ctypes.c_char_p
+            import unicodedata
+            built = lib.etok_unidata_version().decode()
+            if built != unicodedata.unidata_version:
+                continue  # stale .so: try the next candidate
+        except AttributeError:
+            continue  # old .so without the version symbol
+        _lib = lib
+        return lib
     return None
 
 
@@ -86,7 +91,18 @@ class NativeWordPieceTokenizer:
         self.sep_id = lib.etok_sep_id(self._ctx)
         self.unk_id = lib.etok_unk_id(self._ctx)
         self.pad_id = lib.etok_pad_id(self._ctx)
-        self._buf = (ctypes.c_int32 * 8192)()
+        # per-THREAD scratch buffers: ctypes releases the GIL during the
+        # call, and the serving layer runs encode_batch from multiple
+        # worker threads concurrently — one shared buffer would let two
+        # requests interleave ids silently
+        self._tls = threading.local()
+
+    def _scratch(self):
+        buf = getattr(self._tls, "buf", None)
+        if buf is None:
+            buf = (ctypes.c_int32 * 8192)()
+            self._tls.buf = buf
+        return buf
 
     @classmethod
     def wrap(cls, tok) -> "NativeWordPieceTokenizer | None":
@@ -102,6 +118,8 @@ class NativeWordPieceTokenizer:
         sa = tok.strip_accents
         if sa is not None and bool(sa) != bool(tok.lowercase):
             return None
+        if getattr(tok, "max_input_chars_per_word", 100) != 100:
+            return None  # C++ side hardcodes 100 (native/tokenizer.cpp)
         nt = cls(tok.vocab.id_to_token,
                  lowercase=tok.lowercase,
                  tokenize_chinese_chars=tok.tokenize_chinese_chars)
@@ -111,15 +129,18 @@ class NativeWordPieceTokenizer:
         return nt
 
     def encode(self, text: str, max_len: int | None = None) -> list[int]:
+        if max_len is not None and 0 < max_len < 2:
+            raise ValueError("max_len must be >= 2 ([CLS] + [SEP])")
         data = text.encode("utf-8")
-        n = self._lib.etok_encode(self._ctx, data, len(data), self._buf,
-                                  len(self._buf), max_len or -1)
+        buf = self._scratch()
+        n = self._lib.etok_encode(self._ctx, data, len(data), buf,
+                                  len(buf), max_len or -1)
         if n < 0:
             big = (ctypes.c_int32 * (len(data) + 2))()
             n = self._lib.etok_encode(self._ctx, data, len(data), big,
                                       len(big), max_len or -1)
             return list(big[:n])
-        return list(self._buf[:n])
+        return list(buf[:n])
 
     def encode_batch(self, texts, max_len: int | None = None):
         return [self.encode(t, max_len) for t in texts]

@@ -101,7 +101,11 @@ def normalize(text: str, *, lowercase: bool = True, strip_accents: bool | None =
                 out.append(ch)
         text = "".join(out)
     if lowercase:
-        text = text.lower()
+        # char-wise, NOT str.lower(): Python's whole-string lower applies
+        # Unicode's context-sensitive Final_Sigma rule ('ΛΟΓΟΣ' -> ...ς),
+        # while hf-rust (and our native tables) lowercase per character
+        # ('Σ' -> σ everywhere). The per-char form matches the oracle.
+        text = "".join(c.lower() for c in text)
     if strip_accents:
         text = "".join(c for c in unicodedata.normalize("NFD", text)
                        if unicodedata.category(c) != "Mn")
@@ -266,7 +270,11 @@ class WordPieceTokenizer:
 
     def encode(self, text: str, max_len: int | None = None) -> list[int]:
         """[CLS] ids [SEP], truncated to max_len (keeping the final [SEP]) —
-        the reference truncates at n_max_tokens-1 (bert.cpp:386)."""
+        the reference truncates at n_max_tokens-1 (bert.cpp:386).
+        max_len < 2 cannot hold [CLS]+[SEP] and is rejected (keeps the
+        Python and native paths' edge behavior identical)."""
+        if max_len is not None and 0 < max_len < 2:
+            raise ValueError("max_len must be >= 2 ([CLS] + [SEP])")
         ids = self.tokenize_to_ids(text)
         if max_len is not None and len(ids) > max_len - 2:
             ids = ids[: max_len - 2]

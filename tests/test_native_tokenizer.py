@@ -80,3 +80,38 @@ def test_wrap_refuses_unrepresentable_configs(small_vocab):
                             cls_token="<s>", sep_token="</s>",
                             unk_token="<unk>", pad_token="<pad>")
     assert nat.NativeWordPieceTokenizer.wrap(t3) is None
+
+
+def test_concurrent_encode_thread_safety(pair):
+    """The serving layer runs encode from multiple worker threads at once
+    (ctypes releases the GIL): concurrent encodes must not interleave ids
+    through a shared scratch buffer."""
+    import concurrent.futures
+
+    py, cc = pair
+    texts = [f"the quick brown fox {'walk talk run ' * (i % 7)}jumps {i}"
+             for i in range(200)]
+    expected = [py.encode(t) for t in texts]
+
+    def worker(seed):
+        import random
+        order = list(range(len(texts)))
+        random.Random(seed).shuffle(order)
+        for i in order:
+            if cc.encode(texts[i]) != expected[i]:
+                return i
+        return -1
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=8) as ex:
+        bad = [r for r in ex.map(worker, range(8)) if r != -1]
+    assert not bad, f"corrupted ids for texts {bad}"
+
+
+def test_degenerate_max_len_rejected(pair):
+    py, cc = pair
+    for tok in pair:
+        with pytest.raises(ValueError):
+            tok.encode("hello world", max_len=1)
+    # max_len=2 -> [CLS] [SEP] on both paths
+    assert py.encode("hello world", max_len=2) == \
+        cc.encode("hello world", max_len=2) == [py.cls_id, py.sep_id]

@@ -168,7 +168,8 @@ def build_prompts(vocab: list[str]) -> list[str]:
         "null\x00byte and control\x07chars",
         "ᚠᚢᚦ runes and ⠃⠗ braille",                # fully OOV scripts
         "عربى text and עברית text",                 # RTL scripts
-        "ᾼῼ iota subscripts ΐΰ",                    # greek edge cases
+        "ᾼῼ iota subscripts ΐΰ",
+        "ΛΟΓΟΣ ΟΔΥΣΣΕΥΣ τέλος Σ",   # Final_Sigma: hf lowers char-wise                    # greek edge cases
         "ß sharp s and ẞ capital",
         "12,345.67 89% $100 3.14159 2e-5 0xFF",
         "pneumonoultramicroscopicsilicovolcanoconiosis",
