@@ -49,7 +49,17 @@ class BertConfig:
 
     @classmethod
     def from_hf_dict(cls, d: dict[str, Any], **overrides: Any) -> "BertConfig":
-        """Build from a HuggingFace ``config.json`` dict."""
+        """Build from a HuggingFace ``config.json`` dict (BERT or
+        DistilBERT key names — DistilBERT's encoder math is identical,
+        it only renames hparams and drops token-type embeddings)."""
+        if d.get("model_type") == "distilbert":
+            d = {**d,
+                 "hidden_size": d["dim"],
+                 "num_hidden_layers": d["n_layers"],
+                 "num_attention_heads": d["n_heads"],
+                 "intermediate_size": d["hidden_dim"],
+                 "hidden_act": d.get("activation", "gelu"),
+                 "type_vocab_size": 1}  # synthesized zeros row
         act = d.get("hidden_act", "gelu")
         if act in ("gelu_new", "gelu_pytorch_tanh"):
             act = "gelu_tanh"
@@ -171,4 +181,8 @@ KNOWN_MODELS: dict[str, dict[str, Any]] = {
     "bge-large-en-v1.5": dict(hidden_size=1024, num_hidden_layers=24, num_attention_heads=16, intermediate_size=4096, pooling="cls"),
     "bge-small-zh-v1.5": dict(vocab_size=21128, hidden_size=512, num_hidden_layers=4, num_attention_heads=8, intermediate_size=2048, pooling="cls"),
     "bge-base-zh-v1.5": dict(vocab_size=21128, hidden_size=768, num_hidden_layers=12, num_attention_heads=12, intermediate_size=3072, pooling="cls"),
+    # DistilBERT family (beyond the reference; loader translates names)
+    "distilbert-base-uncased": dict(hidden_size=768, num_hidden_layers=6, num_attention_heads=12, intermediate_size=3072, type_vocab_size=1),
+    "multi-qa-distilbert-cos-v1": dict(hidden_size=768, num_hidden_layers=6, num_attention_heads=12, intermediate_size=3072, type_vocab_size=1),
+    "msmarco-distilbert-base-v4": dict(hidden_size=768, num_hidden_layers=6, num_attention_heads=12, intermediate_size=3072, type_vocab_size=1),
 }

@@ -103,12 +103,52 @@ def _strip_prefix(sd: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
         raise ValueError(
             "RoBERTa checkpoints are not supported (position-embedding "
             "offset + BPE tokenizer differ from BERT)")
-    for prefix in ("bert.", "0.auto_model."):
+    for prefix in ("bert.", "distilbert.", "0.auto_model."):
         if any(k.startswith(prefix + "embeddings") for k in sd):
             sd = {k[len(prefix):]: v for k, v in sd.items()
                   if k.startswith(prefix)}
             break
-    return sd
+    return _translate_distilbert(sd)
+
+
+# DistilBERT layer-tensor names -> BERT names (the math is identical:
+# post-LN encoder, learned positions, erf GELU; it just drops token-type
+# embeddings and the pooler, and renames everything)
+_DISTIL_LAYER_MAP = {
+    "attention.q_lin": "attention.self.query",
+    "attention.k_lin": "attention.self.key",
+    "attention.v_lin": "attention.self.value",
+    "attention.out_lin": "attention.output.dense",
+    "sa_layer_norm": "attention.output.LayerNorm",
+    "ffn.lin1": "intermediate.dense",
+    "ffn.lin2": "output.dense",
+    "output_layer_norm": "output.LayerNorm",
+}
+
+
+def _translate_distilbert(sd: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+    """Rewrite a DistilBERT state dict into BERT naming; no-op otherwise.
+
+    A zero token-type table is synthesized (DistilBERT has none; adding a
+    zeros row keeps embed() shared across both families)."""
+    if not any(k.startswith("transformer.layer.") for k in sd):
+        return sd
+    out: dict[str, np.ndarray] = {}
+    for k, v in sd.items():
+        if k.startswith("transformer.layer."):
+            _, _, i, rest = k.split(".", 3)
+            stem, _, leaf = rest.rpartition(".")
+            mapped = _DISTIL_LAYER_MAP.get(stem)
+            if mapped is None:
+                continue
+            out[f"encoder.layer.{i}.{mapped}.{leaf}"] = v
+        else:
+            out[k] = v  # embeddings.* names already match BERT's
+    emb = out.get("embeddings.word_embeddings.weight")
+    if emb is not None:
+        out.setdefault("embeddings.token_type_embeddings.weight",
+                       np.zeros((1, emb.shape[1]), np.float32))
+    return out
 
 
 def from_hf_state_dict(sd: dict[str, np.ndarray], config: BertConfig,
