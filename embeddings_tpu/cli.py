@@ -40,13 +40,22 @@ def _add_model_args(p: argparse.ArgumentParser) -> None:
                    help="data-parallel mesh size (default: all devices)")
     p.add_argument("--tp", type=int, default=1,
                    help="tensor-parallel mesh size")
+    p.add_argument("--sp", type=int, default=1,
+                   help="sequence/context-parallel mesh size "
+                        "(exclusive with --tp)")
 
 
 def _load_engine(args):
     from .config import EngineConfig
     from .runtime.engine import load_model
     mesh = None
-    if args.tp > 1 or (args.dp or 0) > 1:
+    sp = getattr(args, "sp", 1)
+    if sp > 1 and args.tp > 1:
+        raise SystemExit("--sp and --tp are mutually exclusive")
+    if sp > 1:
+        from .parallel import make_mesh_cp
+        mesh = make_mesh_cp(dp=args.dp, sp=sp)
+    elif args.tp > 1 or (args.dp or 0) > 1:
         from .parallel import make_mesh
         mesh = make_mesh(dp=args.dp, tp=args.tp)
     ec = EngineConfig(max_seq_len=args.max_seq, batch_size=args.batch_size)

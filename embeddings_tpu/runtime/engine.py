@@ -62,19 +62,34 @@ class Engine:
         mode = self.engine_config.use_pallas
         if mesh is not None:
             from ..parallel.mesh import DATA_AXIS
-            from ..parallel.sharding import shard_params, make_sharded_forward
             # shard_map needs batch shapes divisible by the data-axis size
-            self._dp = mesh.shape[DATA_AXIS]
+            self._dp = mesh.shape.get(DATA_AXIS, 1)
             ec = self.engine_config
             ec.batch_size = -(-ec.batch_size // self._dp) * self._dp
             ec.batch_buckets = tuple(
                 b for b in ec.batch_buckets if b % self._dp == 0
             ) or (self._dp,)
-            self.params = shard_params(params, config, mesh)
-            self._forward = make_sharded_forward(config, mesh,
-                                                 compute_dtype=cd,
-                                                 mask_value=mv,
-                                                 pallas=mode)
+            from ..parallel.context import SEQ_AXIS
+            if SEQ_AXIS in mesh.shape:
+                # context parallelism: L sharded over "seq" (weights
+                # replicated); power-of-two seq buckets >= 16 are always
+                # divisible by the seq-axis size
+                from ..parallel.context import make_cp_forward
+                sp = mesh.shape[SEQ_AXIS]
+                ec.seq_buckets = tuple(b for b in ec.seq_buckets
+                                       if b % sp == 0) or (sp,)
+                self.params = params
+                self._forward = make_cp_forward(config, mesh,
+                                                compute_dtype=cd,
+                                                mask_value=mv)
+            else:
+                from ..parallel.sharding import (make_sharded_forward,
+                                                 shard_params)
+                self.params = shard_params(params, config, mesh)
+                self._forward = make_sharded_forward(config, mesh,
+                                                     compute_dtype=cd,
+                                                     mask_value=mv,
+                                                     pallas=mode)
         else:
             from ..ops.linear import pallas_mode
             self._dp = 1

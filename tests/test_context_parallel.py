@@ -88,3 +88,26 @@ def test_cp_global_positions(cfg, params):
         params["embeddings"]["position"])
     got2 = np.asarray(fwd(p2, ids, mask))
     assert not np.allclose(got, got2)
+
+
+def test_engine_with_cp_mesh(cfg, params, small_vocab):
+    """Engine accepts a (data, seq) mesh: encode_batch matches the
+    single-device engine (context parallelism end-to-end through the
+    batching/bucketing machinery)."""
+    import dataclasses
+    from embeddings_tpu.config import EngineConfig
+    from embeddings_tpu.runtime.engine import Engine
+    from embeddings_tpu.tokenizer import WordPieceTokenizer, WordPieceVocab
+    tok = WordPieceTokenizer(WordPieceVocab.from_tokens(small_vocab))
+    cfg2 = dataclasses.replace(cfg, vocab_size=len(small_vocab))
+    p = P.init_params(cfg2, rng=0)
+    ec = EngineConfig(seq_buckets=(16, 32), max_seq_len=32, batch_size=8,
+                      batch_buckets=(2, 4, 8))
+    eng = Engine(p, cfg2, tok, dataclasses.replace(ec),
+                 mesh=make_mesh_cp(dp=2, sp=4))
+    texts = ["hello world", "the quick brown fox jumps over the lazy dog",
+             "a", "this is a test sentence"] * 2
+    out = eng.encode_batch(texts)
+    single = Engine(p, cfg2, tok, dataclasses.replace(ec))
+    np.testing.assert_allclose(out, single.encode_batch(texts),
+                               atol=2e-5, rtol=1e-5)
