@@ -26,6 +26,18 @@ test method (examples/test_hf_tokenizer.py + test_tokenizer.cpp).
 from __future__ import annotations
 
 import unicodedata
+
+try:
+    # pins to the HF rust tokenizers' bundled Unicode tables wherever
+    # they differ from this Python's (tools/gen_hf_rust_compat.py)
+    from ._hf_rust_compat import (CONTROL_IN_HF_RUST as _HF_CTRL,
+                                  PUNCT_IN_HF_RUST as _HF_PUNCT,
+                                  TRANSFORM_IN_HF_RUST as _HF_TRANSFORM,
+                                  UNASSIGNED_IN_HF_RUST as _HF_UNASSIGNED,
+                                  WHITESPACE_IN_HF_RUST as _HF_WS)
+except ImportError:  # pragma: no cover - running file standalone
+    _HF_CTRL = _HF_PUNCT = _HF_UNASSIGNED = _HF_WS = frozenset()
+    _HF_TRANSFORM = {}
 from dataclasses import dataclass, field
 from pathlib import Path
 from typing import Iterable, Sequence
@@ -56,13 +68,28 @@ def _is_cjk(cp: int) -> bool:
 
 
 def _is_whitespace(ch: str) -> bool:
+    # hf-rust spaces the Zs/Zl/Zp separator categories (U+2028/U+2029
+    # included; Zs-only — the HF *python* BasicTokenizer rule — diverges
+    # there; found by fuzzing against the rust oracle). Cc whitespace
+    # like VT/FF/NEL is REMOVED by clean_text instead: control is
+    # checked first and wins.
     if ch in (" ", "\t", "\n", "\r"):
         return True
-    return unicodedata.category(ch) == "Zs"
+    cp = ord(ch)
+    if cp in _HF_WS:
+        return True
+    if cp in _HF_UNASSIGNED:
+        return False
+    return unicodedata.category(ch) in ("Zs", "Zl", "Zp")
 
 
 def _is_control(ch: str) -> bool:
     if ch in ("\t", "\n", "\r"):
+        return False
+    cp = ord(ch)
+    if cp in _HF_CTRL:
+        return True
+    if cp in _HF_UNASSIGNED:
         return False
     # hf-rust removes Cc/Cf/Co (and surrogates) but KEEPS unassigned (Cn)
     # codepoints — e.g. U+FF00 and U+2B81F flow through to the model
@@ -74,6 +101,10 @@ def _is_punctuation(ch: str) -> bool:
     # ASCII ranges HF treats as punctuation (includes $ + < = > ^ ` | ~).
     if (33 <= cp <= 47) or (58 <= cp <= 64) or (91 <= cp <= 96) or (123 <= cp <= 126):
         return True
+    if cp in _HF_PUNCT:
+        return True
+    if cp in _HF_UNASSIGNED:
+        return False
     return unicodedata.category(ch).startswith("P")
 
 
@@ -105,10 +136,22 @@ def normalize(text: str, *, lowercase: bool = True, strip_accents: bool | None =
         # Unicode's context-sensitive Final_Sigma rule ('ΛΟΓΟΣ' -> ...ς),
         # while hf-rust (and our native tables) lowercase per character
         # ('Σ' -> σ everywhere). The per-char form matches the oracle.
-        text = "".join(c.lower() for c in text)
+        # Codepoints unassigned in the rust tables pass through
+        # untouched; Unicode-16 mappings Python lacks come from the
+        # pinned transform table.
+        text = "".join(
+            _HF_TRANSFORM.get(ord(c), c) if ord(c) in _HF_TRANSFORM
+            or ord(c) in _HF_UNASSIGNED else c.lower()
+            for c in text)
     if strip_accents:
-        text = "".join(c for c in unicodedata.normalize("NFD", text)
-                       if unicodedata.category(c) != "Mn")
+        # pinned-punctuation chars are kept even when Python categorizes
+        # them Mn (e.g. U+111C9, recategorized Po -> Mn in Unicode 15)
+        text = "".join(
+            c if ord(c) in _HF_UNASSIGNED or ord(c) in _HF_TRANSFORM
+            or ord(c) in _HF_PUNCT else
+            "".join(x for x in unicodedata.normalize("NFD", c)
+                    if unicodedata.category(x) != "Mn")
+            for c in text)
     return text
 
 

@@ -174,3 +174,23 @@ def test_fuzz_python_matches_oracle(py_tok, oracle, text):
 @given(_text)
 def test_fuzz_native_matches_oracle(native_tok, oracle, text):
     assert native_tok.encode(text) == oracle.encode(text).ids, repr(text)
+
+
+def test_hf_rust_unicode_version_pins(py_tok, native_tok, oracle):
+    """The generated _hf_rust_compat overrides pin us to the oracle's
+    bundled Unicode tables in BOTH skew directions (found by an
+    exhaustive all-codepoints sweep, tools/gen_hf_rust_compat.py):
+    - U+061D: Po since Unicode 14, unassigned in the rust tables -> no
+      punctuation split;
+    - U+2028/U+2029 (Zl/Zp): whitespace in rust, Zs-only rules miss them;
+    - U+111C9: recategorized Po -> Mn in Unicode 15; rust splits it and
+      it must survive accent stripping;
+    - U+A7CB: Unicode 16 letter with a lowercase mapping Python 15.x
+      does not know.
+    """
+    cases = ["a؝b", "x y", "p q", "m\U000111C9n",
+             "Ɤ", "s ؝Ɤ   t"]
+    for t in cases:
+        ref = oracle.encode(t).ids
+        assert py_tok.encode(t) == ref, repr(t)
+        assert native_tok.encode(t) == ref, repr(t)
