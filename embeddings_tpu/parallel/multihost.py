@@ -57,7 +57,27 @@ def auto_initialize(coordinator: str | None = None,
         log.info("jax.distributed up: process %d/%d",
                  jax.process_index(), jax.process_count())
         return True
-    return jax.process_count() > 1
+    # TPU pod metadata autodetection: only attempt the argless
+    # initialize when the runtime actually advertises a multi-worker
+    # slice — on single-host setups it would raise, and probing via
+    # jax.process_count() instead would initialize the XLA backend and
+    # permanently foreclose jax.distributed.initialize (the hazard the
+    # comment above warns about).
+    pod_markers = ("TPU_WORKER_HOSTNAMES", "TPU_WORKER_ID",
+                   "MEGASCALE_COORDINATOR_ADDRESS")
+    hosts = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    if any(os.environ.get(k) for k in pod_markers) and \
+            (not hosts or "," in hosts):
+        try:
+            jax.distributed.initialize()
+            log.info("jax.distributed up (pod autodetect): process %d/%d",
+                     jax.process_index(), jax.process_count())
+            return True
+        except Exception as e:  # pragma: no cover - env-specific
+            log.warning("pod autodetection failed (%s); staying "
+                        "single-process", e)
+            return False
+    return False
 
 
 def process_shard(n: int, *, count: int | None = None,

@@ -22,6 +22,8 @@ import numpy as np
 
 def pick_bucket(value: int, buckets: Sequence[int]) -> int:
     """Smallest bucket >= value (buckets sorted ascending)."""
+    if not buckets:
+        raise ValueError("empty bucket set")
     for b in buckets:
         if value <= b:
             return b
@@ -29,9 +31,12 @@ def pick_bucket(value: int, buckets: Sequence[int]) -> int:
 
 
 def extend_buckets(buckets: Sequence[int], cover: int) -> tuple[int, ...]:
-    """Buckets extended by doubling so the largest one >= cover."""
+    """Buckets extended by doubling so the largest one >= cover (the
+    result is never empty: an empty input yields at least (1,))."""
     bb = sorted(set(int(b) for b in buckets))
-    b = bb[-1] if bb else 1
+    if not bb:
+        bb = [1]
+    b = bb[-1]
     while b < cover:
         b = min(b * 2, cover)
         bb.append(b)

@@ -13,9 +13,9 @@ back-to-back in one [L] row; correctness is preserved by
   pools every segment in one einsum — the generalization of the
   reference's 1/len pooling-matmul trick (bert.cpp:905-922, 1087-1089).
 
-The planner is greedy first-fit-decreasing: sentences sorted by length,
-each placed into the first row with room, rows grouped into device
-batches. All shapes (rows per batch, row length, max segments per row)
+The planner is best-fit-decreasing: sentences sorted by length, each
+placed into the open row with the tightest remaining capacity that still
+fits, rows grouped into device batches. All shapes (rows per batch, row length, max segments per row)
 are bucketed so the jit cache stays bounded.
 """
 
@@ -59,6 +59,9 @@ def plan_packing(lengths: Sequence[int], row_len: int, batch_rows: int,
     exact value — serving needs one stable (rows, n_seg, row_len) shape
     family or the jit cache churns (each new shape is a fresh compile)."""
     import bisect
+    if any(n <= 0 for n in lengths):
+        raise ValueError("plan_packing requires positive token counts "
+                         "(a zero-length sentence has no pooling target)")
     order = sorted(range(len(lengths)), key=lambda i: -lengths[i])
     rows: list[list[Segment]] = []
     used: list[int] = []
@@ -90,13 +93,16 @@ def plan_packing(lengths: Sequence[int], row_len: int, batch_rows: int,
     return batches
 
 
-def max_block_span(seg: np.ndarray, block: int = 128) -> int:
+def max_block_span(seg: np.ndarray, block: int | None = None) -> int:
     """Host-side: the largest number of `block`-sized key blocks any
     query block's segment span covers (the static `window` for
     ops.attention.fused_attention_segmented_blockskip). seg is the
     [B, L] segment-id array from materialize (-1 = pad). Vectorized
     numpy mirror of ops.attention.block_ranges — this runs per batch on
-    the encode hot path."""
+    the encode hot path. block defaults to the kernel's query-block size
+    (ops.attention.BQ) so the two cannot silently desync."""
+    if block is None:
+        from ..ops.attention import BQ as block
     B, L = seg.shape
     if L % block or B == 0:
         return 0
@@ -133,9 +139,8 @@ def materialize(batch: PackedBatch, toks: Sequence[Sequence[int]],
     mapping: list[tuple[int, int, int]] = []
     for r, segments in enumerate(batch.rows):
         for s, sg in enumerate(segments):
-            t = list(toks[sg.sentence])[: sg.length]
             sl = slice(sg.start, sg.start + sg.length)
-            ids[r, sl] = t
+            ids[r, sl] = toks[sg.sentence][: sg.length]
             seg[r, sl] = s
             pos[r, sl] = np.arange(sg.length)
             if pooling == "mean":
