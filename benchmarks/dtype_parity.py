@@ -108,7 +108,7 @@ def main() -> int:
     ap.add_argument("--out", default=None, help="write JSON here")
     args = ap.parse_args()
 
-    corpus = (Path(args.corpus).read_text().splitlines()[: args.n]
+    corpus = (Path(args.corpus).read_text(encoding="utf-8").splitlines()[: args.n]
               if args.corpus else default_corpus(args.n))
 
     if args.random:

@@ -110,8 +110,14 @@ async def run_load(engine, *, n_clients: int, per_client: int,
     await service.stop()
 
     xs = np.sort(np.asarray(lat)) * 1e3
-    pct = lambda p: float(xs[min(len(xs) - 1,
-                                 max(0, int(np.ceil(p / 100 * len(xs))) - 1))])
+    if len(xs) == 0:
+        # all requests failed: still report the run (errors tell the story)
+        pct = lambda p: float("nan")
+        xs = np.asarray([float("nan")])
+    else:
+        pct = lambda p: float(
+            xs[min(len(xs) - 1,
+                   max(0, int(np.ceil(p / 100 * len(xs))) - 1))])
     return {
         "clients": n_clients, "requests": len(lat), "errors": errors,
         "max_wait_ms": max_wait_ms,
@@ -150,9 +156,11 @@ def main() -> int:
         "model": "tiny (cpu sanity)" if args.tiny else
                  "bge-base q4_0 packed (random-init weights)",
         "backend": jax.default_backend(),
-        "note": "served through the axon dev relay; relay RTT (~10-30ms "
-                "per dispatch) is included in latencies — co-located "
-                "serving will be strictly faster",
+        "note": ("served through the axon dev relay; relay RTT "
+                 "(~10-30ms per dispatch) is included in latencies — "
+                 "co-located serving will be strictly faster"
+                 if jax.default_backend() != "cpu"
+                 else "local CPU backend (sanity run; no relay)"),
         "runs": results}, indent=1))
     print(f"wrote {out}")
     return 0

@@ -67,11 +67,14 @@ def bench_packed(cfg, params, toks, row_len: int) -> dict:
     windows = set()
     for b in batches:
         b.batch = batch_rows  # one stable shape family
-        key = (b.batch, b.seq, b.n_seg)
+        ids, seg, pos, pool, _ = materialize(b, toks, 0, "mean")
+        w = max_block_span(seg) if row_len > 128 else 0
+        windows.add(w)
+        # the window is a static kernel parameter, so it must be part of
+        # the timing-cache key (a partially-filled last batch can span
+        # fewer key blocks than the full ones)
+        key = (b.batch, b.seq, b.n_seg, w)
         if key not in shapes:
-            ids, seg, pos, pool, _ = materialize(b, toks, 0, "mean")
-            w = max_block_span(seg) if row_len > 128 else 0
-            windows.add(w)
             args = tuple(jnp.asarray(x) for x in (ids, seg, pos, pool))
             shapes[key] = device_time_us(
                 lambda ids, p, *rest: fwd(ids, p, *rest, w),

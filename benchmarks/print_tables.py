@@ -49,8 +49,11 @@ def extract_mteb(results_dir: Path) -> dict:
                     node = node[0]
                 if isinstance(node, dict):
                     cos = node.get("cos_sim") or {}
-                    score = (cos.get("spearman") or node.get("spearman")
-                             or node.get("main_score"))
+                    score = cos.get("spearman")
+                    if score is None:
+                        score = node.get("spearman")
+                    if score is None:
+                        score = node.get("main_score")  # 0.0 is a valid score
                     if score is not None:
                         # old MTEB layouts nest evaluation_time per split
                         t_split = node.get("evaluation_time")

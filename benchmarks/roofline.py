@@ -111,9 +111,15 @@ def main() -> int:
     measured = sorted(times["qmatmul"], key=lambda x: -x[1])
     assert len(measured) == 4, [n for n, _ in measured]
     # flop order: up == down > qkv > o, so the two largest measured
-    # entries are the FFN pair, then qkv, then attn-out
+    # entries are the FFN pair, then qkv, then attn-out. Guard the
+    # assumption: a badly regressed qkv kernel could out-time an FFN
+    # entry, silently mislabeling rows — flag instead of misattributing.
     grouped = [measured[0][1] + measured[1][1], measured[2][1],
                measured[3][1]]
+    # expected time ratios if efficiency were uniform: FFN entry ~1.33x
+    # qkv, qkv 3x o. Allow wide margins; outside them, mark uncertain.
+    attribution_ok = (measured[1][1] > 0.8 * measured[2][1]
+                      and measured[2][1] > 1.5 * measured[3][1])
     dense_flops = 2 * M * 768 * 3072
     dense_tfs = dense_flops / dense_us / 1e6
     results = []
@@ -130,6 +136,7 @@ def main() -> int:
     attn_tfs = attn_flops / times["attn_us"] / 1e6
     out_doc = {
         "chip": str(jax.devices()[0]),
+        "attribution_ok": bool(attribution_ok),
         "config": {"model": "bge-base q4_0 packed", "B": B, "L": L,
                    "tokens_per_dispatch": M},
         "dense_bf16_ceiling_tfs": round(dense_tfs, 1),

@@ -28,10 +28,15 @@ MODES = ["f32", "f16", "q4_0", "q4_1", "q8_0"]
 
 
 def wait_for_port(port: int, host: str = "127.0.0.1",
-                  timeout: float = 300.0) -> None:
-    """Poll until the server accepts connections (first jit compile is slow)."""
+                  timeout: float = 300.0, proc=None) -> None:
+    """Poll until the server accepts connections (first jit compile is
+    slow) — failing fast if the subprocess already died."""
     deadline = time.time() + timeout
     while time.time() < deadline:
+        if proc is not None and proc.poll() is not None:
+            raise RuntimeError(
+                f"server subprocess exited with rc={proc.returncode} "
+                f"before opening {host}:{port}")
         try:
             with socket.create_connection((host, port), timeout=1.0):
                 return
@@ -86,7 +91,7 @@ def main() -> int:
              "--max-wait-ms", str(args.max_wait_ms)],
             cwd=Path(__file__).resolve().parent.parent)
         try:
-            wait_for_port(args.port)
+            wait_for_port(args.port, proc=proc)
             model = ServerBackedModel(args.port)
             evaluation = mteb.MTEB(tasks=args.tasks, task_langs=["en"])
             out = Path(args.out) / f"{model_name}_{mode}-server"

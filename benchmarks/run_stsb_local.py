@@ -83,12 +83,7 @@ def evaluate_mode(model_path: str, mode: str, s1, s2, gold,
                             for i in range(0, len(s1), batch)])
         b = np.concatenate([client.embed(s2[i:i + batch])
                             for i in range(0, len(s2), batch)])
-        dt = time.time() - t0
-        cos = np.einsum("ne,ne->n", a.astype(np.float64),
-                        b.astype(np.float64))
-        return {"spearman": float(stats.spearmanr(gold, cos).statistic),
-                "pearson": float(stats.pearsonr(gold, cos).statistic),
-                "evaluation_time": round(dt, 2), "n_pairs": len(gold)}
+        return _score(a, b, gold, time.time() - t0)
     from embeddings_tpu.runtime.engine import load_model
     dtype = mode.split("-")[0]
     engine = load_model(model_path, dtype=dtype)
@@ -102,12 +97,15 @@ def evaluate_mode(model_path: str, mode: str, s1, s2, gold,
     else:
         a = engine.encode_batch(s1, batch_size=batch)
         b = engine.encode_batch(s2, batch_size=batch)
-    dt = time.time() - t0
+    return _score(a, b, gold, time.time() - t0)
+
+
+def _score(a, b, gold, dt: float) -> dict:
+    from scipy import stats
     # embeddings are L2-normalized: cosine = dot
     cos = np.einsum("ne,ne->n", a.astype(np.float64), b.astype(np.float64))
-    spear = float(stats.spearmanr(gold, cos).statistic)
-    pears = float(stats.pearsonr(gold, cos).statistic)
-    return {"spearman": spear, "pearson": pears,
+    return {"spearman": float(stats.spearmanr(gold, cos).statistic),
+            "pearson": float(stats.pearsonr(gold, cos).statistic),
             "evaluation_time": round(dt, 2), "n_pairs": len(gold)}
 
 
