@@ -70,3 +70,22 @@ def test_run_mteb_exits_cleanly_without_mteb():
         assert "mteb is not installed" in proc.stderr
     else:
         assert proc.returncode == 0  # mteb present: fine too
+
+
+def test_wallclock_throughput_mechanics():
+    """utils.benchmarking.wallclock_throughput returns items/s from the
+    post-warmup wall time."""
+    import time
+    from embeddings_tpu.utils.benchmarking import wallclock_throughput
+
+    calls = []
+
+    def fn():
+        calls.append(1)
+        time.sleep(0.01)
+        return len(calls)
+
+    secs, rate = wallclock_throughput(fn, 100, warmup=2, reps=3)
+    assert len(calls) == 5  # warmup + reps
+    assert secs >= 0.01  # the sleep floor
+    assert 0 < rate <= 100 / 0.01
