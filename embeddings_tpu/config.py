@@ -167,6 +167,14 @@ def detect_pooling(model_dir: str | Path) -> str | None:
     for known, kw in KNOWN_MODELS.items():
         if any(known.lower() in n for n in names):
             return kw.get("pooling", "mean")
+    # no 1_Pooling/config.json and no KNOWN_MODELS match: the caller will
+    # keep its default (mean). That is silently wrong for unknown
+    # CLS-trained models, so say so once per load.
+    import logging
+    logging.getLogger("embeddings_tpu.config").info(
+        "no pooling signal found for %s (no 1_Pooling/config.json, not a "
+        "known model); defaulting to mean pooling — pass pooling= to "
+        "override", model_dir)
     return None
 
 

@@ -121,8 +121,11 @@ def q4_0_to_bytes(a: np.ndarray) -> bytes:
     blocks = a.reshape(R * nb, QK).astype(np.float32)
     idx = np.abs(blocks).argmax(axis=-1, keepdims=True)
     maxv = np.take_along_axis(blocks, idx, axis=-1)
-    d = (maxv / -8.0).astype(np.float16)            # llama.cpp stores f16
-    df = d.astype(np.float32)
+    # llama.cpp quantize_row_q4_0_ref: codes come from the FULL-precision
+    # scale; only the stored d is rounded to f16 (bit-parity with
+    # llama.cpp-quantized artifacts, same reason as the q8_0 roundf fix)
+    df = (maxv / -8.0).astype(np.float32)
+    d = df.astype(np.float16)
     inv = np.where(df != 0.0, 1.0 / np.where(df == 0.0, 1.0, df), 0.0)
     q = np.clip(np.floor(blocks * inv + 8.5), 0.0, 15.0).astype(np.uint8)
     lo, hi = q[:, :QK // 2], q[:, QK // 2:]
@@ -155,11 +158,13 @@ def q4_1_to_bytes(a: np.ndarray) -> bytes:
     blocks = a.reshape(R * nb, QK).astype(np.float32)
     mn = blocks.min(axis=-1, keepdims=True)
     mx = blocks.max(axis=-1, keepdims=True)
-    d = ((mx - mn) / 15.0).astype(np.float16)
+    # full-precision d/min for the codes, f16 only for storage
+    # (llama.cpp quantize_row_q4_1_ref parity)
+    df = ((mx - mn) / 15.0).astype(np.float32)
+    d = df.astype(np.float16)
     m = mn.astype(np.float16)
-    df = d.astype(np.float32)
     inv = np.where(df != 0.0, 1.0 / np.where(df == 0.0, 1.0, df), 0.0)
-    q = np.clip(np.floor((blocks - m.astype(np.float32)) * inv + 0.5),
+    q = np.clip(np.floor((blocks - mn) * inv + 0.5),
                 0.0, 15.0).astype(np.uint8)
     lo, hi = q[:, :QK // 2], q[:, QK // 2:]
     rec = np.zeros(R * nb, dtype=np.dtype([("d", "<f2"), ("m", "<f2"),
@@ -308,7 +313,13 @@ def write_gguf(path: str | Path, params: dict, config: BertConfig,
         ("general.file_type", T_U32,
          {GGML_F32: 0, GGML_F16: 1, GGML_Q4_0: 2, GGML_Q4_1: 3,
           GGML_Q8_0: 7}[ggml_type]),
+        *([("general.quantization_version", T_U32, 2)]  # GGML_QNT_VERSION
+          if ggml_type not in (GGML_F32, GGML_F16) else []),
         ("bert.context_length", T_U32, config.max_position_embeddings),
+        # llama.cpp writes pooling_type for embedding models (1=mean,
+        # 2=cls); loaders that check it would otherwise default to none
+        ("bert.pooling_type", T_U32,
+         {"mean": 1, "cls": 2, "max": 0}.get(config.pooling, 1)),
         ("bert.embedding_length", T_U32, config.hidden_size),
         ("bert.feed_forward_length", T_U32, config.intermediate_size),
         ("bert.block_count", T_U32, config.num_hidden_layers),
@@ -465,6 +476,10 @@ def read_gguf(path: str | Path, *, dequant: bool = False):
         max_position_embeddings=int(meta.get("bert.context_length", 512)),
         layer_norm_eps=float(
             meta.get("bert.attention.layer_norm_epsilon", 1e-12)),
+        # llama.cpp pooling_type enum: 1=mean, 2=cls (0=none -> our mean
+        # default, matching the reference's mean-pool-everything)
+        pooling={2: "cls"}.get(int(meta.get("bert.pooling_type", 1)),
+                               "mean"),
     )
     return sd, config, meta
 

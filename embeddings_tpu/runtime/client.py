@@ -28,8 +28,11 @@ class TcpClient:
         self.framing = framing
         self.sock = socket.create_connection((host, port), timeout=timeout)
         self.n_embd = struct.unpack("<i", self._recv_exact(4))[0]
-        if framing == "v2":
-            self.sock.sendall(b"ETF2")
+        # v2: the ETF2 magic is sent together with the FIRST frame, not at
+        # connect — the server only commits to v2 once a sane length
+        # prefix follows the magic within its handshake window (a bare
+        # idle "ETF2" classifies as a v1 text after that window)
+        self._v2_greeting = b"ETF2" if framing == "v2" else b""
 
     def _recv_exact(self, n: int) -> bytes:
         buf = b""
@@ -43,7 +46,9 @@ class TcpClient:
     def embed(self, text: str) -> np.ndarray:
         payload = text.encode("utf-8")
         if self.framing == "v2":
-            self.sock.sendall(struct.pack("<I", len(payload)) + payload)
+            self.sock.sendall(self._v2_greeting +
+                              struct.pack("<I", len(payload)) + payload)
+            self._v2_greeting = b""
         else:
             self.sock.sendall(payload)
         data = self._recv_exact(self.n_embd * 4)

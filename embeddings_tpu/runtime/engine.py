@@ -36,6 +36,26 @@ from ..tokenizer import WordPieceTokenizer
 from .batching import extend_buckets, pad_batch, plan_batches
 
 
+def _bucket_window(w: int, row_len: int, bq: int = 128) -> int:
+    """Quantize the packed attention window (a STATIC jit argument) to a
+    small fixed set so serving load with varied corpora compiles at most a
+    handful of packed programs per row_len instead of one per distinct
+    span value (1..row_len/128). Values past the block-skip dispatch
+    threshold (row_len/128 - 2, models/bert.py) all select the monolithic
+    segmented kernel and ignore the window, so they collapse to one
+    sentinel. Rounding a span UP only widens the computed window — always
+    correct, occasionally a block of extra work."""
+    if w <= 0:
+        return 0
+    nk = row_len // bq
+    usable = [b for b in (3, 4, 6, 8, 12, 16, 24, 32) if w <= b <= nk - 2]
+    if usable:
+        return usable[0]
+    # between the largest fitting bucket and the dispatch threshold:
+    # widen to the threshold (still block-skip, one shared key)
+    return nk - 2 if w <= nk - 2 else nk
+
+
 class Engine:
     def __init__(self, params: dict, config: BertConfig,
                  tokenizer: WordPieceTokenizer,
@@ -151,12 +171,13 @@ class Engine:
         buffers are live at once, so retrieval-scale corpora encode in
         O(window) device memory."""
         toks = [self.tokenize(t) for t in texts]
-        return self._encode_toks(toks, batch_size)
+        return self.encode_toks(toks, batch_size)
 
-    def _encode_toks(self, toks: list[list[int]],
-                     batch_size: int | None = None) -> np.ndarray:
-        """Bucketed encode of pre-tokenized inputs (shared by encode_batch
-        and the packed path's long-sentence routing)."""
+    def encode_toks(self, toks: list[list[int]],
+                    batch_size: int | None = None) -> np.ndarray:
+        """Bucketed encode of pre-tokenized inputs (shared by encode_batch,
+        the packed path's long-sentence routing, and servers that tokenize
+        once to also count tokens)."""
         ec = self.engine_config
         batch_size = batch_size or ec.batch_size
         # under a mesh, device batches must divide by the data-axis size
@@ -204,18 +225,25 @@ class Engine:
         than bucketed padding when sentences are short relative to the
         efficient device sequence length. Requires mean or CLS pooling;
         single-device only (the mesh path uses bucketed batches)."""
+        toks = [self.tokenize(t) for t in texts]
+        return self.encode_toks_packed(toks, row_len, batch_rows)
+
+    def encode_toks_packed(self, toks: list[list[int]],
+                           row_len: int | None = None,
+                           batch_rows: int | None = None) -> np.ndarray:
+        """Token-packed encode of pre-tokenized inputs (see
+        encode_batch_packed)."""
         if self.mesh is not None:
             import logging
             logging.getLogger("embeddings_tpu.engine").warning(
                 "token packing is not implemented for mesh engines; "
-                "falling back to bucketed encode_batch")
-            return self.encode_batch(texts)
+                "falling back to bucketed encode")
+            return self.encode_toks(toks)
         if self.config.pooling not in ("mean", "cls"):
             raise ValueError("packing supports mean/cls pooling")
         from .batching import pick_bucket
         from .packing import materialize, plan_packing
         ec = self.engine_config
-        toks = [self.tokenize(t) for t in texts]
         # short rows beat long ones: attention is O(row_len^2) per row and
         # the segmented kernel computes cross-segment blocks too (wasted);
         # 128 with ~32K tokens per dispatch measured fastest (~15% lower
@@ -227,11 +255,11 @@ class Engine:
         # bucketed path instead.
         row_len = row_len or min(128, self.max_seq_len)
         batch_rows = batch_rows or max(ec.batch_size, 32768 // row_len)
-        out = np.empty((len(texts), self.n_embd), np.float32)
+        out = np.empty((len(toks), self.n_embd), np.float32)
         short = [i for i, t in enumerate(toks) if len(t) <= row_len]
         long_idx = [i for i, t in enumerate(toks) if len(t) > row_len]
         if long_idx:
-            out[long_idx] = self._encode_toks([toks[i] for i in long_idx])
+            out[long_idx] = self.encode_toks([toks[i] for i in long_idx])
         if not short:
             return out
         stoks = [toks[i] for i in short]
@@ -249,11 +277,11 @@ class Engine:
                     b, stoks, self.tokenizer.pad_id, self.config.pooling)
                 # static attention window for the block-skip kernel
                 # (host-side numpy; rows longer than 128 only attend
-                # within it). The max over n_seg-pinned batches is
-                # stable, so the jit cache holds at most a couple of
-                # window values per row_len.
+                # within it). Bucketed so varied corpora can't trigger
+                # one XLA compile per distinct span value.
                 w = max_block_span(seg) if row_len > 128 else 0
-                yield mapping, self._forward_packed(ids, seg, pos, pool, w)
+                yield mapping, self._forward_packed(
+                    ids, seg, pos, pool, _bucket_window(w, row_len))
 
         def scatter(mapping, pooled):
             pooled = np.asarray(pooled)

@@ -186,25 +186,32 @@ class BatchingService:
                         ConnectionAbortedError("service stopped"))
             raise
 
+    def _encode_batch_counted(self, texts: list[str]
+                              ) -> tuple[np.ndarray, int]:
+        """Tokenize once (worker thread, not the event loop), encode, and
+        return (embeddings, token count) — the count comes from the same
+        tokenization the encode uses, so stats never re-tokenize."""
+        toks = [self.engine.tokenize(t) for t in texts]
+        n_tokens = sum(len(t) for t in toks)
+        # Packed mode only pays off once a batch fills a meaningful
+        # fraction of a packed row grid; micro-batches (light load) go
+        # bucketed — measured faster there (planner+materialize overhead
+        # and a mostly-empty fixed row shape dominate tiny batches).
+        if self.packed and len(texts) >= 8:
+            return self.engine.encode_toks_packed(toks), n_tokens
+        return self.engine.encode_toks(toks, len(texts)), n_tokens
+
     async def _run_batch(self, batch: list) -> None:
         texts = [t for t, _ in batch]
         try:
-            # the device step runs in a worker thread so the event loop
-            # keeps accepting requests while the TPU is busy. Packed mode
-            # only pays off once a batch fills a meaningful fraction of a
-            # packed row grid; micro-batches (light load) go bucketed —
-            # measured faster there (planner+materialize overhead and a
-            # mostly-empty fixed row shape dominate tiny batches).
-            if self.packed and len(texts) >= 8:
-                embs = await asyncio.to_thread(
-                    self.engine.encode_batch_packed, texts)
-            else:
-                embs = await asyncio.to_thread(
-                    self.engine.encode_batch, texts, len(texts))
+            # the device step (and host tokenization) runs in a worker
+            # thread so the event loop keeps accepting requests while the
+            # TPU is busy
+            embs, n_tokens = await asyncio.to_thread(
+                self._encode_batch_counted, texts)
             self.stats.requests += len(batch)
             self.stats.batches += 1
-            self.stats.tokens += sum(
-                len(self.engine.tokenize(t)) for t in texts)
+            self.stats.tokens += n_tokens
             for (_, fut), e in zip(batch, embs):
                 if not fut.done():
                     fut.set_result(e)
@@ -246,10 +253,14 @@ async def _handle_tcp(service: BatchingService, reader: asyncio.StreamReader,
     (bounded by a short timeout so a truncated tail can't wedge the
     connection).
 
-    v2: a client whose FIRST bytes after the greeting are ``ETF2``
-    switches the connection to robust framing — each request is
-    ``<u32 LE byte-length><utf-8 payload>``, each response the usual
-    n_embd float32s. No message-size cap beyond sanity (16 MiB)."""
+    v2: a client whose FIRST bytes after the greeting are ``ETF2``,
+    followed promptly (within the 1 s handshake window) by its first
+    length-prefixed frame, switches the connection to robust framing —
+    each request is ``<u32 LE byte-length><utf-8 payload>``, each
+    response the usual n_embd float32s. No message-size cap beyond
+    sanity (16 MiB). A bare idle ``ETF2`` classifies as a v1 text after
+    the window — the magic is reserved; send it with the first frame
+    (TcpClient does)."""
     peer = writer.get_extra_info("peername")
     log.info("client connected: %s", peer)
     try:
@@ -272,9 +283,28 @@ async def _handle_tcp(service: BatchingService, reader: asyncio.StreamReader,
             if not more:
                 break
             first += more
-        if first.startswith(V2_MAGIC) and _looks_like_v2(first):
-            await _serve_v2(service, reader, writer, first[len(V2_MAGIC):])
-            return
+        if first.startswith(V2_MAGIC):
+            # commit to v2 only once a sane first length prefix exists.
+            # A v1 client whose whole message is exactly "ETF2" sends
+            # nothing more — wait up to a handshake window for the
+            # prefix, then fall back to v1 (protocol note: v2 clients
+            # must follow the magic with their first frame promptly;
+            # "ETF2" as a bare v1 text is reserved).
+            rest = bytearray(first[len(V2_MAGIC):])
+            while len(rest) < 4:
+                try:
+                    more = await asyncio.wait_for(
+                        reader.read(RECV_MAX), timeout=1.0)
+                except asyncio.TimeoutError:
+                    break
+                if not more:
+                    break
+                rest.extend(more)
+            if len(rest) >= 4 and \
+                    struct.unpack("<I", bytes(rest[:4]))[0] <= _V2_MAX:
+                await _serve_v2(service, reader, writer, bytes(rest))
+                return
+            first = V2_MAGIC + bytes(rest)  # v1 text that starts with ETF2
         data = first
         while data:
             while _utf8_incomplete_tail(data) and len(data) < RECV_MAX:
@@ -302,18 +332,6 @@ async def _handle_tcp(service: BatchingService, reader: asyncio.StreamReader,
 
 
 _V2_MAX = 16 * 1024 * 1024  # sanity cap per framed message
-
-
-def _looks_like_v2(first: bytes) -> bool:
-    """Disambiguate a v1 TEXT that merely starts with 'ETF2' from a real
-    v2 handshake: v2 clients send the bare magic (or magic + a frame
-    whose length prefix is sane); a v1 text like 'ETF2000 report' would
-    decode its next 4 bytes as an absurd length."""
-    rest = first[len(V2_MAGIC):]
-    if len(rest) < 4:
-        return True  # bare magic (possibly with <4 coalesced bytes)
-    (length,) = struct.unpack("<I", rest[:4])
-    return length <= _V2_MAX
 
 
 async def _serve_v2(service: BatchingService, reader: asyncio.StreamReader,
@@ -382,6 +400,13 @@ def make_http_app(service: BatchingService):
             embs = await service.embed_many(texts)
         except TimeoutError as e:
             return web.json_response({"error": str(e)}, status=504)
+        except Exception as e:
+            # keep the JSON error contract for engine failures too (OOM,
+            # bad checkpoint state, service stopped) — not aiohttp's
+            # default HTML 500
+            log.exception("embed failed")
+            return web.json_response(
+                {"error": f"{type(e).__name__}: {e}"}, status=500)
         return web.json_response({
             "embeddings": [e.tolist() for e in embs],
             "n_embd": service.engine.n_embd,

@@ -247,3 +247,78 @@ def test_cli_convert_to_gguf(tmp_path, params, cfg, small_vocab):
     sd, rcfg, meta = gguf_io.read_gguf(out)
     assert meta["general.architecture"] == "bert"
     assert rcfg.hidden_size == cfg.hidden_size
+
+
+def _ref_q4_0(a: np.ndarray) -> bytes:
+    """Scalar transcription of llama.cpp quantize_row_q4_0_ref semantics
+    (codes from the FULL-precision scale; d stored f16)."""
+    R, K = a.shape
+    out = bytearray()
+    for r in range(R):
+        for b in range(K // 32):
+            blk = a[r, b * 32:(b + 1) * 32].astype(np.float32)
+            amax, maxv = 0.0, 0.0
+            for v in blk:
+                if abs(v) > amax:
+                    amax, maxv = abs(v), v
+            d = maxv / -8.0
+            inv = 1.0 / d if d else 0.0
+            out += np.float16(d).tobytes()
+            qs = [min(15, int(np.float32(v * inv) + np.float32(8.5)))
+                  for v in blk]
+            for i in range(16):
+                out.append(qs[i] | (qs[i + 16] << 4))
+    return bytes(out)
+
+
+def _ref_q4_1(a: np.ndarray) -> bytes:
+    R, K = a.shape
+    out = bytearray()
+    for r in range(R):
+        for b in range(K // 32):
+            blk = a[r, b * 32:(b + 1) * 32].astype(np.float32)
+            mn, mx = float(blk.min()), float(blk.max())
+            d = (mx - mn) / 15.0
+            inv = 1.0 / d if d else 0.0
+            out += np.float16(d).tobytes() + np.float16(mn).tobytes()
+            qs = [min(15, int(np.float32((v - mn) * inv)
+                              + np.float32(0.5))) for v in blk]
+            for i in range(16):
+                out.append(qs[i] | (qs[i + 16] << 4))
+    return bytes(out)
+
+
+def test_q4_writer_bit_parity_with_llama_cpp_ref(rng):
+    """Exported q4 blocks must be byte-identical to llama.cpp's reference
+    quantizers (codes from the unrounded f32 scale, storage f16) so our
+    files match llama.cpp-quantized artifacts bit-for-bit."""
+    a = rng.standard_normal((4, 64)).astype(np.float32) * 3.0
+    # adversarial block: a scale whose f16 rounding flips a code if the
+    # rounded d is (wrongly) used for the codes
+    a[0, :32] = np.linspace(-2.001, 2.003, 32, dtype=np.float32)
+    assert gguf_io.q4_0_to_bytes(a) == _ref_q4_0(a)
+    assert gguf_io.q4_1_to_bytes(a) == _ref_q4_1(a)
+
+
+def test_quantization_version_and_pooling_metadata(tmp_path, params, cfg,
+                                                   small_vocab):
+    import dataclasses
+    ccfg = dataclasses.replace(cfg, pooling="cls")
+    qpath, fpath = tmp_path / "q.gguf", tmp_path / "f.gguf"
+    gguf_io.write_gguf(qpath, params, ccfg, small_vocab, dtype="q4_0")
+    gguf_io.write_gguf(fpath, params, ccfg, small_vocab, dtype="f16")
+    _, qcfg, qmeta = gguf_io.read_gguf(qpath)
+    _, _, fmeta = gguf_io.read_gguf(fpath)
+    assert qmeta["general.quantization_version"] == 2
+    assert "general.quantization_version" not in fmeta
+    # pooling round-trips through bert.pooling_type (llama.cpp enum)
+    assert qmeta["bert.pooling_type"] == 2
+    assert qcfg.pooling == "cls"
+
+
+def test_pooling_type_mean_roundtrip(tmp_path, params, cfg, small_vocab):
+    path = tmp_path / "mean.gguf"
+    gguf_io.write_gguf(path, params, cfg, small_vocab, dtype="f32")
+    _, rcfg, meta = gguf_io.read_gguf(path)
+    assert meta["bert.pooling_type"] == 1
+    assert rcfg.pooling == "mean"

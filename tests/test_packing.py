@@ -289,3 +289,26 @@ def test_engine_packed_hybrid_long_sentences(small_vocab):
     got = eng.encode_batch_packed(texts, row_len=16)
     cos = (got * ref).sum(-1)
     assert cos.min() > 0.9999, cos
+
+
+def test_bucket_window_quantizes_static_jit_arg():
+    """The packed attention window is a STATIC jit arg: distinct raw spans
+    must collapse to a handful of compile keys, never shrink below the
+    true span (correctness), and spans past the block-skip threshold must
+    share one monolithic-kernel sentinel."""
+    from embeddings_tpu.runtime.engine import _bucket_window
+    assert _bucket_window(0, 1024) == 0
+    # all spans <= a bucket value round UP to it (never down)
+    for w in (1, 2, 3):
+        assert _bucket_window(w, 1024) == 3
+    assert _bucket_window(5, 1024) == 6
+    # nk=8 for L=1024: threshold nk-2=6; spans past it share one sentinel
+    assert _bucket_window(7, 1024) == 8 == _bucket_window(8, 1024)
+    # bucketed value never below the input span
+    for L in (256, 512, 1024, 2048):
+        for w in range(0, L // 128 + 1):
+            b = _bucket_window(w, L)
+            assert b >= w, (w, L, b)
+    # distinct compile keys stay small for a whole corpus of spans
+    keys = {_bucket_window(w, 2048) for w in range(17)}
+    assert len(keys) <= 8, keys

@@ -114,3 +114,13 @@ def test_cls_vs_mean_actually_differ(tmp_path, cfg, small_vocab):
     e_cls = load_model(d).encode("hello world test")
     e_mean = load_model(d, pooling="mean").encode("hello world test")
     assert not np.allclose(e_cls, e_mean)
+
+
+def test_no_signal_logs_default_notice(tmp_path, cfg, small_vocab, caplog):
+    """An unknown model dir with no pooling signal must say it is
+    defaulting to mean (diagnosable, not silent)."""
+    import logging
+    d = _write_hf_dir(tmp_path / "mystery-model", cfg, small_vocab)
+    with caplog.at_level(logging.INFO, logger="embeddings_tpu.config"):
+        assert detect_pooling(d) is None
+    assert any("defaulting to mean" in r.message for r in caplog.records)

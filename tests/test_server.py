@@ -453,3 +453,95 @@ def test_batching_service_packed(engine):
     assert cos.min() > 0.9999, cos.min()
     np.testing.assert_allclose(single, engine.encode("hello world"),
                                atol=1e-5)
+
+
+def test_bare_etf2_idle_classifies_as_v1(engine):
+    """A v1 client whose whole message is exactly 'ETF2' (nothing more)
+    must still get a v1 embedding after the handshake window, not hang
+    forever waiting on a v2 frame."""
+    import socket
+
+    async def go():
+        server, svc = await serve_tcp(engine, host="127.0.0.1", port=0)
+        port = server.sockets[0].getsockname()[1]
+        results = {}
+
+        def client():
+            with socket.create_connection(("127.0.0.1", port),
+                                          timeout=10) as s:
+                n_embd = struct.unpack("<i", s.recv(4))[0]
+                s.sendall(b"ETF2")          # a v1 text, then silence
+                buf = b""
+                while len(buf) < n_embd * 4:
+                    chunk = s.recv(n_embd * 4 - len(buf))
+                    if not chunk:
+                        break
+                    buf += chunk
+                results["emb"] = np.frombuffer(buf, np.float32).copy()
+
+        await asyncio.to_thread(client)
+        server.close()
+        await server.wait_closed()
+        await svc.stop()
+        return results
+
+    r = run_async(go())
+    np.testing.assert_allclose(r["emb"], engine.encode("ETF2"), atol=1e-5)
+
+
+def test_http_engine_failure_returns_json_500(engine):
+    """Non-timeout engine failures keep the JSON error contract (not
+    aiohttp's default HTML 500)."""
+    pytest.importorskip("aiohttp")
+
+    async def go():
+        svc = BatchingService(engine)
+        svc._encode_batch_counted = lambda texts: (_ for _ in ()).throw(
+            RuntimeError("device exploded"))
+        from embeddings_tpu.runtime.server import serve_http
+        runner, svc2 = await serve_http(svc, host="127.0.0.1", port=0)
+        port = runner.addresses[0][1]
+        results = {}
+
+        def client():
+            import urllib.request, urllib.error, json as j
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/embed",
+                data=b'{"texts": ["boom"]}',
+                headers={"Content-Type": "application/json"})
+            try:
+                with urllib.request.urlopen(req, timeout=10) as resp:
+                    results["status"] = resp.status
+            except urllib.error.HTTPError as e:
+                results["status"] = e.code
+                results["body"] = j.loads(e.read())
+
+        await asyncio.to_thread(client)
+        await runner.cleanup()
+        await svc.stop()
+        return results
+
+    r = run_async(go())
+    assert r["status"] == 500
+    assert "device exploded" in r["body"]["error"]
+
+
+def test_stats_tokens_counted_without_retokenizing(engine, monkeypatch):
+    """The tokens stat must come from the batch's own tokenization — one
+    tokenize() call per text total, not a second pass for stats."""
+    calls = []
+    orig = engine.tokenize
+    monkeypatch.setattr(engine, "tokenize",
+                        lambda t: (calls.append(t), orig(t))[1])
+
+    async def go():
+        svc = BatchingService(engine, max_batch=8, max_wait_ms=20)
+        await svc.start()
+        await svc.embed_many(["hello world"] * 6)
+        await svc.stop()
+        return svc.stats
+
+    stats = run_async(go())
+    assert len(calls) == 6
+    assert stats.tokens == sum(len(engine.tokenize(t))
+                               for t in ["hello world"] * 6)
