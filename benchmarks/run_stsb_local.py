@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -37,9 +38,29 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+if os.environ.get("JAX_PLATFORMS"):
+    # the image's sitecustomize imports jax at startup pinned to the TPU;
+    # honor an explicit platform request (e.g. CPU runs in CI)
+    import jax
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 MODES = ["f32", "f16", "q4_0", "q4_0-batchless", "q4_0-packed", "q4_1",
          "q8_0"]
 BUDGET = 0.003  # 0.3 points, BASELINE.md
+
+
+def infer_model_name(model_path: str) -> str:
+    """Result-dir prefix for a checkpoint: the HF config's _name_or_path
+    when present (a checkpoint dir is often literally named 'model'),
+    else the dir/file name. .stem would truncate dotted names
+    ('bge-base-en-v1.5' -> 'v1'), so only file extensions are stripped."""
+    mp = Path(model_path)
+    if mp.is_dir() and (mp / "config.json").exists():
+        name = json.loads((mp / "config.json").read_text()).get(
+            "_name_or_path", "")
+        if name and "/" not in name and name not in (".", ""):
+            return name
+    return mp.stem if mp.suffix in (".npz", ".bin", ".gguf") else mp.name
 
 
 def load_pairs(path: Path) -> tuple[list[str], list[str], np.ndarray]:
@@ -114,6 +135,7 @@ def write_result(out_dir: Path, model_name: str, mode: str, r: dict) -> None:
     fields print_tables.py extracts (cos_sim.spearman + evaluation_time)."""
     d = out_dir / f"{model_name}_{mode}"
     d.mkdir(parents=True, exist_ok=True)
+    import jax
     (d / "STSBenchmark.json").write_text(json.dumps({
         "mteb_dataset_name": "STSBenchmark",
         "test": {
@@ -121,6 +143,7 @@ def write_result(out_dir: Path, model_name: str, mode: str, r: dict) -> None:
                         "pearson": r["pearson"]},
             "evaluation_time": r["evaluation_time"],
         },
+        "platform": jax.default_backend(),
         "source": "benchmarks/run_stsb_local.py (local data, no mteb pkg)",
     }, indent=1))
 
@@ -143,11 +166,7 @@ def main() -> int:
 
     s1, s2, gold = load_pairs(Path(args.data))
     print(f"{len(gold)} pairs from {args.data}", flush=True)
-    mp = Path(args.model)
-    # .stem would truncate dotted dir names ('bge-base-en-v1.5' -> 'v1');
-    # strip the extension only for file checkpoints
-    model_name = (mp.stem if mp.suffix in (".npz", ".bin", ".gguf")
-                  else mp.name)
+    model_name = infer_model_name(args.model)
     results: dict[str, dict] = {}
     modes = args.modes[:1] if args.server_url else args.modes
     for mode in modes:

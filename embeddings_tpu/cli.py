@@ -21,8 +21,16 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
+
+if os.environ.get("JAX_PLATFORMS"):
+    # some images import jax at interpreter startup pinned to an
+    # accelerator platform; honor an explicit JAX_PLATFORMS request
+    # (e.g. CPU serving/eval runs) the way the benchmark scripts do
+    import jax
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 
 def _add_model_args(p: argparse.ArgumentParser) -> None:

@@ -24,7 +24,10 @@ Quantized blocks (current ggml, different from the legacy .bin era that
 ggml_io handles): Q4_0 = { f16 d; u8 qs[16] } per 32 elements with LOW
 nibbles = elements 0..15 and HIGH nibbles = 16..31 (the legacy format
 used f32 d and adjacent-pair nibbles); Q4_1 = { f16 d; f16 m; u8 qs[16] };
-Q8_0 = { f16 d; i8 qs[32] }.
+Q8_0 = { f16 d; i8 qs[32] }. K-quants (q4_K/q5_K/q6_K, the formats most
+published llama.cpp-era embedding GGUFs actually ship) are read via
+dequantize-on-load into dense f32 — pass dtype= to load_model to
+re-quantize onto the engine's own kernels.
 
 BERT tensor names follow llama.cpp's bert arch (token_embd.weight,
 blk.N.attn_q.weight, ...) — mapped to/from HF state-dict names below.
@@ -52,10 +55,13 @@ T_STRING, T_ARRAY, T_U64, T_I64, T_F64 = 8, 9, 10, 11, 12
 # ggml tensor types
 GGML_F32, GGML_F16, GGML_Q4_0, GGML_Q4_1 = 0, 1, 2, 3
 GGML_Q8_0 = 8
+GGML_Q4_K, GGML_Q5_K, GGML_Q6_K = 12, 13, 14
 GGML_TYPE_NAMES = {GGML_F32: "f32", GGML_F16: "f16", GGML_Q4_0: "q4_0",
-                   GGML_Q4_1: "q4_1", GGML_Q8_0: "q8_0"}
+                   GGML_Q4_1: "q4_1", GGML_Q8_0: "q8_0",
+                   GGML_Q4_K: "q4_K", GGML_Q5_K: "q5_K", GGML_Q6_K: "q6_K"}
 DTYPE_TO_GGML = {"f32": GGML_F32, "f16": GGML_F16, "q4_0": GGML_Q4_0,
-                 "q4_1": GGML_Q4_1, "q8_0": GGML_Q8_0}
+                 "q4_1": GGML_Q4_1, "q8_0": GGML_Q8_0,
+                 "q4_K": GGML_Q4_K, "q5_K": GGML_Q5_K, "q6_K": GGML_Q6_K}
 
 QK = Q.QK  # 32-element blocks
 
@@ -219,6 +225,11 @@ def q8_0_from_bytes(buf: bytes, R: int, K: int):
 
 
 _BLOCK_BYTES = {GGML_Q4_0: 2 + 16, GGML_Q4_1: 4 + 16, GGML_Q8_0: 2 + 32}
+# K-quants: 256-element super-blocks (llama.cpp k_quants)
+QK_K = 256
+_KBLOCK_BYTES = {GGML_Q4_K: 2 + 2 + 12 + 128,      # 144
+                 GGML_Q5_K: 2 + 2 + 12 + 32 + 128,  # 176
+                 GGML_Q6_K: 128 + 64 + 16 + 2}      # 210
 
 
 def _tensor_nbytes(ggml_type: int, ne: tuple[int, ...]) -> int:
@@ -227,12 +238,232 @@ def _tensor_nbytes(ggml_type: int, ne: tuple[int, ...]) -> int:
         return nel * 4
     if ggml_type == GGML_F16:
         return nel * 2
+    if ggml_type in _KBLOCK_BYTES:
+        return nel // QK_K * _KBLOCK_BYTES[ggml_type]
     if ggml_type not in _BLOCK_BYTES:
         raise ValueError(
             f"unsupported ggml tensor type {ggml_type} (supported: "
-            f"{sorted(GGML_TYPE_NAMES.values())}; K-quants like Q4_K/Q6_K "
-            f"are not implemented — re-quantize to q4_0/q8_0)")
+            f"{sorted(GGML_TYPE_NAMES.values())})")
     return nel // QK * _BLOCK_BYTES[ggml_type]
+
+
+# ---------------------------------------------------------------------------
+# K-quant codecs (q4_K / q5_K / q6_K): most published llama.cpp-era
+# BGE/MiniLM/nomic embedding GGUFs ship as q4_K_M / q5_K / q6_K mixes.
+# Decoded (dequantized) to dense f32 on load; load_model(dtype=...) can
+# then re-quantize to the engine's own Q4_0/Q8_0 kernels. Layouts follow
+# llama.cpp's dequantize_row_q{4,5,6}_K. The encoders exist for fixture
+# generation and re-export; they use direct (non-search) scale fitting,
+# decode-compatible with llama.cpp but not bit-identical to its
+# error-minimizing quantizers.
+# ---------------------------------------------------------------------------
+
+def _unpack_scale_min_k4(s: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """llama.cpp get_scale_min_k4: 8 x (6-bit scale, 6-bit min) packed in
+    12 bytes. s: [..., 12] uint8 -> (sc [..., 8], mn [..., 8])."""
+    sc = np.empty(s.shape[:-1] + (8,), np.uint8)
+    mn = np.empty_like(sc)
+    sc[..., 0:4] = s[..., 0:4] & 63
+    mn[..., 0:4] = s[..., 4:8] & 63
+    sc[..., 4:8] = (s[..., 8:12] & 0x0F) | ((s[..., 0:4] >> 6) << 4)
+    mn[..., 4:8] = (s[..., 8:12] >> 4) | ((s[..., 4:8] >> 6) << 4)
+    return sc, mn
+
+
+def _pack_scale_min_k4(sc: np.ndarray, mn: np.ndarray) -> np.ndarray:
+    """Inverse of _unpack_scale_min_k4. sc/mn: [..., 8] uint8 (<= 63)."""
+    s = np.zeros(sc.shape[:-1] + (12,), np.uint8)
+    s[..., 0:4] = (sc[..., 0:4] & 63) | ((sc[..., 4:8] >> 4) << 6)
+    s[..., 4:8] = (mn[..., 0:4] & 63) | ((mn[..., 4:8] >> 4) << 6)
+    s[..., 8:12] = (sc[..., 4:8] & 0x0F) | ((mn[..., 4:8] & 0x0F) << 4)
+    return s
+
+
+_Q4K_REC = np.dtype([("d", "<f2"), ("dmin", "<f2"),
+                     ("scales", "u1", (12,)), ("qs", "u1", (128,))])
+_Q5K_REC = np.dtype([("d", "<f2"), ("dmin", "<f2"), ("scales", "u1", (12,)),
+                     ("qh", "u1", (32,)), ("qs", "u1", (128,))])
+_Q6K_REC = np.dtype([("ql", "u1", (128,)), ("qh", "u1", (64,)),
+                     ("scales", "i1", (16,)), ("d", "<f2")])
+
+
+def q4_K_from_bytes(buf: bytes, R: int, K: int) -> np.ndarray:
+    """GGUF Q4_K stream -> dense f32 [R, K]. Per llama.cpp
+    dequantize_row_q4_K: x = d*sc*q - dmin*m over 8 sub-blocks of 32."""
+    n = R * K // QK_K
+    arr = np.frombuffer(buf, dtype=_Q4K_REC, count=n)
+    d = arr["d"].astype(np.float32)
+    dmin = arr["dmin"].astype(np.float32)
+    sc, mn = _unpack_scale_min_k4(arr["scales"])
+    qs = arr["qs"]
+    out = np.empty((n, QK_K), np.float32)
+    for j in range(4):  # 4 chunks of 64 values = 32 bytes each
+        q = qs[:, j * 32:(j + 1) * 32]
+        d1 = d * sc[:, 2 * j]
+        m1 = dmin * mn[:, 2 * j]
+        d2 = d * sc[:, 2 * j + 1]
+        m2 = dmin * mn[:, 2 * j + 1]
+        out[:, j * 64:j * 64 + 32] = (d1[:, None] * (q & 0x0F)
+                                      - m1[:, None])
+        out[:, j * 64 + 32:j * 64 + 64] = (d2[:, None] * (q >> 4)
+                                           - m2[:, None])
+    return out.reshape(R, K)
+
+
+def q5_K_from_bytes(buf: bytes, R: int, K: int) -> np.ndarray:
+    """GGUF Q5_K stream -> dense f32 [R, K] (5-bit: low nibble + qh bit)."""
+    n = R * K // QK_K
+    arr = np.frombuffer(buf, dtype=_Q5K_REC, count=n)
+    d = arr["d"].astype(np.float32)
+    dmin = arr["dmin"].astype(np.float32)
+    sc, mn = _unpack_scale_min_k4(arr["scales"])
+    qs, qh = arr["qs"], arr["qh"]
+    out = np.empty((n, QK_K), np.float32)
+    for j in range(4):
+        ql = qs[:, j * 32:(j + 1) * 32]
+        u1, u2 = 1 << (2 * j), 2 << (2 * j)
+        lo = (ql & 0x0F) + ((qh & u1) != 0) * np.uint8(16)
+        hi = (ql >> 4) + ((qh & u2) != 0) * np.uint8(16)
+        d1 = d * sc[:, 2 * j]
+        m1 = dmin * mn[:, 2 * j]
+        d2 = d * sc[:, 2 * j + 1]
+        m2 = dmin * mn[:, 2 * j + 1]
+        out[:, j * 64:j * 64 + 32] = d1[:, None] * lo - m1[:, None]
+        out[:, j * 64 + 32:j * 64 + 64] = d2[:, None] * hi - m2[:, None]
+    return out.reshape(R, K)
+
+
+def q6_K_from_bytes(buf: bytes, R: int, K: int) -> np.ndarray:
+    """GGUF Q6_K stream -> dense f32 [R, K]: x = d * scales[l/16] * q,
+    q in [-32, 31] (4 low bits in ql + 2 high bits in qh)."""
+    n = R * K // QK_K
+    arr = np.frombuffer(buf, dtype=_Q6K_REC, count=n)
+    d = arr["d"].astype(np.float32)[:, None]
+    out = np.empty((n, QK_K), np.float32)
+    for h in range(2):  # two 128-value halves
+        ql = arr["ql"][:, h * 64:(h + 1) * 64]
+        qh = arr["qh"][:, h * 32:(h + 1) * 32]
+        sc = arr["scales"][:, h * 8:(h + 1) * 8].astype(np.float32)
+        q1 = ((ql[:, :32] & 0x0F) | (((qh >> 0) & 3) << 4)).astype(
+            np.int8) - 32
+        q2 = ((ql[:, 32:] & 0x0F) | (((qh >> 2) & 3) << 4)).astype(
+            np.int8) - 32
+        q3 = ((ql[:, :32] >> 4) | (((qh >> 4) & 3) << 4)).astype(
+            np.int8) - 32
+        q4 = ((ql[:, 32:] >> 4) | (((qh >> 6) & 3) << 4)).astype(
+            np.int8) - 32
+        base = h * 128
+        for k, q in enumerate((q1, q2, q3, q4)):
+            s = np.repeat(sc[:, 2 * k:2 * k + 2], 16, axis=1)
+            out[:, base + 32 * k:base + 32 * (k + 1)] = d * s * q
+    return out.reshape(R, K)
+
+
+def _fit_sub_scales(x: np.ndarray, nmax: int):
+    """Per-sub-block (d_sub, m_sub) for the x = d*q - m form with
+    q in [0, nmax], refined by a few alternating-least-squares rounds
+    (requantize q, then refit d/m by regression) — recovers most of the
+    gap to llama.cpp's scale-search quantizer without the search."""
+    mn = np.minimum(x.min(axis=-1), 0.0)
+    mx = np.maximum(x.max(axis=-1), 0.0)
+    d, m = (mx - mn) / nmax, -mn
+    for _ in range(5):
+        q = np.clip(np.rint((x + m[..., None])
+                            / np.where(d == 0, 1, d)[..., None]),
+                    0, nmax)
+        qm, xm = q.mean(-1), x.mean(-1)
+        var = (q * q).mean(-1) - qm * qm
+        cov = (q * x).mean(-1) - qm * xm
+        d_new = np.where(var > 1e-12, cov / np.maximum(var, 1e-12), d)
+        d_new = np.maximum(d_new, 0.0)
+        m_new = np.maximum(d_new * qm - xm, 0.0)
+        d, m = d_new, m_new
+    return d, m
+
+
+def _q45_K_to_bytes(a: np.ndarray, five_bit: bool) -> bytes:
+    R, K = a.shape
+    n = R * K // QK_K
+    blocks = a.reshape(n, 8, 32).astype(np.float32)
+    nmax = 31 if five_bit else 15
+    d_sub, m_sub = _fit_sub_scales(blocks, nmax)       # [n, 8]
+    d = np.maximum(d_sub.max(axis=-1), 1e-30) / 63.0   # [n]
+    dmin = np.maximum(m_sub.max(axis=-1), 1e-30) / 63.0
+    df = d.astype(np.float16).astype(np.float32)
+    dmf = dmin.astype(np.float16).astype(np.float32)
+    sc = np.clip(np.rint(d_sub / np.where(df == 0, 1, df)[:, None]),
+                 0, 63).astype(np.uint8)
+    mn = np.clip(np.rint(m_sub / np.where(dmf == 0, 1, dmf)[:, None]),
+                 0, 63).astype(np.uint8)
+    eff_d = df[:, None] * sc                            # [n, 8]
+    eff_m = dmf[:, None] * mn
+    q = np.clip(np.rint((blocks + eff_m[:, :, None])
+                        / np.where(eff_d == 0, 1, eff_d)[:, :, None]),
+                0, nmax).astype(np.uint8)               # [n, 8, 32]
+    q = q.reshape(n, 4, 64)                             # chunk of 64
+    lo_src, hi_src = q[:, :, :32], q[:, :, 32:]
+    if five_bit:
+        qs = ((lo_src & 0x0F) | ((hi_src & 0x0F) << 4)).reshape(n, 128)
+        qh = np.zeros((n, 32), np.uint8)
+        for j in range(4):
+            qh |= ((lo_src[:, j] >> 4) & 1) << (2 * j)
+            qh |= ((hi_src[:, j] >> 4) & 1) << (2 * j + 1)
+        rec = np.zeros(n, dtype=_Q5K_REC)
+        rec["qh"] = qh
+    else:
+        qs = (lo_src | (hi_src << 4)).reshape(n, 128)
+        rec = np.zeros(n, dtype=_Q4K_REC)
+    rec["d"] = d.astype(np.float16)
+    rec["dmin"] = dmin.astype(np.float16)
+    rec["scales"] = _pack_scale_min_k4(sc, mn)
+    rec["qs"] = qs
+    return rec.tobytes()
+
+
+def q4_K_to_bytes(a: np.ndarray) -> bytes:
+    return _q45_K_to_bytes(a, five_bit=False)
+
+
+def q5_K_to_bytes(a: np.ndarray) -> bytes:
+    return _q45_K_to_bytes(a, five_bit=True)
+
+
+def q6_K_to_bytes(a: np.ndarray) -> bytes:
+    R, K = a.shape
+    n = R * K // QK_K
+    groups = a.reshape(n, 16, 16).astype(np.float32)    # 16 groups of 16
+    amax = np.abs(groups).max(axis=-1)                  # [n, 16]
+    d_sub = amax / 31.0
+    for _ in range(5):  # ALS refinement: x ~ d*q, q in [-32, 31]
+        q = np.clip(np.rint(groups
+                            / np.where(d_sub == 0, 1, d_sub)[..., None]),
+                    -32, 31)
+        num = (q * groups).sum(-1)
+        den = (q * q).sum(-1)
+        d_sub = np.where(den > 0, num / np.maximum(den, 1e-12), d_sub)
+        d_sub = np.maximum(d_sub, 0.0)
+    d = np.maximum(d_sub.max(axis=-1), 1e-30) / 127.0   # [n]
+    df = d.astype(np.float16).astype(np.float32)
+    sc = np.clip(np.rint(d_sub / np.where(df == 0, 1, df)[:, None]),
+                 -128, 127).astype(np.int8)             # [n, 16]
+    eff = df[:, None] * sc.astype(np.float32)
+    q = np.clip(np.rint(groups / np.where(eff == 0, 1, eff)[:, :, None]),
+                -32, 31).astype(np.int8)                # [n, 16, 16]
+    q = (q.reshape(n, QK_K) + 32).astype(np.uint8)      # biased [0, 63]
+    rec = np.zeros(n, dtype=_Q6K_REC)
+    for h in range(2):
+        half = q[:, h * 128:(h + 1) * 128]
+        q1, q2 = half[:, :32], half[:, 32:64]
+        q3, q4 = half[:, 64:96], half[:, 96:128]
+        rec["ql"][:, h * 64:h * 64 + 32] = (q1 & 0x0F) | ((q3 & 0x0F) << 4)
+        rec["ql"][:, h * 64 + 32:h * 64 + 64] = ((q2 & 0x0F)
+                                                 | ((q4 & 0x0F) << 4))
+        rec["qh"][:, h * 32:(h + 1) * 32] = ((q1 >> 4) | ((q2 >> 4) << 2)
+                                             | ((q3 >> 4) << 4)
+                                             | ((q4 >> 4) << 6))
+    rec["scales"] = sc
+    rec["d"] = d.astype(np.float16)
+    return rec.tobytes()
 
 
 # ---------------------------------------------------------------------------
@@ -312,7 +543,8 @@ def write_gguf(path: str | Path, params: dict, config: BertConfig,
         ("general.alignment", T_U32, ALIGNMENT),
         ("general.file_type", T_U32,
          {GGML_F32: 0, GGML_F16: 1, GGML_Q4_0: 2, GGML_Q4_1: 3,
-          GGML_Q8_0: 7}[ggml_type]),
+          GGML_Q8_0: 7, GGML_Q4_K: 15, GGML_Q5_K: 17,
+          GGML_Q6_K: 18}[ggml_type]),
         *([("general.quantization_version", T_U32, 2)]  # GGML_QNT_VERSION
           if ggml_type not in (GGML_F32, GGML_F16) else []),
         ("bert.context_length", T_U32, config.max_position_embeddings),
@@ -348,18 +580,29 @@ def write_gguf(path: str | Path, params: dict, config: BertConfig,
             continue
         arr = np.ascontiguousarray(arr, np.float32)
         ne = arr.shape[::-1]  # ne[0] innermost
-        quantize_this = (ggml_type != GGML_F32 and arr.ndim == 2
+        ttype = ggml_type
+        if (ttype in (GGML_Q4_K, GGML_Q5_K)
+                and gname == "token_embd.weight"):
+            # llama.cpp's Q4_K_M / Q5_K_M mixes keep the embedding table
+            # at q6_K: table quantization perturbs every activation
+            # directly, and the table is read once per token (not per
+            # matmul), so the extra bits cost nothing at run time
+            ttype = GGML_Q6_K
+        blk = QK_K if ttype in _KBLOCK_BYTES else QK
+        quantize_this = (ttype != GGML_F32 and arr.ndim == 2
                          and hf_name.endswith(".weight")
-                         and ne[0] % QK == 0)
+                         and ne[0] % blk == 0)
         if not quantize_this:
             tensors.append((gname, ne, GGML_F32, arr.tobytes()))
-        elif ggml_type == GGML_F16:
+        elif ttype == GGML_F16:
             tensors.append((gname, ne, GGML_F16,
                             arr.astype(np.float16).tobytes()))
         else:
             enc = {GGML_Q4_0: q4_0_to_bytes, GGML_Q4_1: q4_1_to_bytes,
-                   GGML_Q8_0: q8_0_to_bytes}[ggml_type]
-            tensors.append((gname, ne, ggml_type, enc(arr)))
+                   GGML_Q8_0: q8_0_to_bytes, GGML_Q4_K: q4_K_to_bytes,
+                   GGML_Q5_K: q5_K_to_bytes,
+                   GGML_Q6_K: q6_K_to_bytes}[ttype]
+            tensors.append((gname, ne, ttype, enc(arr)))
 
     with open(path, "wb") as f:
         f.write(struct.pack("<IIQQ", MAGIC, VERSION,
@@ -440,6 +683,16 @@ def read_gguf(path: str | Path, *, dequant: bool = False):
             elif ttype == GGML_F16:
                 sd[hf_name] = np.frombuffer(raw, "<f2").reshape(
                     shape).astype(np.float32)
+            elif ttype in (GGML_Q4_K, GGML_Q5_K, GGML_Q6_K):
+                # K-quants dequantize to dense f32 on load (no native
+                # K-quant kernel; load_model(dtype=...) re-quantizes to
+                # the engine's Q4_0/Q8_0 kernels when asked)
+                K = int(ne[0])
+                R = int(np.prod(ne[1:])) if len(ne) > 1 else 1
+                dec = {GGML_Q4_K: q4_K_from_bytes,
+                       GGML_Q5_K: q5_K_from_bytes,
+                       GGML_Q6_K: q6_K_from_bytes}[ttype]
+                sd[hf_name] = dec(raw, R, K).reshape(shape)
             elif ttype in (GGML_Q4_0, GGML_Q4_1, GGML_Q8_0):
                 K = int(ne[0])
                 R = int(np.prod(ne[1:])) if len(ne) > 1 else 1

@@ -322,6 +322,87 @@ def fused_attention_segmented(qkv: jax.Array, seg_ids: jax.Array, *, B: int,
     )(qkv, qkv, qkv, seg_col, seg_row)
 
 
+def _attn_kernel_cp(lengths_ref, q_ref, k_ref, v_ref, o_ref, *,
+                    Lc: int, L: int, D: int, H: int, scale: float):
+    """Rectangular variant of _attn_kernel for context parallelism:
+    queries are this chip's local [Lc, E] chunk, keys/values the
+    all-gathered full sequence [L, E]. Same exp2/clamp/PV-denominator
+    engineering; the [Lc, L] score tile lives only in VMEM."""
+    b = pl.program_id(0)
+    n = lengths_ref[b]
+    key_ok = jax.lax.broadcasted_iota(jnp.int32, (Lc, L), 1) < n
+    s2 = scale * LOG2E
+    clamp_hi = _clamp_hi(L)
+    aug_col = jax.lax.broadcasted_iota(jnp.int32, (L, 2 * D), 1)
+    for h in range(H):
+        sl = slice(h * D, (h + 1) * D)
+        q = q_ref[:, sl]                                   # [Lc, D]
+        k = k_ref[:, sl]                                   # [L, D]
+        vaug = jnp.where(aug_col == D, jnp.ones((), v_ref.dtype),
+                         jnp.pad(v_ref[:, sl], ((0, 0), (0, D))))
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * s2       # [Lc, L]
+        s = jnp.clip(s, _CLAMP_LO, clamp_hi)
+        p = jnp.where(key_ok, jnp.exp2(s), 0.0).astype(q.dtype)
+        of = jax.lax.dot(p, vaug, preferred_element_type=jnp.float32)
+        denom = jnp.maximum(of[:, D:D + 1], 1e-30)
+        o_ref[:, sl] = (of[:, :D] * (1.0 / denom)).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("B", "Lc", "L", "H", "D",
+                                             "mask_value", "interpret"))
+def fused_attention_cp(q: jax.Array, kv: jax.Array, lengths: jax.Array, *,
+                       B: int, Lc: int, L: int, H: int, D: int,
+                       mask_value: float = -1e9,
+                       interpret: bool = False) -> jax.Array:
+    """Context-parallel fused attention: q [B*Lc, H*D] (the local query
+    chunk), kv [B*L, 2*H*D] (all-gathered [k | v] columns), lengths [B]
+    int32 prefix lengths -> context [B*Lc, H*D].
+
+    Runs per-shard inside shard_map (parallel/context.py): the [Lc, L]
+    score tile never touches HBM, replacing the einsum path that
+    materialized [B, H, Lc, L] f32 exactly where CP matters (long L,
+    small per-chip batch). mask_value accepted for API compatibility
+    (pad keys get exactly zero probability)."""
+    E = H * D
+    assert q.shape == (B * Lc, E), (q.shape, (B * Lc, E))
+    assert kv.shape == (B * L, 2 * E), (kv.shape, (B * L, 2 * E))
+    assert supported(L, H, D) and Lc % 8 == 0, (Lc, L, H, D)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((Lc, E), lambda b, *_: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, E), lambda b, *_: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, E), lambda b, *_: (b, 1),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((Lc, E), lambda b, *_: (b, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    kernel = functools.partial(_attn_kernel_cp, Lc=Lc, L=L, D=D, H=H,
+                               scale=1.0 / (D ** 0.5))
+    flops = 2 * 2 * B * H * Lc * L * D
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B * Lc, E), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=(B * Lc * E + B * L * 2 * E + B * Lc * E)
+            * q.dtype.itemsize,
+            transcendentals=B * H * Lc * L),
+        interpret=interpret,
+    )(lengths, q, kv, kv)
+
+
 @functools.partial(jax.jit, static_argnames=("B", "L", "H", "D",
                                              "mask_value", "interpret"))
 def fused_attention(qkv: jax.Array, lengths: jax.Array, *, B: int, L: int,

@@ -13,9 +13,17 @@ global positions via axis_index.
 
 Composability: the CP forward keeps weights replicated (BERT-family
 weights are <=0.4 GB even dense — TP exists for ICI bandwidth, not
-capacity); combine dp x sp via make_mesh_cp. Collectives: one all-gather
-per layer ([B, Lc, 2E] -> [B, L, 2E]) + one psum at pooling, all riding
+capacity); combine dp x sp via make_mesh_cp. CP x TP composition is
+deliberately OUT OF SCOPE: at encoder scale the weight per chip never
+needs TP's capacity split, and head-sharding the gathered K/V would
+re-introduce the all-to-all Ulysses traffic this design avoids — use
+dp x tp OR dp x sp, not all three. Collectives: one all-gather per
+layer ([B, Lc, 2E] -> [B, L, 2E]) + one psum at pooling, all riding
 ICI.
+
+Attention per shard runs the fused VMEM kernel
+(ops/attention.fused_attention_cp: local [Lc, L] score tiles, prefix
+lengths) when shapes allow; the einsum fallback otherwise.
 """
 
 from __future__ import annotations
@@ -53,10 +61,18 @@ def make_mesh_cp(dp: int | None = None, sp: int = 1,
 
 
 def _cp_attention(layer: Params, config: BertConfig, x: jax.Array,
-                  mask_bias: jax.Array) -> jax.Array:
+                  mask_bias: jax.Array,
+                  lengths: jax.Array | None = None) -> jax.Array:
     """Local-query attention: q from the local [B, Lc, E] chunk, k/v
     all-gathered to the full sequence. Returns local context [B, Lc, E].
+
+    With prefix lengths and a supported shape, the fused VMEM kernel
+    (ops/attention.fused_attention_cp) computes the [Lc, L] score tile
+    on-chip; the einsum fallback materializes [B, H, Lc, L] in HBM
+    (kept for CPU tests / tiny shapes).
     """
+    from ..ops import attention as attn_ops
+    from ..ops.linear import _use_pallas
     B, Lc, E = x.shape
     D = config.head_dim
     a = layer["attn"]
@@ -71,8 +87,14 @@ def _cp_attention(layer: Params, config: BertConfig, x: jax.Array,
     # one gather for k and v together: [B, L, 2E] over ICI
     kv = lax.all_gather(jnp.concatenate([k, v], axis=-1), SEQ_AXIS,
                         axis=1, tiled=True)
+    L = kv.shape[1]
+    if (lengths is not None and _use_pallas()
+            and attn_ops.supported(L, H, D) and Lc % 8 == 0):
+        ctx = attn_ops.fused_attention_cp(
+            q.reshape(B * Lc, H * D), kv.reshape(B * L, 2 * H * D),
+            lengths, B=B, Lc=Lc, L=L, H=H, D=D)
+        return ctx.reshape(B, Lc, H * D)
     k_full, v_full = jnp.split(kv, 2, axis=-1)
-    L = k_full.shape[1]
     qh = q.reshape(B, Lc, H, D)
     kh = k_full.reshape(B, L, H, D)
     vh = v_full.reshape(B, L, H, D)
@@ -86,12 +108,13 @@ def _cp_attention(layer: Params, config: BertConfig, x: jax.Array,
 
 
 def _cp_layer(layer: Params, config: BertConfig, x: jax.Array,
-              mask_bias: jax.Array) -> jax.Array:
+              mask_bias: jax.Array,
+              lengths: jax.Array | None = None) -> jax.Array:
     """One encoder block with CP attention; everything after the
     attention context is local along L (bert.encoder_layer numerics)."""
     a, m = layer["attn"], layer["mlp"]
     eps = config.layer_norm_eps
-    ctx = _cp_attention(layer, config, x, mask_bias)
+    ctx = _cp_attention(layer, config, x, mask_bias, lengths)
     act = "gelu_tanh" if config.hidden_act == "gelu_tanh" else "gelu"
     x = linear_residual_ln(ctx, a["o"]["w"], a["o"]["b"], x,
                            a["ln"]["scale"], a["ln"]["bias"], eps)
@@ -128,9 +151,12 @@ def make_cp_forward(config: BertConfig, mesh: Mesh, *,
         mask_full = lax.all_gather(mask, SEQ_AXIS, axis=1, tiled=True)
         bias = ((1.0 - mask_full.astype(jnp.float32))
                 * mask_value)[:, None, None, :]          # [B, 1, 1, L]
+        # the engine produces prefix masks only — the fused CP kernel
+        # takes the per-sequence lengths directly
+        lengths = jnp.sum(mask_full, axis=1).astype(jnp.int32)
 
         def body(h, layer):
-            return _cp_layer(layer, config, h, bias), None
+            return _cp_layer(layer, config, h, bias, lengths), None
 
         x, _ = lax.scan(body, x, p["layers"])
         xf = x.astype(jnp.float32)

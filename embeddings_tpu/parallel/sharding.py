@@ -178,6 +178,30 @@ def shard_params(params: Params, config: BertConfig, mesh: Mesh) -> Params:
     return _tree_map_qt(put, specs, params)
 
 
+def _check_tp_shardable(pspecs: Params, tp: int) -> None:
+    """Every matmul weight must really be TP-sharded: a replication
+    fallback (non-divisible dim) would make the shard_map psum
+    over-count by tp. Fail loudly instead."""
+    def _has_model_axis(spec) -> bool:
+        return any(ax == MODEL_AXIS for ax in spec if ax)
+    for path, name in ((("attn", "q"), "attn.q"),
+                       (("attn", "k"), "attn.k"),
+                       (("attn", "v"), "attn.v"),
+                       (("attn", "o"), "attn.o"),
+                       (("mlp", "up"), "mlp.up"),
+                       (("mlp", "down"), "mlp.down")):
+        node = pspecs["layers"]
+        for k in path:
+            node = node[k]
+        w = node["w"]
+        spec = w.codes if isinstance(w, QuantizedTensor) else w
+        if not _has_model_axis(spec):
+            raise ValueError(
+                f"tp={tp} cannot shard {name} for this model "
+                f"(dimension not divisible); lower tp or use "
+                f"spmd='gspmd'")
+
+
 def make_sharded_forward(config: BertConfig, mesh: Mesh, *,
                          pooling: str | None = None,
                          compute_dtype: str | None = None,
@@ -218,27 +242,7 @@ def make_sharded_forward(config: BertConfig, mesh: Mesh, *,
             pspecs = param_pspecs(params, mesh)
             tp_axis = MODEL_AXIS if tp > 1 else None
             if tp_axis is not None:
-                # every matmul weight must really be TP-sharded: a
-                # replication fallback (non-divisible dim) would make the
-                # psum over-count by tp. Fail loudly instead.
-                def _has_model_axis(spec) -> bool:
-                    return any(ax == MODEL_AXIS for ax in spec if ax)
-                for path, name in ((("attn", "q"), "attn.q"),
-                                   (("attn", "k"), "attn.k"),
-                                   (("attn", "v"), "attn.v"),
-                                   (("attn", "o"), "attn.o"),
-                                   (("mlp", "up"), "mlp.up"),
-                                   (("mlp", "down"), "mlp.down")):
-                    node = pspecs["layers"]
-                    for k in path:
-                        node = node[k]
-                    w = node["w"]
-                    spec = w.codes if isinstance(w, QuantizedTensor) else w
-                    if not _has_model_axis(spec):
-                        raise ValueError(
-                            f"tp={tp} cannot shard {name} for this model "
-                            f"(dimension not divisible); lower tp or use "
-                            f"spmd='gspmd'")
+                _check_tp_shardable(pspecs, tp)
 
             def local_fwd(p, ids, mask):
                 # honor the engine's kernel-path knob at trace time
@@ -277,3 +281,56 @@ def make_sharded_forward(config: BertConfig, mesh: Mesh, *,
                                       mask_value=mask_value)
 
     return jax.jit(fwd, in_shardings=(None, data, data), out_shardings=out_s)
+
+
+def make_sharded_packed_forward(config: BertConfig, mesh: Mesh, *,
+                                compute_dtype: str | None = None,
+                                mask_value: float = -1e9,
+                                pallas: str = "auto"):
+    """jitted (params, ids, seg, pos, pool, attn_window) -> [B, S, E]
+    for token-PACKED batches over the mesh: rows are independent by
+    construction, so the row axis shards over DATA_AXIS exactly like the
+    bucketed batch axis, and Megatron TP applies within each shard via
+    the same tp_axis psums — the 1.5x packing win survives scale-out.
+    attn_window is static (bucketed by the engine)."""
+    import inspect
+    try:
+        from jax import shard_map  # jax >= 0.8
+    except ImportError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map
+    from ..ops.linear import pallas_mode
+    _sig = inspect.signature(shard_map).parameters
+    _nocheck = ({"check_vma": False} if "check_vma" in _sig
+                else {"check_rep": False})
+    tp = mesh.shape.get(MODEL_AXIS, 1)
+    tp_axis = MODEL_AXIS if tp > 1 else None
+    row = P(DATA_AXIS, None)
+    cache: dict = {}
+
+    def make_fn(params, attn_window: int):
+        pspecs = param_pspecs(params, mesh)
+
+        def local_fwd(p, ids, seg, pos, pool):
+            # attn_window is a closed-over static (one compiled program
+            # per bucketed window value, same as the single-device path)
+            with pallas_mode(pallas):
+                return bert.encode_packed(p, config, ids, seg, pos, pool,
+                                          compute_dtype=compute_dtype,
+                                          mask_value=mask_value,
+                                          tp_axis=tp_axis,
+                                          attn_window=attn_window)
+
+        sharded = shard_map(
+            local_fwd, mesh=mesh,
+            in_specs=(pspecs, row, row, row, P(DATA_AXIS, None, None)),
+            out_specs=P(DATA_AXIS, None, None),
+            **_nocheck)
+        return jax.jit(sharded)
+
+    def fwd(params, ids, seg, pos, pool, attn_window=0):
+        key = (jax.tree_util.tree_structure(params), int(attn_window))
+        if key not in cache:
+            cache[key] = make_fn(params, int(attn_window))
+        return cache[key](params, ids, seg, pos, pool)
+
+    return fwd

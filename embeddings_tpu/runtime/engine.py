@@ -223,8 +223,9 @@ class Engine:
         """Token-packed encode: several sentences per device row
         (runtime/packing.py) — the 'token-level packing' mode. Much faster
         than bucketed padding when sentences are short relative to the
-        efficient device sequence length. Requires mean or CLS pooling;
-        single-device only (the mesh path uses bucketed batches)."""
+        efficient device sequence length. Requires mean or CLS pooling.
+        Works on single devices and dp/tp meshes (rows shard over the
+        data axis); CP (seq-sharded) meshes fall back to bucketed."""
         toks = [self.tokenize(t) for t in texts]
         return self.encode_toks_packed(toks, row_len, batch_rows)
 
@@ -234,11 +235,15 @@ class Engine:
         """Token-packed encode of pre-tokenized inputs (see
         encode_batch_packed)."""
         if self.mesh is not None:
-            import logging
-            logging.getLogger("embeddings_tpu.engine").warning(
-                "token packing is not implemented for mesh engines; "
-                "falling back to bucketed encode")
-            return self.encode_toks(toks)
+            from ..parallel.context import SEQ_AXIS
+            if SEQ_AXIS in self.mesh.shape:
+                # context parallelism shards L itself — packed rows mix
+                # segments across the seq shards; out of scope
+                import logging
+                logging.getLogger("embeddings_tpu.engine").warning(
+                    "token packing is not implemented for seq-parallel "
+                    "(CP) meshes; falling back to bucketed encode")
+                return self.encode_toks(toks)
         if self.config.pooling not in ("mean", "cls"):
             raise ValueError("packing supports mean/cls pooling")
         from .batching import pick_bucket
@@ -255,6 +260,8 @@ class Engine:
         # bucketed path instead.
         row_len = row_len or min(128, self.max_seq_len)
         batch_rows = batch_rows or max(ec.batch_size, 32768 // row_len)
+        # mesh: the row axis shards over "data" — row buckets must divide
+        batch_rows = -(-batch_rows // self._dp) * self._dp
         out = np.empty((len(toks), self.n_embd), np.float32)
         short = [i for i, t in enumerate(toks) if len(t) <= row_len]
         long_idx = [i for i, t in enumerate(toks) if len(t) > row_len]
@@ -298,15 +305,25 @@ class Engine:
             mode = self.engine_config.use_pallas
             config = self.config
 
-            from ..ops.linear import pallas_mode
+            if self.mesh is not None:
+                # rows shard over "data", Megatron TP within each shard —
+                # the packing win survives scale-out
+                from ..parallel.sharding import make_sharded_packed_forward
+                self._packed_fn = make_sharded_packed_forward(
+                    config, self.mesh, compute_dtype=cd, mask_value=mv,
+                    pallas=mode)
+            else:
+                from ..ops.linear import pallas_mode
 
-            def _fwd(p, ids, seg, pos, pool, attn_window):
-                with pallas_mode(mode):
-                    return bert.encode_packed(p, config, ids, seg, pos, pool,
-                                              compute_dtype=cd, mask_value=mv,
-                                              attn_window=attn_window)
+                def _fwd(p, ids, seg, pos, pool, attn_window):
+                    with pallas_mode(mode):
+                        return bert.encode_packed(
+                            p, config, ids, seg, pos, pool,
+                            compute_dtype=cd, mask_value=mv,
+                            attn_window=attn_window)
 
-            self._packed_fn = jax.jit(_fwd, static_argnames=("attn_window",))
+                self._packed_fn = jax.jit(_fwd,
+                                          static_argnames=("attn_window",))
         return self._packed_fn(self.params, ids, seg, pos, pool,
                                attn_window=attn_window)
 

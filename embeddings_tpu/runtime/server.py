@@ -86,10 +86,11 @@ class BatchingService:
             raise ValueError(
                 f"packed=True requires mean/cls pooling, engine has "
                 f"{engine.config.pooling!r}")
-        if packed and engine.mesh is not None:
-            log.warning("packed=True on a mesh engine: token packing is "
-                        "single-device only, batches fall back to bucketed "
-                        "encode_batch")
+        if packed and engine.mesh is not None and \
+                "seq" in engine.mesh.shape:
+            log.warning("packed=True on a seq-parallel (CP) mesh: token "
+                        "packing shards rows over 'data' only, batches "
+                        "fall back to bucketed encode")
         self.packed = packed
         self.stats = ServiceStats()
         self._queue: asyncio.Queue = asyncio.Queue()

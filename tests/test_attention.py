@@ -92,3 +92,31 @@ def test_full_forward_uses_fused_attention(rng, tiny_config):
         linmod.set_pallas_mode("auto")
     cos = (got * ref).sum(-1)
     assert cos.min() > 0.999, cos
+
+
+@pytest.mark.parametrize("B,Lc,L,H,D", [
+    (2, 16, 64, 2, 64),     # sp=4-style chunking
+    (1, 64, 64, 2, 64),     # sp=1: rectangular == square
+    (3, 8, 32, 4, 32),      # H*D=128 minimum lane tile
+])
+def test_fused_attention_cp_matches_einsum(B, Lc, L, H, D, rng):
+    """CP kernel (local queries, gathered K/V, prefix lengths) vs the
+    rectangular einsum reference."""
+    from embeddings_tpu.ops.attention import fused_attention_cp
+    E = H * D
+    q = jnp.asarray(rng.standard_normal((B * Lc, E)), jnp.float32)
+    kv = jnp.asarray(rng.standard_normal((B * L, 2 * E)), jnp.float32)
+    lengths = jnp.asarray([max(1, L - 5 * b) for b in range(B)], jnp.int32)
+    got = np.asarray(fused_attention_cp(q, kv, lengths, B=B, Lc=Lc, L=L,
+                                        H=H, D=D, interpret=True))
+    # einsum reference
+    qh = np.asarray(q).reshape(B, Lc, H, D)
+    k = np.asarray(kv).reshape(B, L, 2 * E)[..., :E].reshape(B, L, H, D)
+    v = np.asarray(kv).reshape(B, L, 2 * E)[..., E:].reshape(B, L, H, D)
+    s = np.einsum("blhd,bmhd->bhlm", qh, k) / np.sqrt(D)
+    for b in range(B):
+        s[b, :, :, int(lengths[b]):] = -1e9
+    p = np.exp(s - s.max(-1, keepdims=True))
+    p /= p.sum(-1, keepdims=True)
+    ref = np.einsum("bhlm,bmhd->blhd", p, v).reshape(B * Lc, E)
+    np.testing.assert_allclose(got, ref, atol=2e-3, rtol=1e-2)

@@ -246,3 +246,53 @@ def test_mesh_fully_packed_q4_parity(small_vocab, tmp_path):
                         engine_config=dataclasses.replace(ec))
     np.testing.assert_allclose(out, single.encode_batch(texts),
                                atol=2e-4, rtol=1e-3)
+
+
+@pytest.mark.parametrize("dp,tp", [(8, 1), (4, 2)])
+def test_mesh_packed_encode_matches_single_device(cfg, small_vocab, dp, tp):
+    """Token packing routes through the mesh (rows over 'data', TP within
+    shards) and matches both the single-device packed path and the
+    bucketed mesh path — the 1.5x packing win survives scale-out."""
+    import dataclasses
+    from embeddings_tpu.config import EngineConfig
+    from embeddings_tpu.runtime.engine import Engine
+    from embeddings_tpu.tokenizer import WordPieceTokenizer, WordPieceVocab
+    tok = WordPieceTokenizer(WordPieceVocab.from_tokens(small_vocab))
+    cfg2 = dataclasses.replace(cfg, vocab_size=len(small_vocab))
+    params = P.init_params(cfg2, rng=0)
+    ec = EngineConfig(seq_buckets=(16, 32), max_seq_len=32, batch_size=8,
+                      batch_buckets=(8,))
+    texts = (["hello world"] * 3 + ["the quick brown fox"] * 4
+             + ["hello", "fox fox fox"] * 3)
+    mesh_eng = Engine(params, cfg2, tok, ec, mesh=make_mesh(dp=dp, tp=tp))
+    single = Engine(params, cfg2, tok, ec)
+    a = mesh_eng.encode_batch_packed(texts, row_len=16)
+    b = single.encode_batch_packed(texts, row_len=16)
+    c = mesh_eng.encode_batch(texts)
+    assert a.shape == (len(texts), cfg2.hidden_size)
+    np.testing.assert_allclose(a, b, atol=2e-5)
+    np.testing.assert_allclose(a, c, atol=2e-4)
+
+
+def test_mesh_packed_quantized(cfg, small_vocab):
+    """Packed + packed-4-bit weights + TP all compose on the mesh."""
+    import dataclasses
+    from embeddings_tpu.config import EngineConfig
+    from embeddings_tpu.parallel.sharding import adapt_packed_params
+    from embeddings_tpu.runtime.engine import Engine
+    from embeddings_tpu.tokenizer import WordPieceTokenizer, WordPieceVocab
+    tok = WordPieceTokenizer(WordPieceVocab.from_tokens(small_vocab))
+    cfg2 = dataclasses.replace(cfg, vocab_size=len(small_vocab))
+    base = P.init_params(cfg2, rng=0)
+    qp = P.quantize_params(base, "q4_0")
+    qp = P.pack_q4_params(qp)
+    mesh = make_mesh(dp=4, tp=2)
+    qp = adapt_packed_params(qp, mesh)
+    ec = EngineConfig(seq_buckets=(16,), max_seq_len=16, batch_size=8,
+                      batch_buckets=(8,))
+    texts = ["hello world", "fox", "the quick brown fox", "hello"] * 3
+    meng = Engine(qp, cfg2, tok, ec, mesh=mesh)
+    seng = Engine(qp, cfg2, tok, ec)
+    a = meng.encode_batch_packed(texts, row_len=16)
+    b = seng.encode_batch_packed(texts, row_len=16)
+    np.testing.assert_allclose(a, b, atol=2e-4)
