@@ -47,12 +47,19 @@ def throughput(fwd, params, ids, mask, reps: int = 5) -> float:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("-m", "--model", default=None,
-                    help="HF dir / .npz / .bin (default: random bge-base)")
+                    help="HF dir / .npz / .bin (default: random --arch)")
+    ap.add_argument("--arch", default="bge-base-en-v1.5",
+                    help="KNOWN_MODELS architecture for the random-init "
+                         "default (use a small one on virtual CPU meshes)")
     ap.add_argument("--dtype", default="q4_0")
-    ap.add_argument("--tp", type=int, default=1,
-                    help="model-axis size for the full-mesh config")
+    ap.add_argument("--tp", type=int, nargs="*", default=[1],
+                    help="model-axis sizes to sweep for full-mesh configs")
+    ap.add_argument("--sp", type=int, nargs="*", default=[],
+                    help="seq-axis (context-parallel) sizes to sweep")
     ap.add_argument("--batch-per-device", type=int, default=32)
     ap.add_argument("--seq", type=int, default=256)
+    ap.add_argument("--out", default=None,
+                    help="write the results array as JSON here")
     args = ap.parse_args()
 
     import os
@@ -76,7 +83,7 @@ def main() -> int:
         if args.dtype != "f32":
             params = P.quantize_params(params, args.dtype)
     else:
-        cfg = BertConfig(**{**KNOWN_MODELS["bge-base-en-v1.5"],
+        cfg = BertConfig(**{**KNOWN_MODELS[args.arch],
                             "vocab_size": 30528})
         params = P.init_params(cfg, rng=0)
         if args.dtype != "f32":
@@ -102,7 +109,7 @@ def main() -> int:
     print(json.dumps(results[-1]), flush=True)
 
     if n > 1:
-        for tp in sorted({1, args.tp}):
+        for tp in sorted(set([1] + list(args.tp))):
             if n % tp or cfg.num_attention_heads % tp:
                 continue
             dp = n // tp
@@ -116,6 +123,35 @@ def main() -> int:
                 "sentences_per_s": round(thr, 1),
                 "efficiency": round(thr / (n * base), 3)})
             print(json.dumps(results[-1]), flush=True)
+        for sp in sorted(set(args.sp)):
+            if sp < 2 or n % sp or args.seq % sp:
+                continue
+            from embeddings_tpu.parallel.context import (make_cp_forward,
+                                                         make_mesh_cp)
+            dp = n // sp
+            mesh = make_mesh_cp(dp=dp, sp=sp, devices=devices)
+            fwd = make_cp_forward(cfg, mesh, compute_dtype="bfloat16")
+            # CP replicates weights; params stay host-side (jit moves them)
+            ids, mask = inputs(args.batch_per_device * dp)
+            thr = throughput(fwd, params, ids, mask)
+            results.append({
+                "devices": n, "dp": dp, "sp": sp,
+                "sentences_per_s": round(thr, 1),
+                "efficiency": round(thr / (n * base), 3)})
+            print(json.dumps(results[-1]), flush=True)
+    if args.out:
+        import jax as _jax
+        Path(args.out).write_text(json.dumps({
+            "platform": _jax.default_backend(),
+            "device": str(jax.devices()[0]),
+            "n_devices": n, "dtype": args.dtype, "seq": args.seq,
+            "batch_per_device": args.batch_per_device,
+            "note": ("virtual CPU mesh results validate the compiled "
+                     "collectives' correctness and relative program "
+                     "structure, NOT ICI performance"
+                     if _jax.default_backend() == "cpu" else
+                     "real-chip measurement"),
+            "results": results}, indent=1))
     return 0
 
 

@@ -30,9 +30,20 @@ from embeddings_tpu.ops import quant as Q
 from embeddings_tpu.ops.linear import (linear, linear_residual_ln,
                                        pallas_mode)
 
-# (K, N): bge-base's four shapes, MiniLM's two, and a TP shard (N=576)
+# (K, N): bge-base's four shapes, MiniLM's two, and every per-shard
+# shape the shard_map TP path dispatches (parallel/sharding.py):
+# column-parallel shards slice N (qkv 2304 -> 1152/576, FFN-up 3072 ->
+# 1536/768), row-parallel shards slice K (o-proj 768 -> 384/192,
+# FFN-down 3072 -> 1536/768). N=576 is the whole-N ragged-lane tile
+# (the special code path at ops/qmatmul.py); N=1152/384 also exercise
+# non-multiple-of-128... (1152 = 9*128 regular; 576 = 4.5*128 ragged).
 SHAPES = [(768, 2304), (768, 768), (768, 3072), (3072, 768),
-          (384, 1536), (1536, 384), (768, 576)]
+          (384, 1536), (1536, 384),
+          # TP shards (tp=2, tp=4); FFN-down row shards 3072/tp are
+          # (1536, 768) / (768, 768), already in the base list
+          (768, 1152), (768, 576),      # qkv column shards
+          (768, 1536), (768, 384),      # FFN-up column shards
+          (384, 768), (192, 768)]       # o-proj row shards
 KINDS = ["q4_0", "q4_0-packed", "q4_1", "q8_0"]
 M = 1024
 
@@ -140,6 +151,31 @@ def check_attention(results, rng):
     err = float(np.abs(win[validm] - full[validm]).max())
     results.append({"op": "segmented_vs_windowed", "kind": "bf16",
                     "K": L, "N": E, "max_abs_err": err,
+                    "ok": bool(err < 3e-2)})
+    print(json.dumps(results[-1]), flush=True)
+
+    # CP kernel: local-query/global-KV (the sp=4 shard shape at L=512)
+    Bc, Lc, Lf = 8, 128, 512
+    q2 = jnp.asarray(rng.standard_normal((Bc * Lc, E)) * 0.3, jnp.bfloat16)
+    kv2 = jnp.asarray(rng.standard_normal((Bc * Lf, 2 * E)) * 0.3,
+                      jnp.bfloat16)
+    lens = jnp.asarray(np.clip(rng.integers(8, Lf + 1, Bc), 8, Lf),
+                       jnp.int32)
+    got_cp = np.asarray(A.fused_attention_cp(
+        q2, kv2, lens, B=Bc, Lc=Lc, L=Lf, H=H, D=D), np.float32)
+    qf = np.asarray(q2, np.float32).reshape(Bc, Lc, H, D)
+    kf = np.asarray(kv2, np.float32).reshape(Bc, Lf, 2 * E)
+    kh2 = kf[..., :E].reshape(Bc, Lf, H, D)
+    vh2 = kf[..., E:].reshape(Bc, Lf, H, D)
+    s = np.einsum("blhd,bmhd->bhlm", qf, kh2) / np.sqrt(D)
+    km = np.arange(Lf)[None, :] < np.asarray(lens)[:, None]
+    s = np.where(km[:, None, None, :], s, -1e9)
+    p = np.exp(s - s.max(-1, keepdims=True))
+    p /= p.sum(-1, keepdims=True)
+    ref_cp = np.einsum("bhlm,bmhd->blhd", p, vh2).reshape(Bc * Lc, E)
+    err = float(np.abs(got_cp - ref_cp).max())
+    results.append({"op": "fused_attention_cp", "kind": "bf16", "K": Lf,
+                    "N": E, "max_abs_err": err,
                     "ok": bool(err < 3e-2)})
     print(json.dumps(results[-1]), flush=True)
 
