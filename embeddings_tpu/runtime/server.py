@@ -420,8 +420,49 @@ def make_http_app(service: BatchingService):
     async def stats(request):
         return web.json_response(service.stats.as_dict())
 
+    async def openai_embeddings(request: web.Request) -> web.Response:
+        """OpenAI-compatible POST /v1/embeddings: {"input": str|[str]}
+        -> {"object":"list","data":[{"embedding":[...],"index":i}],
+        "usage":{...}} — lets OpenAI-SDK clients point at this server
+        unchanged (the usage block is part of that contract, so the
+        token count is computed here, off the event loop)."""
+        try:
+            body = await request.json()
+            if not isinstance(body, dict):
+                raise ValueError("body must be a JSON object")
+            inp = body["input"]
+            texts = [inp] if isinstance(inp, str) else list(inp)
+            if not all(isinstance(t, str) for t in texts):
+                raise ValueError("input must be a string or list of strings")
+        except (json.JSONDecodeError, KeyError, ValueError, TypeError) as e:
+            return web.json_response(
+                {"error": {"message": str(e) or "bad request",
+                           "type": "invalid_request_error"}}, status=400)
+        try:
+            embs = await service.embed_many(texts)
+            n_tokens = await asyncio.to_thread(
+                lambda: sum(len(service.engine.tokenize(t)) for t in texts))
+        except TimeoutError as e:
+            return web.json_response(
+                {"error": {"message": str(e), "type": "timeout"}},
+                status=504)
+        except Exception as e:
+            log.exception("v1/embeddings failed")
+            return web.json_response(
+                {"error": {"message": f"{type(e).__name__}: {e}",
+                           "type": "server_error"}}, status=500)
+        return web.json_response({
+            "object": "list",
+            "data": [{"object": "embedding", "embedding": e.tolist(),
+                      "index": i} for i, e in enumerate(embs)],
+            "model": str(body.get("model", "embeddings-tpu")),
+            "usage": {"prompt_tokens": n_tokens,
+                      "total_tokens": n_tokens},
+        })
+
     app = web.Application()
     app.router.add_post("/embed", embed)
+    app.router.add_post("/v1/embeddings", openai_embeddings)
     app.router.add_get("/healthz", healthz)
     app.router.add_get("/stats", stats)
     return app

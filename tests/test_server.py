@@ -545,3 +545,52 @@ def test_stats_tokens_counted_without_retokenizing(engine, monkeypatch):
     assert len(calls) == 6
     assert stats.tokens == sum(len(engine.tokenize(t))
                                for t in ["hello world"] * 6)
+
+
+def test_openai_compatible_embeddings_endpoint(engine):
+    """POST /v1/embeddings speaks the OpenAI embeddings contract
+    (object/data/index/usage), for both str and list inputs, with the
+    OpenAI error envelope on bad requests."""
+    pytest.importorskip("aiohttp")
+    from embeddings_tpu.runtime.server import serve_http
+
+    async def go():
+        runner, svc = await serve_http(engine, host="127.0.0.1", port=0)
+        port = runner.addresses[0][1]
+        results = {}
+
+        def client():
+            import urllib.request, urllib.error, json as j
+            def post(data):
+                req = urllib.request.Request(
+                    f"http://127.0.0.1:{port}/v1/embeddings", data=data,
+                    headers={"Content-Type": "application/json"})
+                try:
+                    with urllib.request.urlopen(req, timeout=10) as resp:
+                        return resp.status, j.loads(resp.read())
+                except urllib.error.HTTPError as e:
+                    return e.code, j.loads(e.read())
+            results["single"] = post(j.dumps(
+                {"input": "hello world", "model": "m"}).encode())
+            results["batch"] = post(j.dumps(
+                {"input": ["hello world", "hello"]}).encode())
+            results["bad"] = post(b'{"no_input": 1}')
+
+        await asyncio.to_thread(client)
+        await runner.cleanup()
+        await svc.stop()
+        return results
+
+    r = run_async(go())
+    status, body = r["single"]
+    assert status == 200 and body["object"] == "list"
+    assert len(body["data"]) == 1
+    assert body["data"][0]["object"] == "embedding"
+    np.testing.assert_allclose(np.asarray(body["data"][0]["embedding"]),
+                               engine.encode("hello world"), atol=1e-5)
+    assert body["usage"]["prompt_tokens"] == len(
+        engine.tokenize("hello world"))
+    status, body = r["batch"]
+    assert status == 200 and [d["index"] for d in body["data"]] == [0, 1]
+    status, body = r["bad"]
+    assert status == 400 and body["error"]["type"] == "invalid_request_error"
