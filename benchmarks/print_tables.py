@@ -53,6 +53,8 @@ def extract_mteb(results_dir: Path) -> dict:
                     if score is None:
                         score = node.get("spearman")
                     if score is None:
+                        score = node.get("accuracy")  # classification tasks
+                    if score is None:
                         score = node.get("main_score")  # 0.0 is a valid score
                     if score is not None:
                         # old MTEB layouts nest evaluation_time per split

@@ -188,9 +188,15 @@ def main() -> int:
         check_linear(results, rng)
     if only in ("all", "attention"):
         check_attention(results, rng)
-    bad = [r for r in results if not r["ok"]]
     out = Path(__file__).parent / "results" / "tpu_kernel_parity.json"
     out.parent.mkdir(exist_ok=True)
+    if only != "all" and out.exists():
+        # partial rerun: replace the refreshed section, keep the rest
+        prior = json.loads(out.read_text()).get("results", [])
+        fresh_ops = {r["op"] for r in results}
+        results = [r for r in prior
+                   if r["op"] not in fresh_ops] + results
+    bad = [r for r in results if not r["ok"]]
     out.write_text(json.dumps(
         {"chip": str(jax.devices()[0]), "M": M,
          "checks": len(results), "failures": len(bad),

@@ -59,10 +59,15 @@ def _clamp_hi(n_keys: int) -> float:
 
 
 def _attn_kernel(lengths_ref, q_ref, k_ref, v_ref, o_ref, *,
-                 L: int, D: int, H: int, scale: float):
+                 Lq: int, L: int, D: int, H: int, scale: float):
+    """Grid (B, L/Lq): queries in [Lq, E] blocks, keys/values the whole
+    row. At L <= 512 the engine sets Lq = L (one query block — the
+    measured-fast whole-row tile, nQ = 1); longer rows use Lq = 128 so
+    scoped VMEM holds two full-row operands instead of four (the
+    whole-row layout overflows 16 MB at L=1024, E=768)."""
     b = pl.program_id(0)
     n = lengths_ref[b]
-    key_ok = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1) < n
+    key_ok = jax.lax.broadcasted_iota(jnp.int32, (Lq, L), 1) < n
     s2 = scale * LOG2E
     clamp_hi = _clamp_hi(L)
     aug_col = jax.lax.broadcasted_iota(jnp.int32, (L, 2 * D), 1)
@@ -86,28 +91,37 @@ def _attn_kernel(lengths_ref, q_ref, k_ref, v_ref, o_ref, *,
         o_ref[:, sl] = (of[:, :D] * (1.0 / denom)).astype(o_ref.dtype)
 
 
+def _query_block(L: int) -> int:
+    """Query rows per grid step: the whole row up to 512 (one [L, L]
+    score tile, measured fastest), BQ blocks beyond (VMEM)."""
+    return L if L <= 512 else BQ
+
+
 def supported(L: int, H: int, D: int) -> bool:
     # ones column must fit the [L, 2D] tile next to v; rows sublane-tiled;
     # the q/k/v BlockSpecs slice E-wide lanes out of the [M, 3E] array, so
     # Mosaic needs E to be a whole number of 128-lane tiles (all production
-    # models: E in {384, 512, 768, 1024}; tiny test models fall back to XLA)
-    return D <= LANE and L % 8 == 0 and (H * D) % LANE == 0
+    # models: E in {384, 512, 768, 1024}; tiny test models fall back to
+    # XLA). Rows past 512 run the blocked-query grid: L % 128 == 0.
+    return (D <= LANE and L % 8 == 0 and (H * D) % LANE == 0
+            and (L <= 512 or L % BQ == 0))
 
 
 def _attn_kernel_segmented(q_ref, k_ref, v_ref, segq_ref, segk_ref, o_ref, *,
-                           L: int, D: int, H: int, scale: float):
+                           Lq: int, L: int, D: int, H: int, scale: float):
     """Same softmax/PV structure as _attn_kernel, but the key mask comes
     from segment equality instead of a prefix length — attention only
     within each packed segment (runtime/packing.py), pads (seg -1) get
     zero probability everywhere.
 
-    segq_ref is this row's [L, 1] query-side view; segk_ref is the whole
+    Grid (B, L/Lq) like _attn_kernel (Lq = L up to 512, 128 beyond).
+    segq_ref is this query block's [Lq, 1] view; segk_ref is the whole
     [B, L] table (Mosaic forbids a (1, L) block, so the key-side row is
     sliced dynamically in-kernel)."""
     b = pl.program_id(0)
-    segq = segq_ref[:]                                     # [L, 1]
+    segq = segq_ref[:]                                     # [Lq, 1]
     segk = segk_ref[pl.dslice(b, 1), :]                    # [1, L]
-    key_ok = (segq == segk) & (segk >= 0)                  # [L, L]
+    key_ok = (segq == segk) & (segk >= 0)                  # [Lq, L]
     s2 = scale * LOG2E
     clamp_hi = _clamp_hi(L)
     aug_col = jax.lax.broadcasted_iota(jnp.int32, (L, 2 * D), 1)
@@ -142,6 +156,12 @@ def _attn_kernel_seg_window(kbs_ref, kbe_ref, q_ref, k_ref, v_ref,
     exactly those W blocks via dynamic slices — attention cost becomes
     O(L * W*BQ) instead of O(L^2), independent of row length.
 
+    Grid (B, L/BQ): one query block per step — q/o/segq tiles are
+    [BQ, ...] so VMEM holds two full-row operands (k/v), not four (the
+    whole-row q/o layout overflowed scoped VMEM at L=1024, E=768). The
+    k/v block indices depend only on b, so Mosaic fetches them once per
+    row, not once per query block.
+
     Engineering notes (all measured on v5e at B*L=32K tokens, H=12 D=64):
     - dynamic fori_loop over the true range: 3.5x SLOWER than the full
       [L, L] tile (deserializes Mosaic's pipeline). Rejected.
@@ -155,41 +175,39 @@ def _attn_kernel_seg_window(kbs_ref, kbe_ref, q_ref, k_ref, v_ref,
     kbs/kbe: [B, L/BQ] int32 scalar-prefetch — first/last (inclusive) key
     block per query block (kbe < kbs for all-pad query blocks: every
     window step masks to zero and the denominator clamp keeps pads
-    finite). segq_ref: [L, 1] this row's segment ids; segk_ref:
+    finite). segq_ref: this query block's [BQ, 1] segment ids; segk_ref:
     [B*nK, BQ] the block-major segment table (seg.reshape)."""
     b = pl.program_id(0)
-    nQ = L // BQ
+    qb = pl.program_id(1)
     nK = L // BQ
     s2 = scale * LOG2E
     clamp_hi = _clamp_hi(min(W * BQ, L))
     aug_col = jax.lax.broadcasted_iota(jnp.int32, (BQ, 2 * D), 1)
+    segq = segq_ref[:]                                    # [BQ, 1]
+    lo = kbs_ref[b, qb]
+    hi = kbe_ref[b, qb]
     for h in range(H):
         sl = slice(h * D, (h + 1) * D)
-        for qb in range(nQ):
-            qsl = slice(qb * BQ, (qb + 1) * BQ)
-            q = q_ref[qsl, sl]
-            segq = segq_ref[qsl, :]                       # [BQ, 1]
-            lo = kbs_ref[b, qb]
-            hi = kbe_ref[b, qb]
-            acc = None
-            for w in range(W):
-                kb = jnp.minimum(lo + w, nK - 1)          # clamp overshoot
-                ksl = pl.dslice(kb * BQ, BQ)
-                k = k_ref[ksl, sl]                        # [BQ, D]
-                segk = segk_ref[pl.dslice(b * nK + kb, 1), :]   # [1, BQ]
-                # (lo + w) > hi masks clamped/overshoot steps entirely
-                valid = (segq == segk) & (segk >= 0) & (lo + w <= hi)
-                s = jax.lax.dot_general(
-                    q, k, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32) * s2
-                s = jnp.clip(s, _CLAMP_LO, clamp_hi)
-                p = jnp.where(valid, jnp.exp2(s), 0.0).astype(q.dtype)
-                vaug = jnp.where(aug_col == D, jnp.ones((), v_ref.dtype),
-                                 jnp.pad(v_ref[ksl, sl], ((0, 0), (0, D))))
-                d = jax.lax.dot(p, vaug, preferred_element_type=jnp.float32)
-                acc = d if acc is None else acc + d
-            denom = jnp.maximum(acc[:, D:D + 1], 1e-30)
-            o_ref[qsl, sl] = (acc[:, :D] * (1.0 / denom)).astype(o_ref.dtype)
+        q = q_ref[:, sl]
+        acc = None
+        for w in range(W):
+            kb = jnp.minimum(lo + w, nK - 1)              # clamp overshoot
+            ksl = pl.dslice(kb * BQ, BQ)
+            k = k_ref[ksl, sl]                            # [BQ, D]
+            segk = segk_ref[pl.dslice(b * nK + kb, 1), :]       # [1, BQ]
+            # (lo + w) > hi masks clamped/overshoot steps entirely
+            valid = (segq == segk) & (segk >= 0) & (lo + w <= hi)
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * s2
+            s = jnp.clip(s, _CLAMP_LO, clamp_hi)
+            p = jnp.where(valid, jnp.exp2(s), 0.0).astype(q.dtype)
+            vaug = jnp.where(aug_col == D, jnp.ones((), v_ref.dtype),
+                             jnp.pad(v_ref[ksl, sl], ((0, 0), (0, D))))
+            d = jax.lax.dot(p, vaug, preferred_element_type=jnp.float32)
+            acc = d if acc is None else acc + d
+        denom = jnp.maximum(acc[:, D:D + 1], 1e-30)
+        o_ref[:, sl] = (acc[:, :D] * (1.0 / denom)).astype(o_ref.dtype)
 
 
 def block_ranges(seg_ids: jax.Array, L: int) -> tuple[jax.Array, jax.Array]:
@@ -241,22 +259,25 @@ def fused_attention_segmented_blockskip(
 
     kernel = functools.partial(_attn_kernel_seg_window, L=L, D=D, H=H,
                                scale=1.0 / (D ** 0.5), W=W)
+    nQ = L // BQ
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(B,),
+        grid=(B, nQ),
         in_specs=[
-            pl.BlockSpec((L, E), lambda b, *_: (b, 0),
+            # q: this query block only; k/v: the whole row (index depends
+            # on b alone, fetched once per row)
+            pl.BlockSpec((BQ, E), lambda b, qb, *_: (b * nQ + qb, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, E), lambda b, *_: (b, 1),
+            pl.BlockSpec((L, E), lambda b, qb, *_: (b, 1),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, E), lambda b, *_: (b, 2),
+            pl.BlockSpec((L, E), lambda b, qb, *_: (b, 2),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, 1), lambda b, *_: (b, 0),
+            pl.BlockSpec((BQ, 1), lambda b, qb, *_: (b * nQ + qb, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((B * nK, BQ), lambda b, *_: (0, 0),
+            pl.BlockSpec((B * nK, BQ), lambda b, qb, *_: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((L, E), lambda b, *_: (b, 0),
+        out_specs=pl.BlockSpec((BQ, E), lambda b, qb, *_: (b * nQ + qb, 0),
                                memory_space=pltpu.VMEM),
     )
     flops = 2 * 2 * B * H * L * min(W * BQ, L) * D
@@ -265,7 +286,7 @@ def fused_attention_segmented_blockskip(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((M, E), qkv.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",),
+            dimension_semantics=("parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
             flops=flops,
@@ -292,27 +313,34 @@ def fused_attention_segmented(qkv: jax.Array, seg_ids: jax.Array, *, B: int,
     assert qkv.shape == (M, 3 * E), (qkv.shape, (M, 3 * E))
     assert seg_ids.shape == (B, L), seg_ids.shape
     assert supported(L, H, D), (L, H, D)
-    seg_col = seg_ids.reshape(M, 1)   # query-side view, tiled [L, 1]
+    seg_col = seg_ids.reshape(M, 1)   # query-side view, tiled [Lq, 1]
     seg_row = seg_ids                  # key-side view, tiled [1, L]
+    Lq = _query_block(L)
+    nQ = L // Lq
 
-    kernel = functools.partial(_attn_kernel_segmented, L=L, D=D, H=H,
-                               scale=1.0 / (D ** 0.5))
+    kernel = functools.partial(_attn_kernel_segmented, Lq=Lq, L=L, D=D,
+                               H=H, scale=1.0 / (D ** 0.5))
     flops = 2 * 2 * B * H * L * L * D
     return pl.pallas_call(
         kernel,
-        grid=(B,),
+        grid=(B, nQ),
         in_specs=[
-            pl.BlockSpec((L, E), lambda b: (b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, E), lambda b: (b, 1), memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, E), lambda b: (b, 2), memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, 1), lambda b: (b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, L), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Lq, E), lambda b, qb: (b * nQ + qb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, E), lambda b, qb: (b, 1),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, E), lambda b, qb: (b, 2),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Lq, 1), lambda b, qb: (b * nQ + qb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, L), lambda b, qb: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((L, E), lambda b: (b, 0),
+        out_specs=pl.BlockSpec((Lq, E), lambda b, qb: (b * nQ + qb, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((M, E), qkv.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",),
+            dimension_semantics=("parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
             flops=flops,
@@ -418,22 +446,24 @@ def fused_attention(qkv: jax.Array, lengths: jax.Array, *, B: int, L: int,
     M = B * L
     assert qkv.shape == (M, 3 * E), (qkv.shape, (M, 3 * E))
     assert supported(L, H, D), (L, H, D)
+    Lq = _query_block(L)
+    nQ = L // Lq
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B,),
+        grid=(B, nQ),
         in_specs=[
-            pl.BlockSpec((L, E), lambda b, *_: (b, 0),
+            pl.BlockSpec((Lq, E), lambda b, qb, *_: (b * nQ + qb, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, E), lambda b, *_: (b, 1),
+            pl.BlockSpec((L, E), lambda b, qb, *_: (b, 1),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, E), lambda b, *_: (b, 2),
+            pl.BlockSpec((L, E), lambda b, qb, *_: (b, 2),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((L, E), lambda b, *_: (b, 0),
+        out_specs=pl.BlockSpec((Lq, E), lambda b, qb, *_: (b * nQ + qb, 0),
                                memory_space=pltpu.VMEM),
     )
-    kernel = functools.partial(_attn_kernel, L=L, D=D, H=H,
+    kernel = functools.partial(_attn_kernel, Lq=Lq, L=L, D=D, H=H,
                                scale=1.0 / (D ** 0.5))
     flops = 2 * 2 * B * H * L * L * D
     return pl.pallas_call(
@@ -441,7 +471,7 @@ def fused_attention(qkv: jax.Array, lengths: jax.Array, *, B: int, L: int,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((M, E), qkv.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",),
+            dimension_semantics=("parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
             flops=flops,

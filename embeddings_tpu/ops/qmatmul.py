@@ -52,9 +52,7 @@ def _pick_bn(K: int, N: int, bm: int, requested: int | None,
     N=2304/4=576, or tiny test models), falls back to bn == N — Mosaic
     allows a block equal to the full array dimension. Returns 0 if even
     that does not fit VMEM (caller must use the XLA fallback)."""
-    # + the q4_1 block-sum operand [bm, K/32] (counted unconditionally;
-    # it is <2% of the x tile)
-    fixed = bm * K * 2 * 2 + bm * (K // QK) * 2 * 2
+    fixed = bm * K * 2 * 2
     codes_bytes = (K // 2) if packed else K
     per_bn = codes_bytes * 2 + K * 2 + 2 * (K // QK) * 4 * 2 + bm * 4 * 2
     if with_residual:
@@ -86,18 +84,17 @@ def _fit(size: int, pref: int, step: int) -> int:
 
 def _qmm_kernel(x_ref, c_ref, s_ref, m_ref, b_ref, o_ref, w_ref, *,
                 kind: str, compute_dtype, epilogue: str, packed: bool,
-                xb_ref=None, res_ref=None, lns_ref=None, lnb_ref=None,
-                ln_eps=0.0):
+                res_ref=None, lns_ref=None, lnb_ref=None, ln_eps=0.0):
     """Grid (N/bn, M/bm), M innermost. w_ref: [K, bn] dequant scratch.
     packed: c_ref is uint8 [K/2, bn] in the group-64 nibble layout.
 
-    q4_1 mins never touch the dequant scratch: the min term of
-    dequant(w) = s*c + m is block-constant along K, so its matmul
-    contribution factors into rank-K/32 form — x_blocksums [bm, K/32] @
-    mins [K/32, bn], one extra MXU dot at 1/32 the depth (xb_ref is the
-    host-precomputed per-block row sum of x). This removes the full
-    [K, bn] VMEM add pass that previously made q4_1 ~21% slower than
-    q4_0 on-chip; both kinds now share the identical dequant loop."""
+    q4_1 mins are added into the dequant scratch (one VPU add per
+    N-tile, amortized over M/bm grid steps — measured FREE at
+    compute-bound M: 264 vs 280 us for q4_0 at M=32K, K=N=768).
+    A rank-reduced alternative (min term as x_blocksums [bm, K/32] @
+    mins [K/32, bn]) was tried and is 1.5x SLOWER: the 24-deep
+    unaligned MXU dot pads to full systolic depth and runs every
+    M-step — don't redo it."""
     i = pl.program_id(1)
 
     @pl.when(i == 0)
@@ -115,8 +112,13 @@ def _qmm_kernel(x_ref, c_ref, s_ref, m_ref, b_ref, o_ref, w_ref, *,
                 hi = ((p >> 4) - 8).astype(compute_dtype)
                 slo = s_ref[2 * g:2 * g + 1, :].astype(compute_dtype)
                 shi = s_ref[2 * g + 1:2 * g + 2, :].astype(compute_dtype)
-                w_ref[g * 64:g * 64 + 32, :] = lo * slo
-                w_ref[g * 64 + 32:g * 64 + 64, :] = hi * shi
+                wlo = lo * slo
+                whi = hi * shi
+                if kind == "q4_1":
+                    wlo = wlo + m_ref[2 * g:2 * g + 1, :].astype(compute_dtype)
+                    whi = whi + m_ref[2 * g + 1:2 * g + 2, :].astype(compute_dtype)
+                w_ref[g * 64:g * 64 + 32, :] = wlo
+                w_ref[g * 64 + 32:g * 64 + 64, :] = whi
             return
         K, bn = c_ref.shape
         if bn % 128 == 0:
@@ -133,7 +135,10 @@ def _qmm_kernel(x_ref, c_ref, s_ref, m_ref, b_ref, o_ref, w_ref, *,
                 codes = c_ref[sl, :].astype(compute_dtype).reshape(
                     step // QK, QK, bn)
                 scales = s_ref[sb, :].astype(compute_dtype)[:, None, :]
-                w_ref[sl, :] = (codes * scales).reshape(step, bn)
+                w = codes * scales
+                if kind == "q4_1":
+                    w = w + m_ref[sb, :].astype(compute_dtype)[:, None, :]
+                w_ref[sl, :] = w.reshape(step, bn)
         else:
             # ragged lane count (whole-N tile, e.g. TP shards like
             # N=576): Mosaic cannot relayout 3-D vectors with non-128
@@ -141,14 +146,14 @@ def _qmm_kernel(x_ref, c_ref, s_ref, m_ref, b_ref, o_ref, w_ref, *,
             # codes times a [1, bn] scale row broadcast
             for b in range(K // QK):
                 sl = slice(b * QK, (b + 1) * QK)
-                w_ref[sl, :] = (c_ref[sl, :].astype(compute_dtype)
-                                * s_ref[b:b + 1, :].astype(compute_dtype))
+                w = (c_ref[sl, :].astype(compute_dtype)
+                     * s_ref[b:b + 1, :].astype(compute_dtype))
+                if kind == "q4_1":
+                    w = w + m_ref[b:b + 1, :].astype(compute_dtype)
+                w_ref[sl, :] = w
 
     acc = jnp.dot(x_ref[:].astype(compute_dtype), w_ref[:],
                   preferred_element_type=jnp.float32)
-    if xb_ref is not None:  # q4_1 min term (see docstring)
-        acc = acc + jnp.dot(xb_ref[:], m_ref[:].astype(compute_dtype),
-                            preferred_element_type=jnp.float32)
     if epilogue != "none":
         acc = acc + b_ref[:].astype(jnp.float32)  # fused bias (f32 add)
     if epilogue in ("bias_gelu", "bias_gelu_tanh"):
@@ -236,7 +241,6 @@ def qmatmul(x: jax.Array, codes: jax.Array, scales: jax.Array,
                     "pallas_fits before calling")
     assert M % bm == 0 and N % bn == 0, ((M, N, K), (bm, bn))
 
-    needs_xb = kind == "q4_1" and mins is not None
     if mins is None:
         mins = jnp.zeros((K // QK, N), scales.dtype)  # unused for q4_0/q8_0
     if bias is None:
@@ -259,14 +263,6 @@ def qmatmul(x: jax.Array, codes: jax.Array, scales: jax.Array,
         pl.BlockSpec((1, bn), lambda j, i: (0, j), memory_space=pltpu.VMEM),
     ]
     operands = [x, codes, scales, mins, bias2d]
-    if needs_xb:
-        # per-32-block row sums of x: the q4_1 min term becomes a
-        # K/32-deep MXU dot instead of a [K, bn] VMEM add pass
-        xb = (x.astype(jnp.float32).reshape(M, K // QK, QK).sum(-1)
-              .astype(compute_dtype))
-        in_specs.append(pl.BlockSpec((bm, K // QK), lambda j, i: (i, 0),
-                                     memory_space=pltpu.VMEM))
-        operands.append(xb)
     if with_res:
         in_specs += [
             pl.BlockSpec((bm, bn), lambda j, i: (i, j),
@@ -280,10 +276,9 @@ def qmatmul(x: jax.Array, codes: jax.Array, scales: jax.Array,
                      ln_bias.reshape(1, N)]
 
     def kernel(*refs):
-        # refs: x, c, s, m, b, [xb], [res, lns, lnb], o, w
+        # refs: x, c, s, m, b, [res, lns, lnb], o, w
         x_r, c_r, s_r, m_r, b_r = refs[:5]
         rest = list(refs[5:])
-        xb_r = rest.pop(0) if needs_xb else None
         res_r = lns_r = lnb_r = None
         if with_res:
             res_r, lns_r, lnb_r = rest[:3]
@@ -291,7 +286,7 @@ def qmatmul(x: jax.Array, codes: jax.Array, scales: jax.Array,
         o_r, w_r = rest
         _qmm_kernel(x_r, c_r, s_r, m_r, b_r, o_r, w_r, kind=kind,
                     compute_dtype=compute_dtype, epilogue=epilogue,
-                    packed=packed, xb_ref=xb_r,
+                    packed=packed,
                     res_ref=res_r, lns_ref=lns_r, lnb_ref=lnb_r,
                     ln_eps=ln_eps)
     return pl.pallas_call(

@@ -120,3 +120,53 @@ def test_fused_attention_cp_matches_einsum(B, Lc, L, H, D, rng):
     p /= p.sum(-1, keepdims=True)
     ref = np.einsum("bhlm,bmhd->blhd", p, v).reshape(B * Lc, E)
     np.testing.assert_allclose(got, ref, atol=2e-3, rtol=1e-2)
+
+
+def test_fused_attention_blocked_grid_long_rows(rng):
+    """L > 512 runs the blocked-query grid (Lq=128, nQ>1): same numerics
+    as the whole-row tile path, validated against the einsum reference."""
+    B, L, H, D = 2, 1024, 2, 64
+    E = H * D
+    qkv = jnp.asarray(rng.standard_normal((B * L, 3 * E)) * 0.5,
+                      jnp.float32)
+    lengths = jnp.asarray([L, L - 200], jnp.int32)
+    got = np.asarray(fused_attention(qkv, lengths, B=B, L=L, H=H, D=D,
+                                     interpret=True))
+    ref = einsum_ref(np.asarray(qkv), lengths, B, L, H, D)
+    for b in range(B):
+        n = int(lengths[b])
+        np.testing.assert_allclose(got[b * L: b * L + n],
+                                   ref[b * L: b * L + n],
+                                   atol=2e-3, rtol=1e-2)
+
+
+def test_fused_segmented_blocked_grid_long_rows(rng):
+    """Segmented kernel at L=1024 (blocked grid) vs the einsum reference
+    with a segment mask."""
+    from embeddings_tpu.ops.attention import fused_attention_segmented
+    B, L, H, D = 2, 1024, 2, 64
+    E = H * D
+    qkv = jnp.asarray(rng.standard_normal((B * L, 3 * E)) * 0.5,
+                      jnp.float32)
+    seg = np.full((B, L), -1, np.int32)
+    for b in range(B):
+        off, si = 0, 0
+        while off < L - 10:
+            n = min(int(rng.integers(40, 300)), L - off)
+            seg[b, off:off + n] = si
+            off += n
+            si += 1
+    got = np.asarray(fused_attention_segmented(
+        qkv, jnp.asarray(seg), B=B, L=L, H=H, D=D, interpret=True))
+    q = np.asarray(qkv[:, :E], np.float32).reshape(B, L, H, D)
+    k = np.asarray(qkv[:, E:2 * E], np.float32).reshape(B, L, H, D)
+    v = np.asarray(qkv[:, 2 * E:], np.float32).reshape(B, L, H, D)
+    s = np.einsum("blhd,bmhd->bhlm", q, k) / np.sqrt(D)
+    same = (seg[:, :, None] == seg[:, None, :]) & (seg[:, None, :] >= 0)
+    s = np.where(same[:, None], s, -1e9)
+    p = np.exp(s - s.max(-1, keepdims=True))
+    p /= p.sum(-1, keepdims=True)
+    ref = np.einsum("bhlm,bmhd->blhd", p, v).reshape(B * L, E)
+    valid = (seg >= 0).reshape(B * L)
+    np.testing.assert_allclose(got[valid], ref[valid], atol=2e-3,
+                               rtol=1e-2)
