@@ -312,3 +312,27 @@ def test_bucket_window_quantizes_static_jit_arg():
     # distinct compile keys stay small for a whole corpus of spans
     keys = {_bucket_window(w, 2048) for w in range(17)}
     assert len(keys) <= 8, keys
+
+
+def test_engine_long_context_1024_packed(small_vocab):
+    """>512-token engine path (the reference hard-caps at 512): an
+    L=1024 model packs short texts into 1024-token rows (windowed
+    attention on TPU; XLA fallback here) and matches the bucketed
+    encode. Validates engine bucketing/window plumbing past the
+    reference's cap on any backend."""
+    from embeddings_tpu.config import BertConfig, EngineConfig
+    from embeddings_tpu.runtime.engine import Engine
+    from embeddings_tpu.tokenizer import WordPieceTokenizer, WordPieceVocab
+    tok = WordPieceTokenizer(WordPieceVocab.from_tokens(small_vocab))
+    cfg = BertConfig(vocab_size=len(small_vocab), hidden_size=64,
+                     num_hidden_layers=2, num_attention_heads=4,
+                     intermediate_size=128, max_position_embeddings=1024)
+    params = P.init_params(cfg, rng=0)
+    ec = EngineConfig(max_seq_len=1024, batch_size=4,
+                      seq_buckets=(32, 1024), batch_buckets=(1, 2, 4))
+    eng = Engine(params, cfg, tok, ec)
+    texts = ["hello world", "the quick brown fox", "fox fox",
+             "hello hello hello world"] * 6
+    packed = eng.encode_batch_packed(texts, row_len=1024, batch_rows=2)
+    bucketed = eng.encode_batch(texts)
+    np.testing.assert_allclose(packed, bucketed, atol=2e-4)
