@@ -58,7 +58,11 @@ def infer_model_name(model_path: str) -> str:
     if mp.is_dir() and (mp / "config.json").exists():
         name = json.loads((mp / "config.json").read_text()).get(
             "_name_or_path", "")
-        if name and "/" not in name and name not in (".", ""):
+        # HF ids are usually 'org/name' — keep the final segment; reject
+        # filesystem-path-looking values ('.', '..', absolute, empty)
+        name = str(name).rstrip("/").rsplit("/", 1)[-1]
+        if name and name not in (".", "..") and not str(
+                name).startswith("."):
             return name
     return mp.stem if mp.suffix in (".npz", ".bin", ".gguf") else mp.name
 

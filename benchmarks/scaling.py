@@ -131,9 +131,15 @@ def main() -> int:
             dp = n // sp
             mesh = make_mesh_cp(dp=dp, sp=sp, devices=devices)
             fwd = make_cp_forward(cfg, mesh, compute_dtype="bfloat16")
-            # CP replicates weights; params stay host-side (jit moves them)
+            # CP replicates weights — but place them on the mesh BEFORE
+            # timing, or every rep pays the host->device broadcast the
+            # TP rows don't (apples-to-apples efficiency numbers)
+            from jax.sharding import NamedSharding, PartitionSpec
+            rep = NamedSharding(mesh, PartitionSpec())
+            pR = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, rep), params)
             ids, mask = inputs(args.batch_per_device * dp)
-            thr = throughput(fwd, params, ids, mask)
+            thr = throughput(fwd, pR, ids, mask)
             results.append({
                 "devices": n, "dp": dp, "sp": sp,
                 "sentences_per_s": round(thr, 1),

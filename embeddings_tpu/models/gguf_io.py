@@ -513,6 +513,19 @@ def _r_value(f: BinaryIO, vtype: int) -> Any:
 # Write
 # ---------------------------------------------------------------------------
 
+def _pooling_type_enum(pooling: str) -> int:
+    """llama.cpp pooling enum: 1=mean, 2=cls; there is NO max value, so
+    exporting a max-pooled model warns (the file will reload as mean)."""
+    if pooling == "max":
+        import logging
+        logging.getLogger("embeddings_tpu.gguf").warning(
+            "GGUF bert.pooling_type cannot represent max pooling; the "
+            "exported file will reload with mean pooling — pass "
+            "pooling='max' explicitly when loading it")
+        return 0
+    return {"mean": 1, "cls": 2}.get(pooling, 1)
+
+
 def write_gguf(path: str | Path, params: dict, config: BertConfig,
                vocab_tokens: list[str], dtype: str = "f32", *,
                name: str = "embeddings_tpu bert export") -> None:
@@ -549,9 +562,11 @@ def write_gguf(path: str | Path, params: dict, config: BertConfig,
           if ggml_type not in (GGML_F32, GGML_F16) else []),
         ("bert.context_length", T_U32, config.max_position_embeddings),
         # llama.cpp writes pooling_type for embedding models (1=mean,
-        # 2=cls); loaders that check it would otherwise default to none
+        # 2=cls); loaders that check it would otherwise default to none.
+        # The enum has no MAX value — _warn_unrepresentable_pooling
+        # says so instead of silently round-tripping max into mean.
         ("bert.pooling_type", T_U32,
-         {"mean": 1, "cls": 2, "max": 0}.get(config.pooling, 1)),
+         _pooling_type_enum(config.pooling)),
         ("bert.embedding_length", T_U32, config.hidden_size),
         ("bert.feed_forward_length", T_U32, config.intermediate_size),
         ("bert.block_count", T_U32, config.num_hidden_layers),

@@ -309,6 +309,10 @@ def make_sharded_packed_forward(config: BertConfig, mesh: Mesh, *,
 
     def make_fn(params, attn_window: int):
         pspecs = param_pspecs(params, mesh)
+        if tp_axis is not None:
+            # same fail-loud contract as the bucketed path: a
+            # replication fallback would silently psum-over-count
+            _check_tp_shardable(pspecs, tp)
 
         def local_fwd(p, ids, seg, pos, pool):
             # attn_window is a closed-over static (one compiled program

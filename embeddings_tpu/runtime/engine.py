@@ -36,7 +36,7 @@ from ..tokenizer import WordPieceTokenizer
 from .batching import extend_buckets, pad_batch, plan_batches
 
 
-def _bucket_window(w: int, row_len: int, bq: int = 128) -> int:
+def _bucket_window(w: int, row_len: int, bq: int | None = None) -> int:
     """Quantize the packed attention window (a STATIC jit argument) to a
     small fixed set so serving load with varied corpora compiles at most a
     handful of packed programs per row_len instead of one per distinct
@@ -47,6 +47,11 @@ def _bucket_window(w: int, row_len: int, bq: int = 128) -> int:
     correct, occasionally a block of extra work."""
     if w <= 0:
         return 0
+    if bq is None:
+        # same source of truth as packing.max_block_span: the kernel's
+        # query-block size (a hardcoded 128 here would silently desync
+        # the window from the span if BQ were ever retuned)
+        from ..ops.attention import BQ as bq
     nk = row_len // bq
     usable = [b for b in (3, 4, 6, 8, 12, 16, 24, 32) if w <= b <= nk - 2]
     if usable:

@@ -125,6 +125,13 @@ class BatchingService:
         """Enqueue one text; resolves when its batch has run. Raises
         TimeoutError if request_timeout_s elapses first (the request is
         dropped — its batch slot still runs but the result is discarded)."""
+        emb, _ = await self.embed_with_count(text)
+        return emb
+
+    async def embed_with_count(self, text: str
+                               ) -> tuple[np.ndarray, int]:
+        """embed() plus the text's token count, from the SAME
+        tokenization the batch used (no second tokenizer pass)."""
         loop = asyncio.get_running_loop()
         fut: asyncio.Future = loop.create_future()
         t0 = loop.time()
@@ -143,10 +150,18 @@ class BatchingService:
         return out
 
     async def embed_many(self, texts: list[str]) -> np.ndarray:
+        embs, _ = await self.embed_many_with_usage(texts)
+        return embs
+
+    async def embed_many_with_usage(self, texts: list[str]
+                                    ) -> tuple[np.ndarray, int]:
+        """(embeddings, total token count) — counts ride along with the
+        batch results instead of re-tokenizing."""
         if not texts:
-            return np.empty((0, self.engine.n_embd), np.float32)
-        outs = await asyncio.gather(*(self.embed(t) for t in texts))
-        return np.stack(outs)
+            return np.empty((0, self.engine.n_embd), np.float32), 0
+        outs = await asyncio.gather(
+            *(self.embed_with_count(t) for t in texts))
+        return np.stack([e for e, _ in outs]), sum(n for _, n in outs)
 
     async def _scheduler(self) -> None:
         runs: set[asyncio.Task] = self._runs
@@ -188,19 +203,20 @@ class BatchingService:
             raise
 
     def _encode_batch_counted(self, texts: list[str]
-                              ) -> tuple[np.ndarray, int]:
+                              ) -> tuple[np.ndarray, list[int]]:
         """Tokenize once (worker thread, not the event loop), encode, and
-        return (embeddings, token count) — the count comes from the same
-        tokenization the encode uses, so stats never re-tokenize."""
+        return (embeddings, per-text token counts) — counts come from
+        the same tokenization the encode uses, so neither stats nor the
+        usage-reporting endpoints ever re-tokenize."""
         toks = [self.engine.tokenize(t) for t in texts]
-        n_tokens = sum(len(t) for t in toks)
+        counts = [len(t) for t in toks]
         # Packed mode only pays off once a batch fills a meaningful
         # fraction of a packed row grid; micro-batches (light load) go
         # bucketed — measured faster there (planner+materialize overhead
         # and a mostly-empty fixed row shape dominate tiny batches).
         if self.packed and len(texts) >= 8:
-            return self.engine.encode_toks_packed(toks), n_tokens
-        return self.engine.encode_toks(toks, len(texts)), n_tokens
+            return self.engine.encode_toks_packed(toks), counts
+        return self.engine.encode_toks(toks, len(texts)), counts
 
     async def _run_batch(self, batch: list) -> None:
         texts = [t for t, _ in batch]
@@ -208,14 +224,14 @@ class BatchingService:
             # the device step (and host tokenization) runs in a worker
             # thread so the event loop keeps accepting requests while the
             # TPU is busy
-            embs, n_tokens = await asyncio.to_thread(
+            embs, counts = await asyncio.to_thread(
                 self._encode_batch_counted, texts)
             self.stats.requests += len(batch)
             self.stats.batches += 1
-            self.stats.tokens += n_tokens
-            for (_, fut), e in zip(batch, embs):
+            self.stats.tokens += sum(counts)
+            for (_, fut), e, n in zip(batch, embs, counts):
                 if not fut.done():
-                    fut.set_result(e)
+                    fut.set_result((e, n))
         except Exception as exc:  # resolve futures so clients see the error
             self.stats.errors += len(batch)
             for _, fut in batch:
@@ -254,14 +270,15 @@ async def _handle_tcp(service: BatchingService, reader: asyncio.StreamReader,
     (bounded by a short timeout so a truncated tail can't wedge the
     connection).
 
-    v2: a client whose FIRST bytes after the greeting are ``ETF2``,
-    followed promptly (within the 1 s handshake window) by its first
-    length-prefixed frame, switches the connection to robust framing —
-    each request is ``<u32 LE byte-length><utf-8 payload>``, each
-    response the usual n_embd float32s. No message-size cap beyond
-    sanity (16 MiB). A bare idle ``ETF2`` classifies as a v1 text after
-    the window — the magic is reserved; send it with the first frame
-    (TcpClient does)."""
+    v2: a client whose FIRST bytes after the greeting are ``ETF2``
+    switches the connection to robust framing — each request is
+    ``<u32 LE byte-length><utf-8 payload>``, each response the usual
+    n_embd float32s. No message-size cap beyond sanity (16 MiB).
+    Classification: a sane length prefix within the 1 s handshake
+    window (or the bare magic followed by silence — older v2 clients
+    idle after connect) commits to v2; an insane prefix is a v1 text
+    that merely starts with "ETF2". The exact 4-byte v1 text ``ETF2``
+    is RESERVED (it classifies as a v2 handshake)."""
     peer = writer.get_extra_info("peername")
     log.info("client connected: %s", peer)
     try:
@@ -285,12 +302,14 @@ async def _handle_tcp(service: BatchingService, reader: asyncio.StreamReader,
                 break
             first += more
         if first.startswith(V2_MAGIC):
-            # commit to v2 only once a sane first length prefix exists.
-            # A v1 client whose whole message is exactly "ETF2" sends
-            # nothing more — wait up to a handshake window for the
-            # prefix, then fall back to v1 (protocol note: v2 clients
-            # must follow the magic with their first frame promptly;
-            # "ETF2" as a bare v1 text is reserved).
+            # Classify: wait up to a handshake window for the first
+            # length prefix. Sane prefix -> v2. Insane prefix (a v1
+            # text like "ETF2000 report") -> v1. EXACTLY the bare magic
+            # and silence -> v2 anyway: v2 clients from before the
+            # send-magic-with-first-frame change send bare ETF2 at
+            # connect and may idle past any window — classifying them
+            # as v1 would silently desync their stream. The 4-byte
+            # text "ETF2" alone therefore stays reserved (documented).
             rest = bytearray(first[len(V2_MAGIC):])
             while len(rest) < 4:
                 try:
@@ -301,8 +320,9 @@ async def _handle_tcp(service: BatchingService, reader: asyncio.StreamReader,
                 if not more:
                     break
                 rest.extend(more)
-            if len(rest) >= 4 and \
-                    struct.unpack("<I", bytes(rest[:4]))[0] <= _V2_MAX:
+            if not rest or (len(rest) >= 4 and
+                            struct.unpack("<I",
+                                          bytes(rest[:4]))[0] <= _V2_MAX):
                 await _serve_v2(service, reader, writer, bytes(rest))
                 return
             first = V2_MAGIC + bytes(rest)  # v1 text that starts with ETF2
@@ -424,8 +444,8 @@ def make_http_app(service: BatchingService):
         """OpenAI-compatible POST /v1/embeddings: {"input": str|[str]}
         -> {"object":"list","data":[{"embedding":[...],"index":i}],
         "usage":{...}} — lets OpenAI-SDK clients point at this server
-        unchanged (the usage block is part of that contract, so the
-        token count is computed here, off the event loop)."""
+        unchanged. The usage token counts ride along with the batch
+        results (no second tokenizer pass)."""
         try:
             body = await request.json()
             if not isinstance(body, dict):
@@ -439,9 +459,7 @@ def make_http_app(service: BatchingService):
                 {"error": {"message": str(e) or "bad request",
                            "type": "invalid_request_error"}}, status=400)
         try:
-            embs = await service.embed_many(texts)
-            n_tokens = await asyncio.to_thread(
-                lambda: sum(len(service.engine.tokenize(t)) for t in texts))
+            embs, n_tokens = await service.embed_many_with_usage(texts)
         except TimeoutError as e:
             return web.json_response(
                 {"error": {"message": str(e), "type": "timeout"}},

@@ -455,10 +455,13 @@ def test_batching_service_packed(engine):
                                atol=1e-5)
 
 
-def test_bare_etf2_idle_classifies_as_v1(engine):
-    """A v1 client whose whole message is exactly 'ETF2' (nothing more)
-    must still get a v1 embedding after the handshake window, not hang
-    forever waiting on a v2 frame."""
+def test_bare_etf2_idle_commits_to_v2(engine):
+    """A connection whose first message is exactly the bare 'ETF2' magic
+    followed by idle time must still be v2: older v2 clients send the
+    magic at connect and may idle before their first frame — classifying
+    them as v1 would silently desync their stream (wrong embeddings).
+    The literal v1 text 'ETF2' is reserved. A late length-prefixed frame
+    must round-trip correctly."""
     import socket
 
     async def go():
@@ -468,9 +471,13 @@ def test_bare_etf2_idle_classifies_as_v1(engine):
 
         def client():
             with socket.create_connection(("127.0.0.1", port),
-                                          timeout=10) as s:
+                                          timeout=15) as s:
                 n_embd = struct.unpack("<i", s.recv(4))[0]
-                s.sendall(b"ETF2")          # a v1 text, then silence
+                s.sendall(b"ETF2")          # bare magic at connect
+                import time
+                time.sleep(1.5)             # idle past handshake window
+                payload = "hello world".encode()
+                s.sendall(struct.pack("<I", len(payload)) + payload)
                 buf = b""
                 while len(buf) < n_embd * 4:
                     chunk = s.recv(n_embd * 4 - len(buf))
@@ -486,7 +493,8 @@ def test_bare_etf2_idle_classifies_as_v1(engine):
         return results
 
     r = run_async(go())
-    np.testing.assert_allclose(r["emb"], engine.encode("ETF2"), atol=1e-5)
+    np.testing.assert_allclose(r["emb"], engine.encode("hello world"),
+                               atol=1e-5)
 
 
 def test_http_engine_failure_returns_json_500(engine):

@@ -296,3 +296,25 @@ def test_mesh_packed_quantized(cfg, small_vocab):
     a = meng.encode_batch_packed(texts, row_len=16)
     b = seng.encode_batch_packed(texts, row_len=16)
     np.testing.assert_allclose(a, b, atol=2e-4)
+
+
+def test_mesh_packed_fails_loudly_when_tp_cannot_shard(small_vocab):
+    """The packed mesh path enforces the same fail-loud contract as the
+    bucketed path: a model whose quantized weights cannot shard at the
+    requested tp must raise the clear ValueError, not die deep in
+    tracing or silently psum-over-count."""
+    import dataclasses
+    from embeddings_tpu.config import BertConfig, EngineConfig
+    from embeddings_tpu.runtime.engine import Engine
+    from embeddings_tpu.tokenizer import WordPieceTokenizer, WordPieceVocab
+    tok = WordPieceTokenizer(WordPieceVocab.from_tokens(small_vocab))
+    # hidden=32: q4_0 scales [NL, 1, 32] cannot split 1 block over tp=2
+    tiny = BertConfig(vocab_size=len(small_vocab), hidden_size=32,
+                      num_hidden_layers=2, num_attention_heads=2,
+                      intermediate_size=64, max_position_embeddings=32)
+    qp = P.quantize_params(P.init_params(tiny, rng=0), "q4_0")
+    ec = EngineConfig(seq_buckets=(16,), max_seq_len=16, batch_size=4,
+                      batch_buckets=(4,))
+    eng = Engine(qp, tiny, tok, ec, mesh=make_mesh(dp=4, tp=2))
+    with pytest.raises(ValueError, match="cannot shard"):
+        eng.encode_batch_packed(["hello world", "fox"] * 4, row_len=16)
