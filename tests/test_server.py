@@ -602,3 +602,61 @@ def test_openai_compatible_embeddings_endpoint(engine):
     assert status == 200 and [d["index"] for d in body["data"]] == [0, 1]
     status, body = r["bad"]
     assert status == 400 and body["error"]["type"] == "invalid_request_error"
+
+
+def test_tcp_adversarial_first_bytes_never_wedge(engine):
+    """Arbitrary/hostile first messages (binary garbage, magic prefixes,
+    insane v2 length prefixes, immediate close) must leave the server
+    alive and responsive to a fresh well-formed v1 client."""
+    import socket
+
+    adversarial = [
+        b"\x00\x01\x02\x03binary\xff\xfe",
+        b"E",                               # prefix of the magic, then EOF
+        b"ETF",
+        b"ETF2" + struct.pack("<I", 0xFFFFFFFF),  # insane v2 length
+        b"ETF2zz",                          # magic + <4 junk bytes
+        b"",                                # connect then close
+    ]
+
+    async def go():
+        server, svc = await serve_tcp(engine, host="127.0.0.1", port=0)
+        port = server.sockets[0].getsockname()[1]
+
+        def hostile(payload):
+            with socket.create_connection(("127.0.0.1", port),
+                                          timeout=10) as s:
+                s.recv(4)
+                if payload:
+                    s.sendall(payload)
+                s.settimeout(3.0)
+                try:
+                    while s.recv(4096):
+                        pass            # drain whatever comes back
+                except socket.timeout:
+                    pass                # server may keep waiting: fine
+
+        def wellformed():
+            with socket.create_connection(("127.0.0.1", port),
+                                          timeout=10) as s:
+                n = struct.unpack("<i", s.recv(4))[0]
+                s.sendall("hello world".encode())
+                buf = b""
+                while len(buf) < n * 4:
+                    chunk = s.recv(n * 4 - len(buf))
+                    if not chunk:
+                        break
+                    buf += chunk
+                return np.frombuffer(buf, np.float32).copy()
+
+        for payload in adversarial:
+            await asyncio.to_thread(hostile, payload)
+        emb = await asyncio.to_thread(wellformed)
+        server.close()
+        await server.wait_closed()
+        await svc.stop()
+        return emb
+
+    emb = run_async(go())
+    np.testing.assert_allclose(emb, engine.encode("hello world"),
+                               atol=1e-5)
