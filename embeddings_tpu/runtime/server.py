@@ -444,8 +444,11 @@ def make_http_app(service: BatchingService):
         """OpenAI-compatible POST /v1/embeddings: {"input": str|[str]}
         -> {"object":"list","data":[{"embedding":[...],"index":i}],
         "usage":{...}} — lets OpenAI-SDK clients point at this server
-        unchanged. The usage token counts ride along with the batch
-        results (no second tokenizer pass)."""
+        unchanged. Supports "encoding_format": "base64" (the OpenAI
+        python SDK's default request — base64 of little-endian f32) and
+        "dimensions" (Matryoshka-style truncate + renormalize). The
+        usage token counts ride along with the batch results (no second
+        tokenizer pass)."""
         try:
             body = await request.json()
             if not isinstance(body, dict):
@@ -454,6 +457,17 @@ def make_http_app(service: BatchingService):
             texts = [inp] if isinstance(inp, str) else list(inp)
             if not all(isinstance(t, str) for t in texts):
                 raise ValueError("input must be a string or list of strings")
+            enc_fmt = body.get("encoding_format", "float")
+            if enc_fmt not in ("float", "base64"):
+                raise ValueError(
+                    "encoding_format must be 'float' or 'base64'")
+            dims = body.get("dimensions")
+            if dims is not None:
+                dims = int(dims)
+                if not 0 < dims <= service.engine.n_embd:
+                    raise ValueError(
+                        f"dimensions must be in [1, "
+                        f"{service.engine.n_embd}]")
         except (json.JSONDecodeError, KeyError, ValueError, TypeError) as e:
             return web.json_response(
                 {"error": {"message": str(e) or "bad request",
@@ -469,10 +483,23 @@ def make_http_app(service: BatchingService):
             return web.json_response(
                 {"error": {"message": f"{type(e).__name__}: {e}",
                            "type": "server_error"}}, status=500)
+        if dims is not None and dims < embs.shape[-1]:
+            # Matryoshka-style: truncate then re-L2-normalize (the
+            # OpenAI "dimensions" semantics)
+            embs = embs[:, :dims]
+            norms = np.linalg.norm(embs, axis=-1, keepdims=True)
+            embs = embs / np.maximum(norms, 1e-12)
+        if enc_fmt == "base64":
+            import base64
+            payload = [base64.b64encode(
+                np.asarray(e, "<f4").tobytes()).decode("ascii")
+                for e in embs]
+        else:
+            payload = [e.tolist() for e in embs]
         return web.json_response({
             "object": "list",
-            "data": [{"object": "embedding", "embedding": e.tolist(),
-                      "index": i} for i, e in enumerate(embs)],
+            "data": [{"object": "embedding", "embedding": e,
+                      "index": i} for i, e in enumerate(payload)],
             "model": str(body.get("model", "embeddings-tpu")),
             "usage": {"prompt_tokens": n_tokens,
                       "total_tokens": n_tokens},

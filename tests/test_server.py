@@ -660,3 +660,57 @@ def test_tcp_adversarial_first_bytes_never_wedge(engine):
     emb = run_async(go())
     np.testing.assert_allclose(emb, engine.encode("hello world"),
                                atol=1e-5)
+
+
+def test_openai_base64_and_dimensions(engine):
+    """encoding_format=base64 (the OpenAI python SDK's default request)
+    returns base64 little-endian f32; dimensions truncates and
+    re-normalizes (Matryoshka semantics)."""
+    pytest.importorskip("aiohttp")
+    import base64
+    from embeddings_tpu.runtime.server import serve_http
+
+    async def go():
+        runner, svc = await serve_http(engine, host="127.0.0.1", port=0)
+        port = runner.addresses[0][1]
+        results = {}
+
+        def client():
+            import urllib.request, urllib.error, json as j
+            def post(data):
+                req = urllib.request.Request(
+                    f"http://127.0.0.1:{port}/v1/embeddings", data=data,
+                    headers={"Content-Type": "application/json"})
+                try:
+                    with urllib.request.urlopen(req, timeout=10) as resp:
+                        return resp.status, j.loads(resp.read())
+                except urllib.error.HTTPError as e:
+                    return e.code, j.loads(e.read())
+            results["b64"] = post(j.dumps(
+                {"input": "hello world",
+                 "encoding_format": "base64"}).encode())
+            results["dims"] = post(j.dumps(
+                {"input": "hello world", "dimensions": 16}).encode())
+            results["bad_dims"] = post(j.dumps(
+                {"input": "x", "dimensions": 10**6}).encode())
+            results["bad_fmt"] = post(j.dumps(
+                {"input": "x", "encoding_format": "hex"}).encode())
+
+        await asyncio.to_thread(client)
+        await runner.cleanup()
+        await svc.stop()
+        return results
+
+    r = run_async(go())
+    ref = engine.encode("hello world")
+    status, body = r["b64"]
+    assert status == 200
+    raw = base64.b64decode(body["data"][0]["embedding"])
+    np.testing.assert_allclose(np.frombuffer(raw, "<f4"), ref, atol=1e-5)
+    status, body = r["dims"]
+    assert status == 200
+    got = np.asarray(body["data"][0]["embedding"], np.float32)
+    assert got.shape == (16,)
+    want = ref[:16] / np.linalg.norm(ref[:16])
+    np.testing.assert_allclose(got, want, atol=1e-5)
+    assert r["bad_dims"][0] == 400 and r["bad_fmt"][0] == 400
