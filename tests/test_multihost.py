@@ -67,3 +67,26 @@ def test_two_process_distributed_encode():
     for out, rc in outs:
         assert rc == 0, out[-2000:]
         assert "max|distributed - local| = 0.00e+00" in out, out[-1000:]
+
+
+def test_two_process_global_mesh_forward():
+    """Two real processes form ONE global (data=2, model=2) mesh — data
+    axis across processes, TP within each — and the sharded forward
+    (shard_map psums and all) matches the single-device forward. This is
+    the actual pod execution model, beyond the per-process DP encode."""
+    import socket
+    import subprocess
+    import sys
+    from pathlib import Path
+    worker = Path(__file__).parent / "helpers" / "multihost_mesh_worker.py"
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    procs = [subprocess.Popen(
+        [sys.executable, "-u", str(worker), str(i), "2", str(port)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        for i in range(2)]
+    outs = [(p.communicate(timeout=240)[0], p.returncode) for p in procs]
+    for out, rc in outs:
+        assert rc == 0, out[-2000:]
+        assert "GLOBAL_MESH_OK" in out, out[-1000:]
