@@ -178,6 +178,10 @@ def cmd_convert(args) -> int:
         print(f"wrote {args.out} "
               f"({os.path.getsize(args.out)/1e6:.2f} MB, gguf {args.dtype})")
         return 0
+    if args.dtype.endswith("_K"):
+        print(f"K-quant {args.dtype} is a GGUF block format; use a "
+              f".gguf output path", file=sys.stderr)
+        return 1
     if args.dtype != "f32":
         params = P.quantize_params(params, args.dtype,
                                    pack4=args.dtype.startswith("q4"))
@@ -287,8 +291,11 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("convert", help="HF checkpoint -> native .npz")
     p.add_argument("hf_dir")
     p.add_argument("out")
+    # K-quants are export-only (GGUF interop); the engine's own kernels
+    # run q4_0/q4_1/q8_0 and K-quant FILES dequantize on load
     p.add_argument("--dtype", default="f32",
-                   choices=["f32", "bf16", "f16", "q4_0", "q4_1", "q8_0"])
+                   choices=["f32", "bf16", "f16", "q4_0", "q4_1", "q8_0",
+                            "q4_K", "q5_K", "q6_K"])
     p.set_defaults(fn=cmd_convert)
 
     p = sub.add_parser("quantize", help="requantize a native checkpoint")

@@ -485,3 +485,43 @@ def test_kquant_gguf_requantizes_on_load(tmp_path, small_vocab):
     assert isinstance(w, QuantizedTensor) and w.kind == "q4_0"
     emb = eng.encode("hello world")
     assert np.isfinite(emb).all()
+
+
+def test_cli_convert_to_kquant_gguf(tmp_path, small_vocab):
+    """cli convert exports q4_K GGUF (and refuses K-quants for .npz with
+    a clear message — they are GGUF block formats, not engine kernels)."""
+    from embeddings_tpu.config import BertConfig
+    from embeddings_tpu.models import params as P2
+    from embeddings_tpu.runtime.engine import load_model
+    kcfg = BertConfig(vocab_size=len(small_vocab), hidden_size=256,
+                      num_hidden_layers=2, num_attention_heads=4,
+                      intermediate_size=512, max_position_embeddings=64)
+    import json as j
+    from safetensors.numpy import save_file
+    d = tmp_path / "src"
+    d.mkdir()
+    (d / "vocab.txt").write_text("\n".join(small_vocab))
+    (d / "config.json").write_text(j.dumps({
+        "model_type": "bert", "vocab_size": kcfg.vocab_size,
+        "hidden_size": kcfg.hidden_size,
+        "num_hidden_layers": kcfg.num_hidden_layers,
+        "num_attention_heads": kcfg.num_attention_heads,
+        "intermediate_size": kcfg.intermediate_size,
+        "max_position_embeddings": kcfg.max_position_embeddings}))
+    sd = P2.to_hf_state_dict(P2.init_params(kcfg, rng=0))
+    save_file({k: np.asarray(v, np.float32) for k, v in sd.items()},
+              str(d / "model.safetensors"))
+    out = tmp_path / "m.gguf"
+    proc = subprocess.run(
+        [sys.executable, "-m", "embeddings_tpu.cli", "convert",
+         str(d), str(out), "--dtype", "q4_K"],
+        capture_output=True, text=True, timeout=300)
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    eng = load_model(out)
+    emb = eng.encode("hello world")
+    assert np.isfinite(emb).all()
+    bad = subprocess.run(
+        [sys.executable, "-m", "embeddings_tpu.cli", "convert",
+         str(d), str(tmp_path / "m2.npz"), "--dtype", "q4_K"],
+        capture_output=True, text=True, timeout=300)
+    assert bad.returncode == 1 and "GGUF block format" in bad.stderr
