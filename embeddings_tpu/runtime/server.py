@@ -406,6 +406,7 @@ def make_http_app(service: BatchingService):
     from aiohttp import web
 
     async def embed(request: web.Request) -> web.Response:
+        from ..utils.embedding_quant import PRECISIONS, quantize_embeddings
         try:
             body = await request.json()
             if not isinstance(body, dict):
@@ -414,6 +415,9 @@ def make_http_app(service: BatchingService):
             if not isinstance(texts, list) or not all(
                     isinstance(t, str) for t in texts):
                 raise ValueError("texts must be a list of strings")
+            precision = body.get("precision", "float32")
+            if precision not in PRECISIONS:
+                raise ValueError(f"precision must be one of {PRECISIONS}")
         except (json.JSONDecodeError, KeyError, ValueError, TypeError) as e:
             return web.json_response({"error": str(e) or "bad request"},
                                      status=400)
@@ -428,9 +432,15 @@ def make_http_app(service: BatchingService):
             log.exception("embed failed")
             return web.json_response(
                 {"error": f"{type(e).__name__}: {e}"}, status=500)
+        if precision != "float32" and len(embs):
+            # vector-DB storage precisions (int8/uint8/binary/ubinary);
+            # int8 ranges are per-batch calibrated — persist your own
+            # ranges for incremental indexing (utils/embedding_quant)
+            embs = quantize_embeddings(embs, precision)
         return web.json_response({
             "embeddings": [e.tolist() for e in embs],
             "n_embd": service.engine.n_embd,
+            **({"precision": precision} if precision != "float32" else {}),
         })
 
     async def healthz(request):
