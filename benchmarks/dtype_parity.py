@@ -41,7 +41,7 @@ if os.environ.get("JAX_PLATFORMS"):
     import jax
     jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
-DTYPES = ["bf16", "f16", "q8_0", "q4_1", "q4_0"]
+DTYPES = ["bf16", "f16", "q8_0", "q4_1", "q4_0", "nf4"]
 
 
 def default_corpus(n: int = 128) -> list[str]:

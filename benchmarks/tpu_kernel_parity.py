@@ -44,7 +44,7 @@ SHAPES = [(768, 2304), (768, 768), (768, 3072), (3072, 768),
           (768, 1152), (768, 576),      # qkv column shards
           (768, 1536), (768, 384),      # FFN-up column shards
           (384, 768), (192, 768)]       # o-proj row shards
-KINDS = ["q4_0", "q4_0-packed", "q4_1", "q8_0"]
+KINDS = ["q4_0", "q4_0-packed", "q4_1", "q8_0", "nf4", "nf4-packed"]
 M = 1024
 
 
@@ -80,7 +80,7 @@ def check_linear(results, rng):
         ones = jnp.ones((N,), jnp.float32)
         zer = jnp.zeros((N,), jnp.float32)
         for kind in KINDS:
-            if kind.startswith("q4_0-packed") and K % 64:
+            if kind.endswith("-packed") and K % 64:
                 print(f"skip packed check for K={K} (K % 64 != 0)")
                 continue
             qt = _quantize(w, kind)

@@ -37,7 +37,8 @@ def _add_model_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("-m", "--model", required=True,
                    help="HF model dir or native .npz checkpoint")
     p.add_argument("--dtype", default="f32",
-                   choices=["f32", "bf16", "f16", "q4_0", "q4_1", "q8_0"])
+                   choices=["f32", "bf16", "f16", "q4_0", "q4_1", "q8_0",
+                            "nf4"])
     p.add_argument("--pooling", default=None, choices=["mean", "cls", "max"])
     p.add_argument("-t", "--threads", type=int, default=None,
                    help="accepted for bert.h compatibility; XLA manages "
@@ -131,6 +132,7 @@ def cmd_convert(args) -> int:
     import os
     from pathlib import Path
     from .models import params as P
+    from .ops.quant import PACK4_KINDS
     src = Path(args.hf_dir)
     src_tokens = None  # vocab as an ordered token list, wherever it came from
     if src.suffix in (".bin", ".gguf"):
@@ -184,7 +186,7 @@ def cmd_convert(args) -> int:
         return 1
     if args.dtype != "f32":
         params = P.quantize_params(params, args.dtype,
-                                   pack4=args.dtype.startswith("q4"))
+                                   pack4=args.dtype in PACK4_KINDS)
     P.save_native(args.out, params, config)
     size = os.path.getsize(args.out) / 1e6
     print(f"wrote {args.out} ({size:.2f} MB, dtype={args.dtype})")
@@ -201,12 +203,13 @@ def cmd_quantize(args) -> int:
     equivalent; prints per-kind histogram stats like the reference)."""
     import numpy as np
     from .models import params as P
-    from .ops.quant import QuantizedTensor, codes_int8, nibble_histogram
+    from .ops.quant import (PACK4_KINDS, QuantizedTensor,
+                            codes_int8, nibble_histogram)
     params, config = P.load_native(args.input)
     qp = P.quantize_params(params, args.dtype,
-                           pack4=args.dtype.startswith("q4"))
+                           pack4=args.dtype in PACK4_KINDS)
     P.save_native(args.out, qp, config)
-    if args.dtype.startswith("q4"):
+    if args.dtype in PACK4_KINDS:
         import jax
         hist = np.zeros(16, np.int64)
         for leaf in jax.tree_util.tree_leaves(
@@ -295,14 +298,14 @@ def build_parser() -> argparse.ArgumentParser:
     # run q4_0/q4_1/q8_0 and K-quant FILES dequantize on load
     p.add_argument("--dtype", default="f32",
                    choices=["f32", "bf16", "f16", "q4_0", "q4_1", "q8_0",
-                            "q4_K", "q5_K", "q6_K"])
+                            "nf4", "q4_K", "q5_K", "q6_K"])
     p.set_defaults(fn=cmd_convert)
 
     p = sub.add_parser("quantize", help="requantize a native checkpoint")
     p.add_argument("input")
     p.add_argument("out")
     p.add_argument("--dtype", required=True,
-                   choices=["q4_0", "q4_1", "q8_0"])
+                   choices=["q4_0", "q4_1", "q8_0", "nf4"])
     p.set_defaults(fn=cmd_quantize)
 
     p = sub.add_parser("bench", help="device throughput microbenchmark")

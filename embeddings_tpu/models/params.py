@@ -38,7 +38,7 @@ from ..ops.quant import QuantizedTensor, pack_q4, quantize
 Params = dict[str, Any]
 
 DENSE_KINDS = ("f32", "f16", "bf16")
-QUANT_KINDS = ("q4_0", "q4_1", "q8_0")
+QUANT_KINDS = ("q4_0", "q4_1", "q8_0", "nf4")
 
 
 def _ln(scale, bias):

@@ -82,6 +82,27 @@ def _fit(size: int, pref: int, step: int) -> int:
     return max(b, step)
 
 
+def _nf4_decode(u, compute_dtype):
+    """int codes in [0, 15] -> NF4 level values. A 16-way select chain
+    on the VPU — runs only in the dequant (once per N-tile, amortized
+    over M/bm grid steps), so the non-uniform codebook costs ~nothing
+    at matmul time. (Mosaic has no VMEM gather for a 16-entry LUT.)
+
+    Everything stays f32 until one final cast: an int32 compare feeding
+    a bf16 select makes Mosaic relayout the i1 mask between (8,128) and
+    (16,128) tilings ("Invalid relayout ... replicated in destination
+    but not in source"), and bf16 compares themselves are unsupported on
+    v5e ("Target does not support this comparison") — both real-TPU-only
+    failures that interpret mode cannot catch. f32 compare + f32 select
+    keeps every vector at 32-bit tiling."""
+    from .quant import NF4_TABLE
+    uf = u.astype(jnp.float32)
+    v = jnp.full(u.shape, jnp.float32(NF4_TABLE[0]), jnp.float32)
+    for k in range(1, 16):
+        v = jnp.where(uf == jnp.float32(k), jnp.float32(NF4_TABLE[k]), v)
+    return v.astype(compute_dtype)
+
+
 def _qmm_kernel(x_ref, c_ref, s_ref, m_ref, b_ref, o_ref, w_ref, *,
                 kind: str, compute_dtype, epilogue: str, packed: bool,
                 res_ref=None, lns_ref=None, lnb_ref=None, ln_eps=0.0):
@@ -108,8 +129,12 @@ def _qmm_kernel(x_ref, c_ref, s_ref, m_ref, b_ref, o_ref, w_ref, *,
             # arithmetic: Mosaic does not legalize int8 sub/shift.
             for g in range(K // 64):
                 p = c_ref[g * 32:(g + 1) * 32, :].astype(jnp.int32)
-                lo = ((p & 15) - 8).astype(compute_dtype)
-                hi = ((p >> 4) - 8).astype(compute_dtype)
+                if kind == "nf4":
+                    lo = _nf4_decode(p & 15, compute_dtype)
+                    hi = _nf4_decode(p >> 4, compute_dtype)
+                else:
+                    lo = ((p & 15) - 8).astype(compute_dtype)
+                    hi = ((p >> 4) - 8).astype(compute_dtype)
                 slo = s_ref[2 * g:2 * g + 1, :].astype(compute_dtype)
                 shi = s_ref[2 * g + 1:2 * g + 2, :].astype(compute_dtype)
                 wlo = lo * slo
@@ -132,8 +157,13 @@ def _qmm_kernel(x_ref, c_ref, s_ref, m_ref, b_ref, o_ref, w_ref, *,
             for c in range(0, K, step):
                 sl = slice(c, c + step)
                 sb = slice(c // QK, (c + step) // QK)
-                codes = c_ref[sl, :].astype(compute_dtype).reshape(
-                    step // QK, QK, bn)
+                if kind == "nf4":
+                    codes = _nf4_decode(
+                        c_ref[sl, :].astype(jnp.int32) + 8,
+                        compute_dtype).reshape(step // QK, QK, bn)
+                else:
+                    codes = c_ref[sl, :].astype(compute_dtype).reshape(
+                        step // QK, QK, bn)
                 scales = s_ref[sb, :].astype(compute_dtype)[:, None, :]
                 w = codes * scales
                 if kind == "q4_1":
@@ -146,8 +176,12 @@ def _qmm_kernel(x_ref, c_ref, s_ref, m_ref, b_ref, o_ref, w_ref, *,
             # codes times a [1, bn] scale row broadcast
             for b in range(K // QK):
                 sl = slice(b * QK, (b + 1) * QK)
-                w = (c_ref[sl, :].astype(compute_dtype)
-                     * s_ref[b:b + 1, :].astype(compute_dtype))
+                if kind == "nf4":
+                    cv = _nf4_decode(c_ref[sl, :].astype(jnp.int32) + 8,
+                                     compute_dtype)
+                else:
+                    cv = c_ref[sl, :].astype(compute_dtype)
+                w = cv * s_ref[b:b + 1, :].astype(compute_dtype)
                 if kind == "q4_1":
                     w = w + m_ref[b:b + 1, :].astype(compute_dtype)
                 w_ref[sl, :] = w

@@ -30,6 +30,24 @@ import numpy as np
 
 QK = 32  # ggml block size (quantize.cpp uses ggml's QK=32 formats)
 
+# 4-bit NormalFloat (QLoRA, Dettmers et al. 2023): the 16 levels are
+# quantiles of N(0, 1) normalized to [-1, 1] — information-theoretically
+# matched to normally-distributed trained weights, unlike q4_0's uniform
+# grid. Same storage cost as q4_0 (4-bit codes + per-32 absmax scale);
+# measurably lower reconstruction error on real weight distributions.
+# Beyond the reference's format set (kept out of .bin/.gguf interop).
+NF4_TABLE = np.asarray([
+    -1.0, -0.6961928009986877, -0.5250730514526367, -0.39491748809814453,
+    -0.28444138169288635, -0.18477343022823334, -0.09105003625154495, 0.0,
+    0.07958029955625534, 0.16093020141124725, 0.24611230194568634,
+    0.33791524171829224, 0.44070982933044434, 0.5626170039176941,
+    0.7229568362236023, 1.0], dtype=np.float32)
+# decision boundaries (midpoints) for nearest-level encoding
+_NF4_EDGES = (NF4_TABLE[1:] + NF4_TABLE[:-1]) / 2.0
+
+# kinds whose 4-bit codes can nibble-pack (group-64 layout)
+PACK4_KINDS = ("q4_0", "q4_1", "nf4")
+
 
 
 @jax.tree_util.register_pytree_node_class
@@ -119,7 +137,7 @@ def pack_q4(qt: QuantizedTensor) -> QuantizedTensor:
     kinds or when the block axis is not a multiple of 64). Matmul weights
     (block_axis -2) pack along K; embedding tables (block_axis -1) pack
     along E — both along their own block axis, so scales stay aligned."""
-    if qt.packed or qt.kind not in ("q4_0", "q4_1"):
+    if qt.packed or qt.kind not in PACK4_KINDS:
         return qt
     codes = np.asarray(qt.codes)
     if qt.block_axis == -2:
@@ -185,6 +203,38 @@ def quantize_q4_1(w: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
             mn.squeeze(-2).astype(np.float32))
 
 
+def quantize_nf4(w: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """4-bit NormalFloat: one f32 scale d per 32-block, codes index
+    NF4_TABLE (nearest level to x/d). The scale is per-block MSE-SEARCHED
+    over a small absmax-relative grid (plain d=absmax only ties q4_0 at
+    block 32 — the conditional distribution of x/absmax is narrower than
+    the table's design distribution; the search recovers the win at
+    identical storage and unchanged decode). Returns (codes int8
+    [..., K, N] in [-8, 7] — centered so the shared nibble packing
+    applies — and scales f32 [..., K//32, N]);
+    dequant = NF4_TABLE[codes + 8] * d."""
+    _check_shape(w)
+    *lead, K, N = w.shape
+    blocks = w.reshape(*lead, K // QK, QK, N).astype(np.float32)
+    amax = np.abs(blocks).max(axis=-2, keepdims=True)
+    base = np.maximum(amax, 1e-30)
+    best_err = np.full(base.shape, np.inf, np.float32)
+    best_q = np.zeros(blocks.shape, np.int8)
+    best_d = base.copy()
+    for f in np.linspace(0.72, 1.04, 9, dtype=np.float32):
+        d = base * f
+        x = np.clip(blocks / d, -1.0, 1.0)
+        q = np.searchsorted(_NF4_EDGES, x.ravel()).reshape(
+            x.shape).astype(np.int8)
+        err = ((NF4_TABLE[q] * d - blocks) ** 2).sum(-2, keepdims=True)
+        better = err < best_err
+        best_err = np.where(better, err, best_err)
+        best_q = np.where(better, q, best_q)
+        best_d = np.where(better, d, best_d)
+    return ((best_q - 8).reshape(*lead, K, N),
+            np.where(amax > 0, best_d, 0.0).squeeze(-2).astype(np.float32))
+
+
 def quantize_q8_0(w: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """ggml Q8_0: d = absmax/127, q = roundf(x/d) int8 — half-AWAY-from-
     zero like C roundf (np.rint's half-to-even differs on exact ties,
@@ -226,6 +276,9 @@ def quantize(w: np.ndarray | jax.Array, kind: str, *,
         mins = jnp.asarray(mins + 8.0 * d)
     elif kind == "q8_0":
         q, d = quantize_q8_0(w)
+        mins = None
+    elif kind == "nf4":
+        q, d = quantize_nf4(w)
         mins = None
     else:
         raise ValueError(f"unknown quant kind: {kind}")
@@ -275,7 +328,11 @@ def dequantize(qt: QuantizedTensor) -> jax.Array:
         scales = jnp.swapaxes(scales, -1, -2)
         mins = None if mins is None else jnp.swapaxes(mins, -1, -2)
     *lead, K, N = codes.shape
-    c = codes.astype(jnp.float32).reshape(*lead, K // QK, QK, N)
+    if qt.kind == "nf4":
+        c = jnp.asarray(NF4_TABLE)[codes.astype(jnp.int32) + 8]
+    else:
+        c = codes.astype(jnp.float32)
+    c = c.reshape(*lead, K // QK, QK, N)
     s = scales[..., :, None, :]
     w = c * s
     if qt.kind == "q4_1":
@@ -297,7 +354,10 @@ def gather_rows(qt: QuantizedTensor, ids: jax.Array) -> jax.Array:
         # gather the 4-bit rows, then nibble-unpack just those rows —
         # the table itself stays at the true 4-bit footprint in HBM
         c = _unpack_g64_last_jnp(c)
-    c = c.astype(jnp.float32)
+    if qt.kind == "nf4":
+        c = jnp.asarray(NF4_TABLE)[c.astype(jnp.int32) + 8]
+    else:
+        c = c.astype(jnp.float32)
     s = jnp.take(qt.scales, ids, axis=0)                      # [..., E//QK]
     E = c.shape[-1]
     c = c.reshape(*c.shape[:-1], E // QK, QK)
@@ -312,7 +372,11 @@ def dequantize_np(codes: np.ndarray, scales: np.ndarray,
                   mins: np.ndarray | None, kind: str) -> np.ndarray:
     """NumPy dequant (for offline tools / parity tests)."""
     *lead, K, N = codes.shape
-    c = codes.astype(np.float32).reshape(*lead, K // QK, QK, N)
+    if kind == "nf4":
+        c = NF4_TABLE[codes.astype(np.int32) + 8]
+    else:
+        c = codes.astype(np.float32)
+    c = c.reshape(*lead, K // QK, QK, N)
     s = scales[..., :, None, :]
     w = c * s
     if kind == "q4_1":

@@ -416,7 +416,8 @@ def load_model(path: str | Path, *, dtype: str = "f32",
                                QuantizedTensor)
     if dtype != "f32" and not already_quant:
         params = P.quantize_params(params, dtype)
-    if dtype.startswith("q4"):
+    from ..ops.quant import PACK4_KINDS
+    if dtype in PACK4_KINDS:
         # store q4 matmul weights truly 4-bit (2 codes/byte): halves the
         # HBM weight footprint and the weight-read bandwidth that bounds
         # small-batch latency

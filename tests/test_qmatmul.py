@@ -9,7 +9,7 @@ from embeddings_tpu.ops.qmatmul import qmatmul
 from embeddings_tpu.ops.quant import dequantize, quantize
 
 
-@pytest.mark.parametrize("kind", ["q4_0", "q4_1", "q8_0"])
+@pytest.mark.parametrize("kind", ["q4_0", "q4_1", "q8_0", "nf4"])
 @pytest.mark.parametrize("shape", [(8, 128, 128), (16, 256, 384)])
 def test_qmatmul_matches_dequant(kind, shape, rng):
     M, K, N = shape
@@ -114,7 +114,7 @@ def test_ragged_n_whole_tile(rng):
                                atol=2e-3, rtol=1e-2)
 
 
-@pytest.mark.parametrize("kind", ["q4_0", "q4_1"])
+@pytest.mark.parametrize("kind", ["q4_0", "q4_1", "nf4"])
 def test_packed_kernel_matches_unpacked(rng, kind):
     import jax.numpy as jnp
     from embeddings_tpu.ops import qmatmul as Q

@@ -13,7 +13,7 @@ from embeddings_tpu.ops.quant import (
     unpack_ggml_q4_0, unpack_ggml_q8_0)
 
 
-@pytest.fixture(params=["q4_0", "q4_1", "q8_0"])
+@pytest.fixture(params=["q4_0", "q4_1", "q8_0", "nf4"])
 def kind(request):
     return request.param
 
@@ -43,14 +43,16 @@ def test_quant_roundtrip_error(kind, rng):
     # round-to-nearest formats; a full step for q4_0 whose asymmetric
     # [-8, 7] grid clips the positive extreme (inherent ggml q4_0 behavior).
     scale = np.abs(np.asarray(qt.scales)).max()
-    tol = {"q4_0": scale, "q4_1": scale / 2, "q8_0": scale / 2}[kind]
+    tol = {"q4_0": scale, "q4_1": scale / 2, "q8_0": scale / 2,
+           # nf4 level spacing is non-uniform: widest gap is ~0.28*absmax
+           "nf4": scale * 0.14}[kind]
     assert np.abs(deq - w).max() <= tol + 1e-6
     # relative matmul error is small
     x = rng.standard_normal((4, 128), dtype=np.float32)
     ref = x @ w
     got = x @ deq
     rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
-    assert rel < (0.15 if kind.startswith("q4") else 0.01)
+    assert rel < (0.15 if kind != "q8_0" else 0.01)
 
 
 def test_zeros_block(kind):
@@ -198,3 +200,62 @@ def test_packed_checkpoint_roundtrip(rng, tmp_path):
     lw = loaded["layers"]["mlp"]["up"]["w"]
     assert isinstance(lw, QuantizedTensor) and lw.packed
     np.testing.assert_array_equal(codes_int8(lw), codes_int8(up))
+
+
+def test_nf4_beats_q4_0_on_gaussian_and_heavy_tails(rng):
+    """NF4's normal-quantile levels must reconstruct Gaussian AND
+    heavy-tailed (trained-like) weights strictly better than q4_0's
+    uniform grid at the identical storage cost — the reason the kind
+    exists."""
+    for data in (rng.standard_normal((256, 64)).astype(np.float32),
+                 rng.standard_t(5, (256, 64)).astype(np.float32)):
+        d0 = np.asarray(dequantize(quantize(data, "q4_0")))
+        dn = np.asarray(dequantize(quantize(data, "nf4")))
+        e0 = float(((d0 - data) ** 2).mean())
+        en = float(((dn - data) ** 2).mean())
+        assert en < e0, (en, e0)
+
+
+def test_nf4_table_properties():
+    from embeddings_tpu.ops.quant import NF4_TABLE
+    assert NF4_TABLE.shape == (16,)
+    assert NF4_TABLE[0] == -1.0 and NF4_TABLE[-1] == 1.0
+    assert NF4_TABLE[7] == 0.0             # exact zero level
+    assert (np.diff(NF4_TABLE) > 0).all()  # strictly increasing
+
+
+def test_nf4_packed_roundtrip(rng):
+    from embeddings_tpu.ops.quant import pack_q4
+    w = rng.standard_normal((128, 16)).astype(np.float32)
+    qt = quantize(w, "nf4")
+    pq = pack_q4(qt)
+    assert pq.packed
+    np.testing.assert_allclose(np.asarray(dequantize(pq)),
+                               np.asarray(dequantize(qt)))
+
+
+def test_nf4_engine_end_to_end(rng, tmp_path):
+    """nf4 through load_model -> packed weights -> encode, and its
+    embeddings sit at least as close to f32 as q4_0's on the same
+    checkpoint."""
+    from embeddings_tpu.config import BertConfig, EngineConfig
+    from embeddings_tpu.models import params as P
+    from embeddings_tpu.runtime.engine import load_model
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]",
+             "hello", "world", "fox", "the", "quick"]
+    cfg = BertConfig(vocab_size=len(vocab), hidden_size=128,
+                     num_hidden_layers=2, num_attention_heads=2,
+                     intermediate_size=256, max_position_embeddings=64)
+    d = tmp_path / "m"
+    d.mkdir()
+    (d / "vocab.txt").write_text("\n".join(vocab))
+    P.save_native(str(d / "ck.npz"), P.init_params(cfg, rng=0), cfg)
+    texts = ["hello world", "the quick fox", "hello fox fox"]
+    ref = load_model(d / "ck.npz").encode_batch(texts)
+    e_nf4 = load_model(d / "ck.npz", dtype="nf4")
+    e_q40 = load_model(d / "ck.npz", dtype="q4_0")
+    assert e_nf4.params["layers"]["mlp"]["up"]["w"].packed
+    cos_nf4 = (e_nf4.encode_batch(texts) * ref).sum(-1)
+    cos_q40 = (e_q40.encode_batch(texts) * ref).sum(-1)
+    assert cos_nf4.min() > 0.97
+    assert cos_nf4.mean() >= cos_q40.mean() - 0.005, (cos_nf4, cos_q40)
