@@ -195,6 +195,15 @@ def cmd_convert(args) -> int:
     if src_tokens is not None:
         (Path(args.out).parent / "vocab.txt").write_text(
             "\n".join(src_tokens) + "\n", encoding="utf-8")
+    elif src.is_dir():
+        # BPE-family source (RoBERTa): carry the tokenizer files over
+        import shutil
+        for name in ("vocab.json", "merges.txt", "tokenizer.json",
+                     "tokenizer_config.json"):
+            f = src / name
+            dst = Path(args.out).parent / name
+            if f.exists() and f.resolve() != dst.resolve():
+                shutil.copyfile(f, dst)
     return 0
 
 

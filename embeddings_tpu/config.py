@@ -31,6 +31,10 @@ class BertConfig:
     type_vocab_size: int = 2
     layer_norm_eps: float = 1e-12
     hidden_act: str = "gelu"  # "gelu" (erf, HF default) or "gelu_tanh" (ggml's)
+    # RoBERTa-family position-embedding offset: position row for token i
+    # is i + position_offset (HF reserves rows 0..pad_token_id for the
+    # padding_idx convention; RoBERTa uses pad_token_id+1 = 2). 0 = BERT.
+    position_offset: int = 0
 
     # Sentence-embedding head (SentenceTransformers semantics).
     pooling: str = "mean"  # "mean" | "cls" | "max"
@@ -52,6 +56,18 @@ class BertConfig:
         """Build from a HuggingFace ``config.json`` dict (BERT or
         DistilBERT key names — DistilBERT's encoder math is identical,
         it only renames hparams and drops token-type embeddings)."""
+        if d.get("model_type") in ("roberta", "xlm-roberta", "camembert"):
+            # RoBERTa family: same encoder math as BERT; differences are
+            # all in the embedding/tokenizer contract — byte-level BPE
+            # (or Unigram for XLM-R) with <s>/</s>/<pad> = 0/2/1, one
+            # token-type row, and position rows offset by padding_idx+1
+            # (max_position_embeddings is 514 for a 512-token model)
+            pad = int(d.get("pad_token_id", 1))
+            d = {**d, "pad_token_id": pad}
+            overrides.setdefault("position_offset", pad + 1)
+            overrides.setdefault("cls_token_id", int(d.get("bos_token_id", 0)))
+            overrides.setdefault("sep_token_id", int(d.get("eos_token_id", 2)))
+            overrides.setdefault("unk_token_id", 3)
         if d.get("model_type") == "distilbert":
             d = {**d,
                  "hidden_size": d["dim"],
@@ -189,6 +205,10 @@ KNOWN_MODELS: dict[str, dict[str, Any]] = {
     "bge-large-en-v1.5": dict(hidden_size=1024, num_hidden_layers=24, num_attention_heads=16, intermediate_size=4096, pooling="cls"),
     "bge-small-zh-v1.5": dict(vocab_size=21128, hidden_size=512, num_hidden_layers=4, num_attention_heads=8, intermediate_size=2048, pooling="cls"),
     "bge-base-zh-v1.5": dict(vocab_size=21128, hidden_size=768, num_hidden_layers=12, num_attention_heads=12, intermediate_size=3072, pooling="cls"),
+    # RoBERTa family (beyond the reference; byte-level BPE tokenizer,
+    # position rows offset by 2, mean-pooled SentenceTransformers heads)
+    "all-distilroberta-v1": dict(hidden_size=768, num_hidden_layers=6, num_attention_heads=12, intermediate_size=3072, type_vocab_size=1, position_offset=2),
+    "paraphrase-distilroberta-base-v2": dict(hidden_size=768, num_hidden_layers=6, num_attention_heads=12, intermediate_size=3072, type_vocab_size=1, position_offset=2),
     # DistilBERT family (beyond the reference; loader translates names)
     "distilbert-base-uncased": dict(hidden_size=768, num_hidden_layers=6, num_attention_heads=12, intermediate_size=3072, type_vocab_size=1),
     "multi-qa-distilbert-cos-v1": dict(hidden_size=768, num_hidden_layers=6, num_attention_heads=12, intermediate_size=3072, type_vocab_size=1),

@@ -66,10 +66,12 @@ def embed(params: Params, config: BertConfig, token_ids: jax.Array,
         x = x + emb["token_type"][0]
     else:
         x = x + jnp.take(emb["token_type"], type_ids, axis=0)
+    off = config.position_offset  # RoBERTa rows start at padding_idx+1
     if position_ids is None:
-        x = x + emb["position"][:L]
+        x = x + emb["position"][off:off + L]
     else:
-        x = x + jnp.take(emb["position"], position_ids, axis=0)
+        x = x + jnp.take(emb["position"], position_ids + off
+                         if off else position_ids, axis=0)
     return layer_norm(x, emb["ln"]["scale"], emb["ln"]["bias"], config.layer_norm_eps)
 
 

@@ -95,15 +95,11 @@ def init_params(config: BertConfig, rng: jax.Array | int = 0,
 
 def _strip_prefix(sd: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
     """Drop the 'bert.' / '0.auto_model.' style prefixes HF checkpoints use."""
-    if any(k.startswith("roberta.") for k in sd):
-        # RoBERTa offsets position embeddings by padding_idx+1 (rows 0-1
-        # are pad/special; position i uses row i+2) and uses a BPE
-        # tokenizer — loading it through the BERT path would silently
-        # produce wrong embeddings, so refuse
-        raise ValueError(
-            "RoBERTa checkpoints are not supported (position-embedding "
-            "offset + BPE tokenizer differ from BERT)")
-    for prefix in ("bert.", "distilbert.", "0.auto_model."):
+    # RoBERTa tensors use BERT's exact layer naming under a "roberta."
+    # prefix; the architecture differences (position-embedding offset,
+    # BPE tokenizer, one token-type row) live in config.position_offset
+    # and the tokenizer dispatch, not in the tensor mapping
+    for prefix in ("bert.", "roberta.", "distilbert.", "0.auto_model."):
         if any(k.startswith(prefix + "embeddings") for k in sd):
             sd = {k[len(prefix):]: v for k, v in sd.items()
                   if k.startswith(prefix)}

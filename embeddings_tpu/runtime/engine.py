@@ -136,8 +136,11 @@ class Engine:
 
     @property
     def max_seq_len(self) -> int:
+        # RoBERTa reserves the first position_offset rows (its 514-row
+        # table serves 512 usable positions)
         return min(self.engine_config.max_seq_len,
-                   self.config.max_position_embeddings)
+                   self.config.max_position_embeddings
+                   - self.config.position_offset)
 
     # -- tokenize -----------------------------------------------------------
     def tokenize(self, text: str) -> list[int]:
@@ -387,7 +390,10 @@ def load_model(path: str | Path, *, dtype: str = "f32",
             if detected is not None:
                 config = dataclasses.replace(config, pooling=detected)
         if tokenizer is None:
-            tokenizer = WordPieceTokenizer.from_pretrained(path)
+            # WordPiece (vocab.txt, BERT family) or byte-level BPE
+            # (vocab.json+merges.txt / tokenizer.json, RoBERTa family)
+            from ..tokenizer import tokenizer_from_dir
+            tokenizer = tokenizer_from_dir(path)
     elif path.suffix == ".bin":
         # reference-format ggml model file (vocab embedded)
         from ..models.ggml_io import load_ggml_model
@@ -401,14 +407,13 @@ def load_model(path: str | Path, *, dtype: str = "f32",
     else:
         params, config = P.load_native(path)
         if tokenizer is None:
-            vocab_file = path.parent / "vocab.txt"
-            if vocab_file.exists():
-                from ..tokenizer import WordPieceVocab
-                tokenizer = WordPieceTokenizer(
-                    WordPieceVocab.from_file(vocab_file))
-            else:
+            try:
+                from ..tokenizer import tokenizer_from_dir
+                tokenizer = tokenizer_from_dir(path.parent)
+            except FileNotFoundError:
                 raise FileNotFoundError(
-                    f"no tokenizer: pass tokenizer= or put vocab.txt next to {path}")
+                    f"no tokenizer: pass tokenizer= or put vocab.txt "
+                    f"(or vocab.json+merges.txt) next to {path}") from None
     if pooling is not None:
         config = dataclasses.replace(config, pooling=pooling)
     from ..ops.quant import QuantizedTensor

@@ -113,6 +113,9 @@ class NativeWordPieceTokenizer:
         their default literal names — configs that deviate (e.g. HF's
         do_lower_case=true + strip_accents=false, or custom special
         tokens) must not silently get different ids from the fast path."""
+        from .wordpiece import WordPieceTokenizer
+        if not isinstance(tok, WordPieceTokenizer):
+            return None  # BPE/Unigram tokenizers have no native fast path
         if not available():
             return None
         sa = tok.strip_accents

