@@ -1,18 +1,21 @@
 from pathlib import Path
 
 from .bpe import ByteLevelBPETokenizer
+from .unigram import UnigramTokenizer
 from .wordpiece import (WordPieceTokenizer, WordPieceVocab, normalize,
                         pre_tokenize)
 
 __all__ = ["WordPieceTokenizer", "WordPieceVocab", "ByteLevelBPETokenizer",
-           "normalize", "pre_tokenize", "tokenizer_from_dir"]
+           "UnigramTokenizer", "normalize", "pre_tokenize",
+           "tokenizer_from_dir"]
 
 
 def tokenizer_from_dir(model_dir):
     """Build the right tokenizer for an HF model directory: WordPiece
     when vocab.txt is present (BERT family — the reference's only
     tokenizer, bert.cpp:470-495), byte-level BPE for vocab.json +
-    merges.txt or a BPE tokenizer.json (RoBERTa family)."""
+    merges.txt or a BPE tokenizer.json (RoBERTa family), Unigram for a
+    Unigram tokenizer.json (XLM-R family)."""
     model_dir = Path(model_dir)
     if (model_dir / "vocab.txt").exists():
         return WordPieceTokenizer.from_pretrained(model_dir)
@@ -26,10 +29,12 @@ def tokenizer_from_dir(model_dir):
             kind = (json.load(f).get("model") or {}).get("type")
         if kind == "BPE":
             return ByteLevelBPETokenizer.from_pretrained(model_dir)
+        if kind == "Unigram":
+            return UnigramTokenizer.from_pretrained(model_dir)
         raise ValueError(
             f"unsupported tokenizer.json model type {kind!r} in "
-            f"{model_dir} (WordPiece via vocab.txt and byte-level BPE "
-            f"are supported)")
+            f"{model_dir} (WordPiece via vocab.txt, byte-level BPE, "
+            f"and Unigram are supported)")
     raise FileNotFoundError(
         f"no tokenizer files in {model_dir} (vocab.txt, "
         f"vocab.json+merges.txt, or tokenizer.json)")

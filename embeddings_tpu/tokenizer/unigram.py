@@ -136,13 +136,15 @@ class UnigramTokenizer:
         return unicodedata.normalize(self.normalizer.upper(), text)
 
     def _metaspace(self, text: str) -> list[str]:
-        """Metaspace pre-tokenization: prepend the marker, map spaces to
-        it, split with each piece keeping its leading marker (rust
-        pre_tokenizers/metaspace.rs, MergedWithNext behavior)."""
+        """Metaspace pre-tokenization: map spaces to the marker, prepend
+        one if the text doesn't already start with it, split with each
+        piece keeping its leading marker (rust pre_tokenizers/
+        metaspace.rs; replacement happens BEFORE the conditional prepend,
+        so a leading space suppresses the extra marker)."""
+        text = text.replace(" ", SPIECE)
         if self.prepend_scheme != "never" and text \
                 and not text.startswith(SPIECE):
             text = SPIECE + text
-        text = text.replace(" ", SPIECE)
         pieces: list[str] = []
         start = 0
         for i, ch in enumerate(text):
