@@ -35,6 +35,12 @@ class BertConfig:
     # is i + position_offset (HF reserves rows 0..pad_token_id for the
     # padding_idx convention; RoBERTa uses pad_token_id+1 = 2). 0 = BERT.
     position_offset: int = 0
+    # ALBERT-family: factorized embeddings (tables at embedding_size,
+    # projected to hidden_size before the encoder; None = hidden_size)
+    # and cross-layer parameter sharing (one stored layer applied
+    # num_hidden_layers times).
+    embedding_size: int | None = None
+    shared_layers: bool = False
 
     # Sentence-embedding head (SentenceTransformers semantics).
     pooling: str = "mean"  # "mean" | "cls" | "max"
@@ -68,6 +74,20 @@ class BertConfig:
             overrides.setdefault("cls_token_id", int(d.get("bos_token_id", 0)))
             overrides.setdefault("sep_token_id", int(d.get("eos_token_id", 2)))
             overrides.setdefault("unk_token_id", 3)
+        if d.get("model_type") == "albert":
+            # ALBERT: BERT's encoder math with factorized embeddings and
+            # one shared layer applied num_hidden_layers times. All
+            # published ALBERTs use one layer group with one inner layer;
+            # other configurations interleave groups we don't model.
+            if (d.get("num_hidden_groups", 1) != 1
+                    or d.get("inner_group_num", 1) != 1):
+                raise ValueError(
+                    "only num_hidden_groups=1 / inner_group_num=1 ALBERT "
+                    "models are supported")
+            overrides.setdefault("embedding_size",
+                                 int(d.get("embedding_size", 128)))
+            overrides.setdefault("shared_layers", True)
+            d = {**d, "hidden_act": d.get("hidden_act", "gelu_new")}
         if d.get("model_type") == "distilbert":
             d = {**d,
                  "hidden_size": d["dim"],

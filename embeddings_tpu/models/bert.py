@@ -75,6 +75,36 @@ def embed(params: Params, config: BertConfig, token_ids: jax.Array,
     return layer_norm(x, emb["ln"]["scale"], emb["ln"]["bias"], config.layer_norm_eps)
 
 
+def _project_embeddings(params: Params, x: jax.Array) -> jax.Array:
+    """ALBERT factorized embeddings: project [B, L, E_emb] -> [B, L, H]
+    before the encoder (HF's embedding_hidden_mapping_in). No-op for
+    models without a projection."""
+    proj = params["embeddings"].get("proj")
+    if proj is None:
+        return x
+    return linear(x, proj["w"], proj["b"])
+
+
+def _scan_layers(params: Params, config: BertConfig, x: jax.Array,
+                 apply_layer) -> jax.Array:
+    """Run the encoder stack: scan over stacked per-layer params, or —
+    ALBERT cross-layer sharing — scan num_hidden_layers iterations over
+    the single stored layer (one compiled body either way)."""
+    if config.shared_layers:
+        shared = jax.tree_util.tree_map(lambda a: a[0], params["layers"])
+
+        def body(h, _):
+            return apply_layer(shared, h), None
+
+        x, _ = lax.scan(body, x, None, length=config.num_hidden_layers)
+    else:
+        def body(h, layer):
+            return apply_layer(layer, h), None
+
+        x, _ = lax.scan(body, x, params["layers"])
+    return x
+
+
 def _fused_attn_dispatch(qkv2d, lengths, segments, B, L, H, D,
                          attn_window=0):
     from ..ops import attention as attn_ops
@@ -233,18 +263,18 @@ def encode_tokens(params: Params, config: BertConfig, token_ids: jax.Array,
     # (LayerNorm/softmax still accumulate in f32); f32 for parity tests.
     if compute_dtype is not None:
         x = x.astype(jnp.dtype(compute_dtype))
+    x = _project_embeddings(params, x)  # ALBERT factorized embeddings
 
     # prefix lengths for the fused-attention kernel's in-kernel mask;
     # only valid when the mask really is a prefix (see docstring)
     lengths = (jnp.sum(attention_mask.astype(jnp.int32), axis=1)
                if prefix_mask else None)
 
-    # lax.scan over stacked layer params: one compiled block for all layers.
-    def body(h, layer):
-        return encoder_layer(layer, config, h, mask_bias, lengths,
-                             tp_axis=tp_axis), None
-
-    x, _ = lax.scan(body, x, params["layers"])
+    # lax.scan over (stacked or shared) layer params: one compiled block.
+    x = _scan_layers(params, config, x,
+                     lambda layer, h: encoder_layer(
+                         layer, config, h, mask_bias, lengths,
+                         tp_axis=tp_axis))
 
     if return_hidden:
         return x.astype(jnp.float32)
@@ -298,13 +328,13 @@ def encode_packed(params: Params, config: BertConfig, token_ids: jax.Array,
     x = embed(params, config, token_ids, position_ids=position_ids)
     if compute_dtype is not None:
         x = x.astype(jnp.dtype(compute_dtype))
+    x = _project_embeddings(params, x)
 
-    def body(h, layer):
-        return encoder_layer(layer, config, h, mask_bias, None,
-                             tp_axis=tp_axis, segments=seg_ids,
-                             attn_window=attn_window), None
-
-    x, _ = lax.scan(body, x, params["layers"])
+    x = _scan_layers(params, config, x,
+                     lambda layer, h: encoder_layer(
+                         layer, config, h, mask_bias, None,
+                         tp_axis=tp_axis, segments=seg_ids,
+                         attn_window=attn_window))
     pooled = jnp.einsum("bsl,ble->bse", pool_weights, x.astype(jnp.float32))
     if normalize:
         norm = jnp.linalg.norm(pooled, axis=-1, keepdims=True)

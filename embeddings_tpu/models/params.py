@@ -51,7 +51,9 @@ def init_params(config: BertConfig, rng: jax.Array | int = 0,
     """Random init (for tests/benchmarks without a checkpoint)."""
     if isinstance(rng, int):
         rng = jax.random.PRNGKey(rng)
-    E, F, NL = config.hidden_size, config.intermediate_size, config.num_hidden_layers
+    E, F = config.hidden_size, config.intermediate_size
+    NL = 1 if config.shared_layers else config.num_hidden_layers
+    Ee = config.embedding_size or E
     keys = iter(jax.random.split(rng, 16))
     std = 0.02
 
@@ -59,11 +61,14 @@ def init_params(config: BertConfig, rng: jax.Array | int = 0,
         return (jax.random.normal(key, shape) * std).astype(dtype)
 
     emb = {
-        "word": mat(next(keys), (config.vocab_size, E)),
-        "position": mat(next(keys), (config.max_position_embeddings, E)),
-        "token_type": mat(next(keys), (config.type_vocab_size, E)),
-        "ln": _ln(np.ones(E), np.zeros(E)),
+        "word": mat(next(keys), (config.vocab_size, Ee)),
+        "position": mat(next(keys), (config.max_position_embeddings, Ee)),
+        "token_type": mat(next(keys), (config.type_vocab_size, Ee)),
+        "ln": _ln(np.ones(Ee), np.zeros(Ee)),
     }
+    if config.embedding_size is not None:
+        emb["proj"] = {"w": mat(next(keys), (Ee, E)),
+                       "b": jnp.zeros((E,), dtype)}
     lk = jax.random.split(next(keys), 6 * NL).reshape(NL, 6, 2)
 
     def stack(f):
@@ -99,12 +104,13 @@ def _strip_prefix(sd: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
     # prefix; the architecture differences (position-embedding offset,
     # BPE tokenizer, one token-type row) live in config.position_offset
     # and the tokenizer dispatch, not in the tensor mapping
-    for prefix in ("bert.", "roberta.", "distilbert.", "0.auto_model."):
+    for prefix in ("bert.", "roberta.", "albert.", "distilbert.",
+                   "0.auto_model."):
         if any(k.startswith(prefix + "embeddings") for k in sd):
             sd = {k[len(prefix):]: v for k, v in sd.items()
                   if k.startswith(prefix)}
             break
-    return _translate_distilbert(sd)
+    return _translate_albert(_translate_distilbert(sd))
 
 
 # DistilBERT layer-tensor names -> BERT names (the math is identical:
@@ -147,6 +153,44 @@ def _translate_distilbert(sd: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
     return out
 
 
+# ALBERT layer-tensor names -> BERT names (same post-LN block structure;
+# the single shared layer lands at index 0 and the forward re-applies it
+# num_hidden_layers times via config.shared_layers)
+_ALBERT_LAYER_MAP = {
+    "attention.query": "attention.self.query",
+    "attention.key": "attention.self.key",
+    "attention.value": "attention.self.value",
+    "attention.dense": "attention.output.dense",
+    "attention.LayerNorm": "attention.output.LayerNorm",
+    "ffn": "intermediate.dense",
+    "ffn_output": "output.dense",
+    "full_layer_layer_norm": "output.LayerNorm",
+}
+
+
+def _translate_albert(sd: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+    """Rewrite an ALBERT state dict into BERT naming (+ the factorized
+    embedding projection as embeddings.proj.*); no-op otherwise."""
+    pref = "encoder.albert_layer_groups.0.albert_layers.0."
+    if not any(k.startswith(pref) for k in sd):
+        return sd
+    out: dict[str, np.ndarray] = {}
+    for k, v in sd.items():
+        if k.startswith(pref):
+            stem, _, leaf = k[len(pref):].rpartition(".")
+            mapped = _ALBERT_LAYER_MAP.get(stem)
+            if mapped is not None:
+                out[f"encoder.layer.0.{mapped}.{leaf}"] = v
+        elif k.startswith("encoder.albert_layer_groups"):
+            # extra groups/inner layers: config.from_hf_dict refuses these
+            continue
+        elif k.startswith("encoder.embedding_hidden_mapping_in."):
+            out["embeddings.proj." + k.rsplit(".", 1)[1]] = v
+        else:
+            out[k] = v  # embeddings.* names already match BERT's
+    return out
+
+
 def from_hf_state_dict(sd: dict[str, np.ndarray], config: BertConfig,
                        dtype=jnp.float32) -> Params:
     """Map a HF BERT state dict to our pytree.
@@ -156,7 +200,9 @@ def from_hf_state_dict(sd: dict[str, np.ndarray], config: BertConfig,
     position_ids and pooler.dense.* are dropped).
     """
     sd = _strip_prefix({k: np.asarray(v) for k, v in sd.items()})
-    NL = config.num_hidden_layers
+    # ALBERT shares one layer across the depth: store it once (the
+    # forward re-applies it num_hidden_layers times)
+    NL = 1 if config.shared_layers else config.num_hidden_layers
 
     def g(name: str) -> np.ndarray:
         return sd[name]
@@ -171,6 +217,10 @@ def from_hf_state_dict(sd: dict[str, np.ndarray], config: BertConfig,
         "token_type": jnp.asarray(g("embeddings.token_type_embeddings.weight"), dtype),
         "ln": _ln(g("embeddings.LayerNorm.weight"), g("embeddings.LayerNorm.bias")),
     }
+    if "embeddings.proj.weight" in sd:
+        # ALBERT factorized-embedding projection [E_emb -> H]
+        emb["proj"] = {"w": jnp.asarray(lin("embeddings.proj"), dtype),
+                       "b": jnp.asarray(g("embeddings.proj.bias"), dtype)}
 
     def stack_lin(fmt: str):
         w = jnp.asarray(np.stack([np.ascontiguousarray(
@@ -236,6 +286,11 @@ def to_hf_state_dict(params: Params) -> dict[str, np.ndarray]:
         return np.asarray(x, np.float32)
 
     emb = params["embeddings"]
+    if "proj" in emb:
+        raise ValueError(
+            "ALBERT-family params (factorized embeddings / shared layers) "
+            "have no BERT-named state-dict form — the ggml/GGUF export "
+            "formats cannot represent them")
     sd: dict[str, np.ndarray] = {
         "embeddings.word_embeddings.weight": dense(emb["word"]),
         "embeddings.position_embeddings.weight": dense(emb["position"]),

@@ -99,13 +99,17 @@ def param_pspecs(params: Params, mesh: Mesh) -> Params:
         word_spec = rep2
 
     ln2 = {"scale": rep1, "bias": rep1}
+    emb_specs: Params = {
+        "word": word_spec,
+        "position": rep2,
+        "token_type": rep2,
+        "ln": {"scale": P(None), "bias": P(None)},
+    }
+    if "proj" in params["embeddings"]:
+        # ALBERT factorized-embedding projection: small, replicated
+        emb_specs["proj"] = {"w": rep2, "b": P(None)}
     return {
-        "embeddings": {
-            "word": word_spec,
-            "position": rep2,
-            "token_type": rep2,
-            "ln": {"scale": P(None), "bias": P(None)},
-        },
+        "embeddings": emb_specs,
         "layers": {
             "attn": {
                 "q": for_linear(params["layers"]["attn"]["q"], col, P(None, MODEL_AXIS)),

@@ -115,25 +115,60 @@ class UnigramTokenizer:
         return cls(vocab, **kw)
 
     @staticmethod
-    def _pick_normalizer(norm: dict) -> str:
-        kinds = [n.get("type") for n in norm.get("normalizers", [norm])]
-        for k in kinds:
+    def _pick_normalizer(norm: dict) -> str | list:
+        """Map a tokenizer.json normalizer (single or Sequence) onto our
+        op list: unicode forms, Lowercase, StripAccents (ALBERT-style
+        sentencepiece pipelines), and Replace with a literal pattern.
+        Precompiled charsmaps approximate as NFKC with a warning."""
+        ops: list = []
+        for n in norm.get("normalizers", [norm]):
+            k = n.get("type")
             if k in ("NFKC", "NFC", "NFKD", "NFD"):
-                return k.lower()
-            if k == "Precompiled":
+                ops.append(k.lower())
+            elif k == "Lowercase":
+                ops.append("lowercase")
+            elif k == "StripAccents":
+                ops.append("strip_accents")
+            elif k == "Replace":
+                pat = n.get("pattern", {})
+                lit = pat.get("String") if isinstance(pat, dict) else None
+                if lit is None:
+                    logger.warning("ignoring unsupported Replace pattern "
+                                   "%r in tokenizer.json", pat)
+                else:
+                    ops.append(("replace", lit, n.get("content", "")))
+            elif k == "Precompiled":
                 logger.warning(
                     "tokenizer.json uses a Precompiled (sentencepiece "
                     "charsmap) normalizer; approximating with NFKC — "
                     "identical for all but a handful of rare codepoints. "
                     "Pass normalizer= explicitly to silence this.")
-                return "nfkc"
-        return "none"
+                ops.append("nfkc")
+            elif k is not None:
+                logger.warning("ignoring unsupported normalizer %r in "
+                               "tokenizer.json", k)
+        if not ops:
+            return "none"
+        return ops[0] if len(ops) == 1 and isinstance(ops[0], str) else ops
 
     # -- pipeline ------------------------------------------------------------
     def _normalize(self, text: str) -> str:
-        if self.normalizer == "none":
-            return text
-        return unicodedata.normalize(self.normalizer.upper(), text)
+        ops = self.normalizer
+        if isinstance(ops, str):
+            ops = [] if ops == "none" else [ops]
+        for op in ops:
+            if isinstance(op, tuple):  # ("replace", pattern, content)
+                text = text.replace(op[1], op[2])
+            elif op == "lowercase":
+                # per-char like rust's Lowercase (no Final_Sigma context)
+                text = "".join(c.lower() for c in text)
+            elif op == "strip_accents":
+                # rust StripAccents removes Mn WITHOUT decomposing first
+                text = "".join(c for c in text
+                               if unicodedata.category(c) != "Mn")
+            else:
+                text = unicodedata.normalize(op.upper(), text)
+        return text
 
     def _metaspace(self, text: str) -> list[str]:
         """Metaspace pre-tokenization: map spaces to the marker, prepend

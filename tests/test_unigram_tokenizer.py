@@ -119,6 +119,33 @@ def test_decode(oracle_and_ours):
     assert ours.decode(ours.encode(s)) == s
 
 
+def test_albert_style_normalizer_sequence(tmp_path):
+    """ALBERT's sentencepiece pipeline: Replace + NFKD + Lowercase +
+    StripAccents in a Sequence — conformance vs the rust oracle."""
+    from tokenizers import (Tokenizer, models, normalizers,
+                            pre_tokenizers, trainers)
+    tok = Tokenizer(models.Unigram())
+    tok.normalizer = normalizers.Sequence([
+        normalizers.Replace("``", '"'),
+        normalizers.NFKD(), normalizers.Lowercase(),
+        normalizers.StripAccents()])
+    tok.pre_tokenizer = pre_tokenizers.Metaspace()
+    trainer = trainers.UnigramTrainer(
+        vocab_size=200, show_progress=False,
+        special_tokens=["<pad>", "<unk>", "[CLS]", "[SEP]", "[MASK]"],
+        unk_token="<unk>")
+    tok.train_from_iterator(CORPUS * 5, trainer)
+    path = tmp_path / "tokenizer.json"
+    tok.save(str(path))
+    ours = UnigramTokenizer.from_tokenizer_json(path)
+    assert isinstance(ours.normalizer, list)
+    prompts = PROMPTS + ["Naïve Café Protégé", "``quoted`` text",
+                         "ÜBER Zürich STRASSE", "İstanbul fiancée"]
+    oracle = tok
+    for p in prompts:
+        assert oracle.encode(p).ids == ours.tokenize_to_ids(p), repr(p)
+
+
 def test_unknown_chars_emit_unk(oracle_and_ours):
     oracle, ours = oracle_and_ours
     ref = oracle.encode("✨").ids
