@@ -15,7 +15,8 @@ def tokenizer_from_dir(model_dir):
     when vocab.txt is present (BERT family — the reference's only
     tokenizer, bert.cpp:470-495), byte-level BPE for vocab.json +
     merges.txt or a BPE tokenizer.json (RoBERTa family), Unigram for a
-    Unigram tokenizer.json (XLM-R family)."""
+    Unigram tokenizer.json OR a raw sentencepiece .model file
+    (XLM-R/ALBERT families; spiece.model parsed pure-Python)."""
     model_dir = Path(model_dir)
     if (model_dir / "vocab.txt").exists():
         return WordPieceTokenizer.from_pretrained(model_dir)
@@ -35,6 +36,12 @@ def tokenizer_from_dir(model_dir):
             f"unsupported tokenizer.json model type {kind!r} in "
             f"{model_dir} (WordPiece via vocab.txt, byte-level BPE, "
             f"and Unigram are supported)")
+    if any((model_dir / n).exists()
+           for n in ("spiece.model", "sentencepiece.bpe.model",
+                     "tokenizer.model")):
+        # raw sentencepiece model; style inferred from config.json
+        return UnigramTokenizer.from_pretrained(model_dir)
     raise FileNotFoundError(
         f"no tokenizer files in {model_dir} (vocab.txt, "
-        f"vocab.json+merges.txt, or tokenizer.json)")
+        f"vocab.json+merges.txt, tokenizer.json, or a sentencepiece "
+        f".model file)")

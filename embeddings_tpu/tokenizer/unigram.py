@@ -18,6 +18,12 @@ used for WordPiece and BPE.
 The reference engine has no analogue (WordPiece only, bert.cpp:199-417);
 this is a beyond-reference family addition.
 
+Checkpoints shipping only a raw sentencepiece ``.model`` file (no
+tokenizer.json) load through ``from_sentencepiece_model`` via the
+pure-Python ModelProto reader in ``spm.py`` — including the
+XLM-RoBERTa fairseq id remap and the ALBERT casing/accents
+preprocessing, matching what HF's slow->fast converter would produce.
+
 Note on real XLM-R checkpoints: their tokenizer.json carries a
 "Precompiled" normalizer (sentencepiece's frozen nmt_nfkc charsmap).
 That table differs from pure NFKC on a small set of codepoints; loading
@@ -30,6 +36,7 @@ from __future__ import annotations
 import json
 import logging
 import math
+import re
 import unicodedata
 from pathlib import Path
 from typing import Iterable, Sequence
@@ -80,15 +87,135 @@ class UnigramTokenizer:
     @classmethod
     def from_pretrained(cls, model_dir: str | Path,
                         **kw) -> "UnigramTokenizer":
+        """tokenizer.json if present, else a raw sentencepiece .model
+        file (spiece.model / sentencepiece.bpe.model) via the pure-
+        Python ModelProto reader — style/casing inferred from
+        config.json + tokenizer_config.json when available."""
         model_dir = Path(model_dir)
         tj = model_dir / "tokenizer.json"
-        if not tj.exists():
+        if tj.exists():
+            return cls.from_tokenizer_json(tj, **kw)
+        spm = next((p for n in ("spiece.model", "sentencepiece.bpe.model",
+                                "tokenizer.model")
+                    if (p := model_dir / n).exists()), None)
+        if spm is None:
             raise FileNotFoundError(
-                f"no tokenizer.json in {model_dir} (a sentencepiece "
-                f".model file alone cannot be read without the "
-                f"sentencepiece package — re-export the tokenizer with "
-                f"HF tokenizers to tokenizer.json)")
-        return cls.from_tokenizer_json(tj, **kw)
+                f"no tokenizer.json or sentencepiece .model file in "
+                f"{model_dir}")
+
+        def _cfg(name: str) -> dict:
+            p = model_dir / name
+            if p.exists():
+                with open(p, encoding="utf-8") as f:
+                    return json.load(f)
+            return {}
+
+        model_type = _cfg("config.json").get("model_type", "")
+        tok_cfg = _cfg("tokenizer_config.json")
+        if model_type == "xlm-roberta":
+            kw.setdefault("style", "xlm-roberta")
+        elif model_type == "albert":
+            kw.setdefault("style", "albert")
+            kw.setdefault("do_lower_case",
+                          bool(tok_cfg.get("do_lower_case", True)))
+            kw.setdefault("keep_accents",
+                          bool(tok_cfg.get("keep_accents", False)))
+        return cls.from_sentencepiece_model(spm, **kw)
+
+    @classmethod
+    def from_sentencepiece_model(cls, path: str | Path, *,
+                                 style: str = "sentencepiece",
+                                 do_lower_case: bool = False,
+                                 keep_accents: bool = True,
+                                 **kw) -> "UnigramTokenizer":
+        """Build from a raw sentencepiece ``.model`` file (no
+        tokenizer.json needed), mirroring HF's slow->fast conversion
+        (transformers convert_slow_tokenizer SpmConverter):
+
+        - ``style="sentencepiece"``: piece ids ARE token ids; specials
+          resolved from the trainer spec (preferring in-vocab
+          [CLS]/[SEP]/[MASK], the ALBERT convention).
+        - ``style="albert"``: plus the AlbertTokenizer preprocessing
+          (quote normalization; NFKD+StripAccents unless keep_accents;
+          Lowercase when do_lower_case).
+        - ``style="xlm-roberta"``: the fairseq id remap — vocab becomes
+          <s> <pad> </s> <unk> + pieces[3:] + <mask>, so ids match
+          XLMRobertaTokenizer(Fast) exactly.
+        """
+        from .spm import MODEL_UNIGRAM, parse_model
+        m = parse_model(Path(path).read_bytes())
+        if m.model_type != MODEL_UNIGRAM:
+            raise ValueError(
+                f"sentencepiece model_type {m.model_type} is not Unigram "
+                f"(=1); BPE-trained sentencepiece models are not "
+                f"supported — re-export with HF tokenizers")
+        if style == "xlm-roberta":
+            # fairseq offset: HF inserts <s> <pad> </s> <unk> at 0-3,
+            # drops sp's first three (<unk> <s> </s>), appends <mask>
+            vocab = ([("<s>", 0.0), ("<pad>", 0.0), ("</s>", 0.0),
+                      ("<unk>", 0.0)]
+                     + [(p.piece, p.score) for p in m.pieces[3:]]
+                     + [("<mask>", 0.0)])
+            kw.setdefault("unk_id", 3)
+            kw.setdefault("cls_token", "<s>")
+            kw.setdefault("sep_token", "</s>")
+            kw.setdefault("pad_token", "<pad>")
+            kw.setdefault("mask_token", "<mask>")
+        elif style in ("sentencepiece", "albert"):
+            vocab = [(p.piece, p.score) for p in m.pieces]
+            names = {p.piece for p in m.pieces}
+            kw.setdefault("unk_id", m.unk_id if m.unk_id >= 0 else None)
+            kw.setdefault("cls_token",
+                          "[CLS]" if "[CLS]" in names else m.bos_piece)
+            kw.setdefault("sep_token",
+                          "[SEP]" if "[SEP]" in names else m.eos_piece)
+            kw.setdefault("pad_token", m.pad_piece)
+            kw.setdefault("mask_token",
+                          "[MASK]" if "[MASK]" in names else "<mask>")
+        else:
+            raise ValueError(f"unknown sentencepiece style {style!r}")
+        kw.setdefault("byte_fallback", m.byte_fallback)
+        kw.setdefault("prepend_scheme",
+                      "always" if m.add_dummy_prefix else "never")
+        ops: list = []
+        if style == "albert":
+            ops += [("replace", "``", '"'), ("replace", "''", '"')]
+        if not keep_accents:
+            ops += ["nfkd", "strip_accents"]
+        if do_lower_case:
+            ops.append("lowercase")
+        name = m.normalizer_name
+        if name in ("nmt_nfkc", "nfkc"):
+            if m.has_precompiled_charsmap:
+                logger.warning(
+                    "sentencepiece model uses the %s precompiled "
+                    "charsmap; approximating with NFKC — identical for "
+                    "all but a handful of rare codepoints. Pass "
+                    "normalizer= explicitly to silence this.", name)
+            ops.append("nfkc")
+        elif name in ("nmt_nfkc_cf", "nfkc_cf"):
+            if m.has_precompiled_charsmap:
+                logger.warning(
+                    "sentencepiece model uses the %s precompiled "
+                    "charsmap; approximating with NFKC+Lowercase.", name)
+            ops += ["nfkc", "lowercase"]
+        elif name in ("identity", ""):
+            pass
+        else:
+            logger.warning("unknown sentencepiece normalizer %r; "
+                           "approximating with NFKC", name)
+            ops.append("nfkc")
+        if m.remove_extra_whitespaces:
+            # HF SpmConverter appends Replace(Regex(" {2,}"), " ")
+            ops.append("collapse_spaces")
+        kw.setdefault("normalizer", cls._fold_ops(ops))
+        return cls(vocab, **kw)
+
+    @staticmethod
+    def _fold_ops(ops: list) -> str | list:
+        if not ops:
+            return "none"
+        return ops[0] if len(ops) == 1 and isinstance(ops[0], str) else ops
 
     @classmethod
     def from_tokenizer_json(cls, path: str | Path,
@@ -132,11 +259,15 @@ class UnigramTokenizer:
             elif k == "Replace":
                 pat = n.get("pattern", {})
                 lit = pat.get("String") if isinstance(pat, dict) else None
-                if lit is None:
+                rex = pat.get("Regex") if isinstance(pat, dict) else None
+                if lit is not None:
+                    ops.append(("replace", lit, n.get("content", "")))
+                elif rex == " {2,}" and n.get("content") == " ":
+                    # HF SpmConverter's whitespace-collapse step
+                    ops.append("collapse_spaces")
+                else:
                     logger.warning("ignoring unsupported Replace pattern "
                                    "%r in tokenizer.json", pat)
-                else:
-                    ops.append(("replace", lit, n.get("content", "")))
             elif k == "Precompiled":
                 logger.warning(
                     "tokenizer.json uses a Precompiled (sentencepiece "
@@ -147,9 +278,7 @@ class UnigramTokenizer:
             elif k is not None:
                 logger.warning("ignoring unsupported normalizer %r in "
                                "tokenizer.json", k)
-        if not ops:
-            return "none"
-        return ops[0] if len(ops) == 1 and isinstance(ops[0], str) else ops
+        return UnigramTokenizer._fold_ops(ops)
 
     # -- pipeline ------------------------------------------------------------
     def _normalize(self, text: str) -> str:
@@ -166,6 +295,8 @@ class UnigramTokenizer:
                 # rust StripAccents removes Mn WITHOUT decomposing first
                 text = "".join(c for c in text
                                if unicodedata.category(c) != "Mn")
+            elif op == "collapse_spaces":
+                text = re.sub(" {2,}", " ", text)
             else:
                 text = unicodedata.normalize(op.upper(), text)
         return text
