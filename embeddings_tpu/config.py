@@ -41,6 +41,11 @@ class BertConfig:
     # num_hidden_layers times).
     embedding_size: int | None = None
     shared_layers: bool = False
+    # MPNet-family: T5-style bucketed relative position bias added to the
+    # attention logits, one [num_buckets, heads] table shared across
+    # layers. 0 = no relative attention (BERT).
+    relative_attention_num_buckets: int = 0
+    relative_attention_max_distance: int = 128
 
     # Sentence-embedding head (SentenceTransformers semantics).
     pooling: str = "mean"  # "mean" | "cls" | "max"
@@ -74,6 +79,20 @@ class BertConfig:
             overrides.setdefault("cls_token_id", int(d.get("bos_token_id", 0)))
             overrides.setdefault("sep_token_id", int(d.get("eos_token_id", 2)))
             overrides.setdefault("unk_token_id", 3)
+        if d.get("model_type") == "mpnet":
+            # MPNet: BERT's encoder block + T5-style relative position
+            # bias shared across layers; RoBERTa's embedding contract
+            # (padding_idx position offset, <s>/</s>/<pad> = 0/2/1, no
+            # token-type table — a zeros row is synthesized)
+            pad = int(d.get("pad_token_id", 1))
+            d = {**d, "pad_token_id": pad, "type_vocab_size": 1}
+            overrides.setdefault("position_offset", pad + 1)
+            overrides.setdefault("cls_token_id", int(d.get("bos_token_id", 0)))
+            overrides.setdefault("sep_token_id", int(d.get("eos_token_id", 2)))
+            overrides.setdefault("unk_token_id", 3)
+            overrides.setdefault(
+                "relative_attention_num_buckets",
+                int(d.get("relative_attention_num_buckets", 32)))
         if d.get("model_type") == "albert":
             # ALBERT: BERT's encoder math with factorized embeddings and
             # one shared layer applied num_hidden_layers times. All
@@ -229,6 +248,9 @@ KNOWN_MODELS: dict[str, dict[str, Any]] = {
     # position rows offset by 2, mean-pooled SentenceTransformers heads)
     "all-distilroberta-v1": dict(hidden_size=768, num_hidden_layers=6, num_attention_heads=12, intermediate_size=3072, type_vocab_size=1, position_offset=2),
     "paraphrase-distilroberta-base-v2": dict(hidden_size=768, num_hidden_layers=6, num_attention_heads=12, intermediate_size=3072, type_vocab_size=1, position_offset=2),
+    # MPNet family (beyond the reference; relative position bias)
+    "all-mpnet-base-v2": dict(hidden_size=768, num_hidden_layers=12, num_attention_heads=12, intermediate_size=3072, type_vocab_size=1, position_offset=2, relative_attention_num_buckets=32),
+    "multi-qa-mpnet-base-dot-v1": dict(hidden_size=768, num_hidden_layers=12, num_attention_heads=12, intermediate_size=3072, type_vocab_size=1, position_offset=2, relative_attention_num_buckets=32, pooling="cls", normalize_embeddings=False),
     # DistilBERT family (beyond the reference; loader translates names)
     "distilbert-base-uncased": dict(hidden_size=768, num_hidden_layers=6, num_attention_heads=12, intermediate_size=3072, type_vocab_size=1),
     "multi-qa-distilbert-cos-v1": dict(hidden_size=768, num_hidden_layers=6, num_attention_heads=12, intermediate_size=3072, type_vocab_size=1),

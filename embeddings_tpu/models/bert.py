@@ -105,6 +105,41 @@ def _scan_layers(params: Params, config: BertConfig, x: jax.Array,
     return x
 
 
+def _relative_position_bucket(rel: jax.Array, num_buckets: int,
+                              max_distance: int) -> jax.Array:
+    """T5/MPNet bidirectional relative-position bucketing (HF
+    modeling_mpnet.py relative_position_bucket): half the buckets for
+    each sign; within a sign, exact buckets up to num_buckets/4, then
+    log-spaced out to max_distance."""
+    n = -rel
+    half = num_buckets // 2
+    ret = jnp.where(n < 0, half, 0)
+    n = jnp.abs(n)
+    max_exact = half // 2
+    val_if_large = max_exact + (
+        jnp.log(jnp.maximum(n, 1).astype(jnp.float32) / max_exact)
+        / math.log(max_distance / max_exact)
+        * (half - max_exact)).astype(jnp.int32)
+    val_if_large = jnp.minimum(val_if_large, half - 1)
+    return ret + jnp.where(n < max_exact, n, val_if_large)
+
+
+def relative_attention_bias(table: jax.Array, position_ids: jax.Array,
+                            config: BertConfig) -> jax.Array:
+    """MPNet relative position bias: [num_buckets, H] table ->
+    additive [B, H, Lq, Lk] attention-logit bias, shared across layers
+    (HF MPNetEncoder.compute_position_bias). position_ids [B, L] (or
+    [1, L] for the standard 0..L-1 case — broadcasts over the batch).
+    Under tensor parallelism the table arrives head-sharded, so H here
+    is the local head count."""
+    rel = position_ids[:, None, :] - position_ids[:, :, None]  # [B, L, L]
+    bucket = _relative_position_bucket(
+        rel, config.relative_attention_num_buckets,
+        config.relative_attention_max_distance)
+    values = jnp.take(table, bucket, axis=0)       # [B, L, L, H]
+    return jnp.transpose(values, (0, 3, 1, 2)).astype(jnp.float32)
+
+
 def _fused_attn_dispatch(qkv2d, lengths, segments, B, L, H, D,
                          attn_window=0):
     from ..ops import attention as attn_ops
@@ -270,6 +305,17 @@ def encode_tokens(params: Params, config: BertConfig, token_ids: jax.Array,
     lengths = (jnp.sum(attention_mask.astype(jnp.int32), axis=1)
                if prefix_mask else None)
 
+    rel = params.get("rel_bias")
+    if rel is not None:
+        # MPNet: fold the shared relative position bias into the additive
+        # mask ([B,1,1,L] + [1,H,L,L] -> [B,H,L,L]) and route attention
+        # through the additive-mask einsum path — the fused VMEM kernel
+        # has no bias operand (its in-kernel mask is lengths-only)
+        L = token_ids.shape[1]
+        mask_bias = mask_bias + relative_attention_bias(
+            rel, jnp.arange(L)[None], config)
+        lengths = None
+
     # lax.scan over (stacked or shared) layer params: one compiled block.
     x = _scan_layers(params, config, x,
                      lambda layer, h: encoder_layer(
@@ -330,10 +376,21 @@ def encode_packed(params: Params, config: BertConfig, token_ids: jax.Array,
         x = x.astype(jnp.dtype(compute_dtype))
     x = _project_embeddings(params, x)
 
+    rel = params.get("rel_bias")
+    if rel is not None:
+        # MPNet packed rows: bias from the per-segment-restarting
+        # position ids (cross-segment entries are masked out anyway);
+        # einsum path — the segmented kernels have no bias operand
+        mask_bias = mask_bias + relative_attention_bias(
+            rel, position_ids, config)
+        seg_for_attn = None
+    else:
+        seg_for_attn = seg_ids
+
     x = _scan_layers(params, config, x,
                      lambda layer, h: encoder_layer(
                          layer, config, h, mask_bias, None,
-                         tp_axis=tp_axis, segments=seg_ids,
+                         tp_axis=tp_axis, segments=seg_for_attn,
                          attn_window=attn_window))
     pooled = jnp.einsum("bsl,ble->bse", pool_weights, x.astype(jnp.float32))
     if normalize:

@@ -91,7 +91,13 @@ def init_params(config: BertConfig, rng: jax.Array | int = 0,
                    "bias": jnp.zeros((NL, E), jnp.float32)},
         },
     }
-    return {"embeddings": emb, "layers": layers}
+    out: Params = {"embeddings": emb, "layers": layers}
+    if config.relative_attention_num_buckets:
+        out["rel_bias"] = (jax.random.normal(
+            next(keys), (config.relative_attention_num_buckets,
+                         config.num_attention_heads)) * std
+            ).astype(jnp.float32)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -104,13 +110,13 @@ def _strip_prefix(sd: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
     # prefix; the architecture differences (position-embedding offset,
     # BPE tokenizer, one token-type row) live in config.position_offset
     # and the tokenizer dispatch, not in the tensor mapping
-    for prefix in ("bert.", "roberta.", "albert.", "distilbert.",
+    for prefix in ("bert.", "roberta.", "albert.", "mpnet.", "distilbert.",
                    "0.auto_model."):
         if any(k.startswith(prefix + "embeddings") for k in sd):
             sd = {k[len(prefix):]: v for k, v in sd.items()
                   if k.startswith(prefix)}
             break
-    return _translate_albert(_translate_distilbert(sd))
+    return _translate_mpnet(_translate_albert(_translate_distilbert(sd)))
 
 
 # DistilBERT layer-tensor names -> BERT names (the math is identical:
@@ -191,6 +197,46 @@ def _translate_albert(sd: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
     return out
 
 
+# MPNet layer-tensor names -> BERT names (same post-LN block; the only
+# architectural delta — the shared relative-attention-bias table — is
+# carried as the top-level "rel_bias" param)
+_MPNET_LAYER_MAP = {
+    "attention.attn.q": "attention.self.query",
+    "attention.attn.k": "attention.self.key",
+    "attention.attn.v": "attention.self.value",
+    "attention.attn.o": "attention.output.dense",
+    "attention.LayerNorm": "attention.output.LayerNorm",
+    "intermediate.dense": "intermediate.dense",
+    "output.dense": "output.dense",
+    "output.LayerNorm": "output.LayerNorm",
+}
+
+
+def _translate_mpnet(sd: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+    """Rewrite an MPNet state dict into BERT naming (+ the shared
+    relative-position-bias table as "rel_bias"); no-op otherwise."""
+    if not any(".attention.attn.q." in k for k in sd):
+        return sd
+    out: dict[str, np.ndarray] = {}
+    for k, v in sd.items():
+        if k.startswith("encoder.layer."):
+            _, _, i, rest = k.split(".", 3)
+            stem, _, leaf = rest.rpartition(".")
+            mapped = _MPNET_LAYER_MAP.get(stem)
+            if mapped is not None:
+                out[f"encoder.layer.{i}.{mapped}.{leaf}"] = v
+        elif k == "encoder.relative_attention_bias.weight":
+            out["rel_bias"] = v  # [num_buckets, num_heads]
+        else:
+            out[k] = v  # embeddings.* names already match BERT's
+    emb = out.get("embeddings.word_embeddings.weight")
+    if emb is not None:
+        # MPNet has no token-type table; synthesize a zeros row
+        out.setdefault("embeddings.token_type_embeddings.weight",
+                       np.zeros((1, emb.shape[1]), np.float32))
+    return out
+
+
 def from_hf_state_dict(sd: dict[str, np.ndarray], config: BertConfig,
                        dtype=jnp.float32) -> Params:
     """Map a HF BERT state dict to our pytree.
@@ -249,7 +295,12 @@ def from_hf_state_dict(sd: dict[str, np.ndarray], config: BertConfig,
             "ln": stack_ln("encoder.layer.{}.output.LayerNorm"),
         },
     }
-    return {"embeddings": emb, "layers": layers}
+    out: Params = {"embeddings": emb, "layers": layers}
+    if "rel_bias" in sd:
+        # MPNet shared relative-attention-bias table [buckets, heads];
+        # stays f32 (tiny, added to f32 attention logits)
+        out["rel_bias"] = jnp.asarray(sd["rel_bias"], jnp.float32)
+    return out
 
 
 def load_hf_dir(model_dir: str | Path, dtype=jnp.float32,
@@ -291,6 +342,11 @@ def to_hf_state_dict(params: Params) -> dict[str, np.ndarray]:
             "ALBERT-family params (factorized embeddings / shared layers) "
             "have no BERT-named state-dict form — the ggml/GGUF export "
             "formats cannot represent them")
+    if "rel_bias" in params:
+        raise ValueError(
+            "MPNet-family params (relative attention bias) have no "
+            "BERT-named state-dict form — the ggml/GGUF export formats "
+            "cannot represent them")
     sd: dict[str, np.ndarray] = {
         "embeddings.word_embeddings.weight": dense(emb["word"]),
         "embeddings.position_embeddings.weight": dense(emb["position"]),
@@ -412,7 +468,7 @@ def cast_params(params: Params, kind: str) -> Params:
             # dense weights (re-quantization path), not a silently
             # still-quantized tensor labeled f32
             x = dequantize(x)
-        if x.ndim >= 2 and "ln" not in name:
+        if x.ndim >= 2 and "ln" not in name and "rel_bias" not in name:
             return x.astype(target)
         return x
 

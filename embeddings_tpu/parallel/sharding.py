@@ -108,7 +108,7 @@ def param_pspecs(params: Params, mesh: Mesh) -> Params:
     if "proj" in params["embeddings"]:
         # ALBERT factorized-embedding projection: small, replicated
         emb_specs["proj"] = {"w": rep2, "b": P(None)}
-    return {
+    specs: Params = {
         "embeddings": emb_specs,
         "layers": {
             "attn": {
@@ -125,6 +125,15 @@ def param_pspecs(params: Params, mesh: Mesh) -> Params:
             },
         },
     }
+    if "rel_bias" in params:
+        # MPNet relative-bias table [buckets, H]: head axis follows the
+        # column-parallel q/k/v head split so each shard biases exactly
+        # its local heads (falls back to replicated on non-divisible H)
+        spec = P(None, MODEL_AXIS)
+        if not _divisible(params["rel_bias"].shape, spec, mesh):
+            spec = P(None, None)
+        specs["rel_bias"] = spec
+    return specs
 
 
 def adapt_packed_params(params: Params, mesh: Mesh) -> Params:

@@ -238,13 +238,20 @@ class WordPieceTokenizer:
         self.tokenize_chinese_chars = tokenize_chinese_chars
         self.max_input_chars_per_word = max_input_chars_per_word
         get = vocab.token_to_id.get
-        # The reference hardcodes 101/102/100 (bert.cpp:304-306); we look the
-        # ids up from the vocab and fall back to those values.
-        self.cls_id = get(cls_token, 101)
-        self.sep_id = get(sep_token, 102)
-        self.unk_id = get(unk_token, 100)
-        self.pad_id = get(pad_token, 0)
-        self.mask_id = get(mask_token, 103)
+
+        def lookup(configured: str, alt: str, fallback: int) -> int:
+            # The reference hardcodes 101/102/100 (bert.cpp:304-306); we
+            # look ids up from the vocab — trying the RoBERTa-style name
+            # too (MPNet ships vocab.txt with <s>/</s>/<pad> specials) —
+            # and fall back to those values.
+            i = get(configured)
+            return i if i is not None else get(alt, fallback)
+
+        self.cls_id = lookup(cls_token, "<s>", 101)
+        self.sep_id = lookup(sep_token, "</s>", 102)
+        self.unk_id = lookup(unk_token, "<unk>", 100)
+        self.pad_id = lookup(pad_token, "<pad>", 0)
+        self.mask_id = lookup(mask_token, "<mask>", 103)
 
     # -- construction helpers ------------------------------------------------
     @classmethod
