@@ -154,6 +154,35 @@ def check_attention(results, rng):
                     "ok": bool(err < 3e-2)})
     print(json.dumps(results[-1]), flush=True)
 
+    # bias kernel (MPNet relative position bias): whole-row grid at
+    # L=256 and the blocked-query bias grid (Lq=128) at L=512
+    for Bb, Lb in ((B, 256), (4, 512)):
+        qkvb = jnp.asarray(rng.standard_normal((Bb * Lb, 3 * E)) * 0.3,
+                           jnp.bfloat16)
+        lensb = jnp.asarray(np.clip(rng.integers(8, Lb + 1, Bb), 8, Lb),
+                            jnp.int32)
+        bias_hll = (rng.standard_normal((H, Lb, Lb)) * 2.0).astype(
+            np.float32)
+        bias4 = A.prepare_attention_bias(jnp.asarray(bias_hll)[None], Lb)
+        gotb = np.asarray(A.fused_attention_bias(
+            qkvb, lensb, bias4, B=Bb, L=Lb, H=H, D=D), np.float32)
+        qb = np.asarray(qkvb[:, :E], np.float32).reshape(Bb, Lb, H, D)
+        kb = np.asarray(qkvb[:, E:2 * E], np.float32).reshape(Bb, Lb, H, D)
+        vb = np.asarray(qkvb[:, 2 * E:], np.float32).reshape(Bb, Lb, H, D)
+        maskb = np.arange(Lb)[None, :] < np.asarray(lensb)[:, None]
+        s = np.einsum("blhd,bmhd->bhlm", qb, kb) / np.sqrt(D)
+        s = s + bias_hll[None]
+        s = np.where(maskb[:, None, None, :], s, -1e9)
+        p = np.exp(s - s.max(-1, keepdims=True))
+        p /= p.sum(-1, keepdims=True)
+        refb = np.einsum("bhlm,bmhd->blhd", p, vb).reshape(Bb * Lb, E)
+        validb = maskb.reshape(Bb * Lb)
+        err = float(np.abs(gotb[validb] - refb[validb]).max())
+        results.append({"op": "fused_attention_bias", "kind": "bf16",
+                        "K": Lb, "N": E, "max_abs_err": err,
+                        "ok": bool(err < 3e-2)})
+        print(json.dumps(results[-1]), flush=True)
+
     # CP kernel: local-query/global-KV (the sp=4 shard shape at L=512)
     Bc, Lc, Lf = 8, 128, 512
     q2 = jnp.asarray(rng.standard_normal((Bc * Lc, E)) * 0.3, jnp.bfloat16)

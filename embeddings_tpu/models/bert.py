@@ -141,8 +141,12 @@ def relative_attention_bias(table: jax.Array, position_ids: jax.Array,
 
 
 def _fused_attn_dispatch(qkv2d, lengths, segments, B, L, H, D,
-                         attn_window=0):
+                         attn_window=0, bias4=None):
     from ..ops import attention as attn_ops
+    if bias4 is not None:
+        # MPNet relative position bias folded into the fused kernel
+        return attn_ops.fused_attention_bias(qkv2d, lengths, bias4,
+                                             B=B, L=L, H=H, D=D)
     if segments is not None:
         nK = L // attn_ops.BQ
         if (L > attn_ops.BQ and L % attn_ops.BQ == 0
@@ -166,7 +170,8 @@ def attention_context(layer: Params, config: BertConfig, x: jax.Array,
                       mask_bias: jax.Array,
                       lengths: jax.Array | None = None,
                       segments: jax.Array | None = None,
-                      attn_window: int = 0) -> jax.Array:
+                      attn_window: int = 0,
+                      bias4: jax.Array | None = None) -> jax.Array:
     """Pad-masked multi-head self-attention, up to (not including) the
     output projection (bert.cpp:994-1036). Returns [B, L, E_local]
     context. Under shard_map tensor parallelism the q/k/v weights are
@@ -189,7 +194,8 @@ def attention_context(layer: Params, config: BertConfig, x: jax.Array,
         if want_fused and _use_pallas() and attn_ops.supported(L, H, D):
             # fully fused VMEM attention: scores/probs never touch HBM
             ctx = _fused_attn_dispatch(qkv.reshape(B * L, 3 * El), lengths,
-                                       segments, B, L, H, D, attn_window)
+                                       segments, B, L, H, D, attn_window,
+                                       bias4)
             return ctx.reshape(B, L, El)
         q = qkv[..., :El].reshape(B, L, H, D)
         k = qkv[..., El:2 * El].reshape(B, L, H, D)
@@ -203,7 +209,8 @@ def attention_context(layer: Params, config: BertConfig, x: jax.Array,
             v = linear(x, a["v"]["w"], a["v"]["b"])
             qkv = jnp.concatenate([q, k, v], axis=-1)
             ctx = _fused_attn_dispatch(qkv.reshape(B * L, 3 * El), lengths,
-                                       segments, B, L, H, D, attn_window)
+                                       segments, B, L, H, D, attn_window,
+                                       bias4)
             return ctx.reshape(B, L, El)
         q = q.reshape(B, L, H, D)
         k = linear(x, a["k"]["w"], a["k"]["b"]).reshape(B, L, H, D)
@@ -235,7 +242,8 @@ def encoder_layer(layer: Params, config: BertConfig, x: jax.Array,
                   lengths: jax.Array | None = None,
                   tp_axis: str | None = None,
                   segments: jax.Array | None = None,
-                  attn_window: int = 0) -> jax.Array:
+                  attn_window: int = 0,
+                  bias4: jax.Array | None = None) -> jax.Array:
     """One transformer encoder block (post-LN, bert.cpp:987-1084).
 
     Single-device: the two residual+LayerNorm steps run fused inside the
@@ -247,7 +255,7 @@ def encoder_layer(layer: Params, config: BertConfig, x: jax.Array,
     a, m = layer["attn"], layer["mlp"]
     eps = config.layer_norm_eps
     ctx = attention_context(layer, config, x, mask_bias, lengths, segments,
-                            attn_window)
+                            attn_window, bias4)
     act = "gelu_tanh" if config.hidden_act == "gelu_tanh" else "gelu"
     if tp_axis is not None:
         x = _row_parallel_residual_ln(ctx, a["o"]["w"], a["o"]["b"], x,
@@ -306,21 +314,30 @@ def encode_tokens(params: Params, config: BertConfig, token_ids: jax.Array,
                if prefix_mask else None)
 
     rel = params.get("rel_bias")
+    bias4 = None
     if rel is not None:
-        # MPNet: fold the shared relative position bias into the additive
-        # mask ([B,1,1,L] + [1,H,L,L] -> [B,H,L,L]) and route attention
-        # through the additive-mask einsum path — the fused VMEM kernel
-        # has no bias operand (its in-kernel mask is lengths-only)
+        # MPNet shared relative position bias. Fast path: the fused VMEM
+        # kernel takes the bias as a [nQ, H_local, Lq, L] operand —
+        # computed ONCE here (batch-independent) and reused by every
+        # layer. Otherwise fold it into the additive mask ([B,1,1,L] +
+        # [1,H,L,L] -> [B,H,L,L]) and take the einsum path.
+        from ..ops import attention as attn_ops
+        from ..ops.linear import _use_pallas
         L = token_ids.shape[1]
-        mask_bias = mask_bias + relative_attention_bias(
-            rel, jnp.arange(L)[None], config)
-        lengths = None
+        bias = relative_attention_bias(rel, jnp.arange(L)[None], config)
+        H_local, D = rel.shape[1], config.head_dim
+        if (prefix_mask and _use_pallas()
+                and attn_ops.bias_supported(L, H_local, D)):
+            bias4 = attn_ops.prepare_attention_bias(bias, L)
+        else:
+            mask_bias = mask_bias + bias
+            lengths = None
 
     # lax.scan over (stacked or shared) layer params: one compiled block.
     x = _scan_layers(params, config, x,
                      lambda layer, h: encoder_layer(
                          layer, config, h, mask_bias, lengths,
-                         tp_axis=tp_axis))
+                         tp_axis=tp_axis, bias4=bias4))
 
     if return_hidden:
         return x.astype(jnp.float32)

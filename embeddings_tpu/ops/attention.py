@@ -107,6 +107,120 @@ def supported(L: int, H: int, D: int) -> bool:
             and (L <= 512 or L % BQ == 0))
 
 
+def _attn_kernel_bias(lengths_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, *,
+                      Lq: int, L: int, D: int, H: int, scale: float):
+    """_attn_kernel + an additive attention-logit bias (MPNet's relative
+    position bias). bias_ref is this query block's [1, H, Lq, L] tile of
+    the precomputed log2-scaled bias (models/bert.relative_attention_bias
+    output via prepare_attention_bias) — batch-independent, shared across
+    layers, so one [nQ, H, Lq, L] array serves the whole forward."""
+    b = pl.program_id(0)
+    n = lengths_ref[b]
+    key_ok = jax.lax.broadcasted_iota(jnp.int32, (Lq, L), 1) < n
+    s2 = scale * LOG2E
+    clamp_hi = _clamp_hi(L)
+    aug_col = jax.lax.broadcasted_iota(jnp.int32, (L, 2 * D), 1)
+    for h in range(H):
+        sl = slice(h * D, (h + 1) * D)
+        q = q_ref[:, sl]
+        k = k_ref[:, sl]
+        vaug = jnp.where(aug_col == D, jnp.ones((), v_ref.dtype),
+                         jnp.pad(v_ref[:, sl], ((0, 0), (0, D))))
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * s2
+        s = s + bias_ref[0, h]
+        # clamp AFTER the bias add: the no-overflow bound must hold for
+        # the final exponent
+        s = jnp.clip(s, _CLAMP_LO, clamp_hi)
+        p = jnp.where(key_ok, jnp.exp2(s), 0.0).astype(q.dtype)
+        of = jax.lax.dot(p, vaug, preferred_element_type=jnp.float32)
+        denom = jnp.maximum(of[:, D:D + 1], 1e-30)
+        o_ref[:, sl] = (of[:, :D] * (1.0 / denom)).astype(o_ref.dtype)
+
+
+def _query_block_bias(L: int) -> int:
+    """Query rows per grid step for the bias kernel: the bias tile is
+    [H, Lq, L] f32 VMEM on top of _attn_kernel's operands, so drop to
+    128-row query blocks earlier (L=512 whole-row would put a 12.6 MB
+    bias tile next to ~3 MB of qkv/out)."""
+    return L if L <= 256 else BQ
+
+
+def bias_supported(L: int, H: int, D: int) -> bool:
+    """supported() + the bias tile must leave VMEM room: [H, Lq, L] f32
+    capped at 8 MB (half of scoped VMEM)."""
+    return (supported(L, H, D)
+            and H * _query_block_bias(L) * L * 4 <= 8 * 1024 * 1024)
+
+
+def prepare_attention_bias(bias: jax.Array, L: int) -> jax.Array:
+    """[1, H, L, L] additive logit bias -> the kernel's [nQ, H, Lq, L]
+    block-major layout, pre-scaled by log2(e) (the kernel's exponent is
+    base-2). Computed once per forward; shared by every layer."""
+    H = bias.shape[1]
+    Lq = _query_block_bias(L)
+    nQ = L // Lq
+    b = (bias[0] * LOG2E).astype(jnp.float32)       # [H, L, L]
+    return jnp.transpose(b.reshape(H, nQ, Lq, L), (1, 0, 2, 3))
+
+
+@functools.partial(jax.jit, static_argnames=("B", "L", "H", "D",
+                                             "mask_value", "interpret"))
+def fused_attention_bias(qkv: jax.Array, lengths: jax.Array,
+                         bias: jax.Array, *, B: int, L: int, H: int,
+                         D: int, mask_value: float = -1e9,
+                         interpret: bool = False) -> jax.Array:
+    """fused_attention + additive attention-logit bias (MPNet).
+
+    qkv [B*L, 3*H*D] and lengths as in fused_attention; bias
+    [nQ, H, Lq, L] f32 from prepare_attention_bias (batch-independent —
+    the relative-position bias depends only on query/key positions).
+    """
+    E = H * D
+    M = B * L
+    Lq = _query_block_bias(L)
+    nQ = L // Lq
+    assert qkv.shape == (M, 3 * E), (qkv.shape, (M, 3 * E))
+    assert bias.shape == (nQ, H, Lq, L), (bias.shape, (nQ, H, Lq, L))
+    assert bias_supported(L, H, D), (L, H, D)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, nQ),
+        in_specs=[
+            pl.BlockSpec((Lq, E), lambda b, qb, *_: (b * nQ + qb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, E), lambda b, qb, *_: (b, 1),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, E), lambda b, qb, *_: (b, 2),
+                         memory_space=pltpu.VMEM),
+            # bias: depends on qb alone — refetched only per query block
+            pl.BlockSpec((1, H, Lq, L), lambda b, qb, *_: (qb, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((Lq, E), lambda b, qb, *_: (b * nQ + qb, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    kernel = functools.partial(_attn_kernel_bias, Lq=Lq, L=L, D=D, H=H,
+                               scale=1.0 / (D ** 0.5))
+    flops = 2 * 2 * B * H * L * L * D
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((M, E), qkv.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=(M * 4 * E * qkv.dtype.itemsize
+                            + H * L * L * 4),
+            transcendentals=B * H * L * L),
+        interpret=interpret,
+    )(lengths, qkv, qkv, qkv, bias)
+
+
 def _attn_kernel_segmented(q_ref, k_ref, v_ref, segq_ref, segk_ref, o_ref, *,
                            Lq: int, L: int, D: int, H: int, scale: float):
     """Same softmax/PV structure as _attn_kernel, but the key mask comes

@@ -170,3 +170,83 @@ def test_fused_segmented_blocked_grid_long_rows(rng):
     valid = (seg >= 0).reshape(B * L)
     np.testing.assert_allclose(got[valid], ref[valid], atol=2e-3,
                                rtol=1e-2)
+
+
+def biased_einsum_ref(qkv, lengths, bias_hll, B, L, H, D,
+                      mask_value=-1e9):
+    """einsum path with an additive [H, L, L] logit bias (MPNet)."""
+    E = H * D
+    q = qkv[:, :E].reshape(B, L, H, D)
+    k = qkv[:, E:2 * E].reshape(B, L, H, D)
+    v = qkv[:, 2 * E:].reshape(B, L, H, D)
+    mask = (np.arange(L)[None, :] < np.asarray(lengths)[:, None])
+    mb = np.where(mask, 0.0, mask_value)[:, None, None, :]
+    s = jnp.einsum("blhd,bmhd->bhlm", q, k,
+                   preferred_element_type=jnp.float32)
+    s = s / math.sqrt(D) + mb + bias_hll[None]
+    p = jax.nn.softmax(s, axis=-1).astype(q.dtype)
+    ctx = jnp.einsum("bhlm,bmhd->blhd", p, v,
+                     preferred_element_type=jnp.float32)
+    return np.asarray(ctx.reshape(B * L, E), np.float32)
+
+
+@pytest.mark.parametrize("B,L,H,D", [(2, 16, 4, 32), (1, 32, 2, 64),
+                                     (2, 384, 2, 64)])
+def test_fused_attention_bias_matches_einsum(B, L, H, D, rng):
+    """Bias variant (MPNet relative position bias): incl. one L>256 case
+    exercising the blocked-query bias grid (Lq=128)."""
+    from embeddings_tpu.ops.attention import (bias_supported,
+                                              fused_attention_bias,
+                                              prepare_attention_bias)
+    assert bias_supported(L, H, D)
+    E = H * D
+    qkv = jnp.asarray(rng.standard_normal((B * L, 3 * E)), jnp.float32)
+    lengths = jnp.asarray([max(1, L - 5 * i) for i in range(B)], jnp.int32)
+    bias_hll = rng.standard_normal((H, L, L)).astype(np.float32) * 2.0
+    bias4 = prepare_attention_bias(jnp.asarray(bias_hll)[None], L)
+    got = np.asarray(fused_attention_bias(qkv, lengths, bias4,
+                                          B=B, L=L, H=H, D=D,
+                                          interpret=True), np.float32)
+    ref = biased_einsum_ref(np.asarray(qkv), lengths, bias_hll, B, L, H, D)
+    for b in range(B):
+        n = int(lengths[b])
+        np.testing.assert_allclose(got[b * L: b * L + n],
+                                   ref[b * L: b * L + n],
+                                   atol=2e-3, rtol=1e-2)
+
+
+def test_mpnet_forward_uses_fused_bias_kernel(rng):
+    """encode_tokens routes MPNet attention through the bias kernel when
+    pallas is forced on, matching the einsum path bit-closely."""
+    import functools
+    import importlib
+    from unittest import mock
+
+    from embeddings_tpu.config import BertConfig
+    from embeddings_tpu.models import bert, params as P
+    from embeddings_tpu.ops import attention as attn_ops
+    linear_mod = importlib.import_module("embeddings_tpu.ops.linear")
+
+    cfg = BertConfig(vocab_size=128, hidden_size=128, num_hidden_layers=2,
+                     num_attention_heads=2, intermediate_size=256,
+                     max_position_embeddings=64, type_vocab_size=1,
+                     relative_attention_num_buckets=16)
+    params = P.init_params(cfg, rng=0)
+    assert "rel_bias" in params
+    ids = jnp.asarray(rng.integers(5, 128, (2, 16)), jnp.int32)
+    mask = jnp.ones((2, 16), jnp.int32)
+    ref = np.asarray(bert.encode_tokens(params, cfg, ids, mask))
+
+    calls = []
+    orig = attn_ops.fused_attention_bias
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw, interpret=True)
+
+    with mock.patch.object(linear_mod, "_use_pallas", lambda: True), \
+         mock.patch.object(attn_ops, "fused_attention_bias",
+                           functools.partial(spy)):
+        got = np.asarray(bert.encode_tokens(params, cfg, ids, mask))
+    assert calls, "bias kernel was not dispatched"
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-3)
