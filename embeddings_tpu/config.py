@@ -30,7 +30,9 @@ class BertConfig:
     max_position_embeddings: int = 512
     type_vocab_size: int = 2
     layer_norm_eps: float = 1e-12
-    hidden_act: str = "gelu"  # "gelu" (erf, HF default) or "gelu_tanh" (ggml's)
+    # "gelu" (erf, HF default), "gelu_tanh" (ggml's), or "silu"
+    # (gated-MLP models — see gated_mlp)
+    hidden_act: str = "gelu"
     # RoBERTa-family position-embedding offset: position row for token i
     # is i + position_offset (HF reserves rows 0..pad_token_id for the
     # padding_idx convention; RoBERTa uses pad_token_id+1 = 2). 0 = BERT.
@@ -46,6 +48,17 @@ class BertConfig:
     # layers. 0 = no relative attention (BERT).
     relative_attention_num_buckets: int = 0
     relative_attention_max_distance: int = 128
+    # Rotary family (RoFormer, nomic-bert-2048): "rotary" drops the
+    # learned position table and rotates each head's q/k pairwise by
+    # position-dependent angles (ops/rotary.py). rotary_interleaved
+    # picks the pairing convention: True = (x0,x1)(x2,x3)... (RoFormer /
+    # GPT-J), False = (x0,x_{D/2})... (GPT-NeoX / flash-attn / nomic).
+    position_embedding_type: str = "absolute"  # "absolute" | "rotary"
+    rotary_base: float = 10000.0
+    rotary_interleaved: bool = False
+    # Gated MLP (nomic-bert "swiglu"/"geglu"): down(act(gate(x)) * up(x))
+    # instead of down(act(up(x))); hidden_act supplies act.
+    gated_mlp: bool = False
 
     # Sentence-embedding head (SentenceTransformers semantics).
     pooling: str = "mean"  # "mean" | "cls" | "max"
@@ -107,6 +120,47 @@ class BertConfig:
                                  int(d.get("embedding_size", 128)))
             overrides.setdefault("shared_layers", True)
             d = {**d, "hidden_act": d.get("hidden_act", "gelu_new")}
+        if d.get("model_type") == "roformer":
+            # RoFormer: BERT's block with rotary q/k (interleaved
+            # pairing) instead of a learned position table; optional
+            # factorized embeddings (embedding_size != hidden_size).
+            if d.get("rotary_value"):
+                raise ValueError("rotary_value=True RoFormer models "
+                                 "(rotary applied to V) are not supported")
+            overrides.setdefault("position_embedding_type", "rotary")
+            overrides.setdefault("rotary_interleaved", True)
+            es = d.get("embedding_size")
+            if es is not None and es != d["hidden_size"]:
+                overrides.setdefault("embedding_size", int(es))
+        if d.get("model_type") == "nomic_bert":
+            # nomic-bert-2048 (nomic-embed-text-v1/v1.5): BERT block with
+            # half-split rotary q/k and a SwiGLU gated MLP; GPT2-style
+            # hparam names. Post-norm only (prenorm unsupported), full
+            # rotary fraction only.
+            if d.get("prenorm"):
+                raise ValueError("prenorm nomic-bert models are not "
+                                 "supported (post-LN only)")
+            if float(d.get("rotary_emb_fraction", 1.0)) != 1.0:
+                raise ValueError("partial rotary_emb_fraction is not "
+                                 "supported")
+            act = d.get("activation_function", "swiglu")
+            gated = act in ("swiglu", "geglu")
+            d = {**d,
+                 "hidden_size": d["n_embd"],
+                 "num_hidden_layers": d["n_layer"],
+                 "num_attention_heads": d["n_head"],
+                 "intermediate_size": d.get("n_inner") or 4 * d["n_embd"],
+                 "max_position_embeddings": d.get("n_positions", 2048),
+                 "layer_norm_eps": d.get("layer_norm_epsilon", 1e-12),
+                 "hidden_act": {"swiglu": "silu", "geglu": "gelu"}.get(
+                     act, act)}
+            overrides.setdefault("position_embedding_type", "rotary")
+            overrides.setdefault("rotary_interleaved",
+                                 bool(d.get("rotary_emb_interleaved",
+                                            False)))
+            overrides.setdefault("rotary_base",
+                                 float(d.get("rotary_emb_base", 1000.0)))
+            overrides.setdefault("gated_mlp", gated)
         if d.get("model_type") == "distilbert":
             d = {**d,
                  "hidden_size": d["dim"],
@@ -251,6 +305,13 @@ KNOWN_MODELS: dict[str, dict[str, Any]] = {
     # MPNet family (beyond the reference; relative position bias)
     "all-mpnet-base-v2": dict(hidden_size=768, num_hidden_layers=12, num_attention_heads=12, intermediate_size=3072, type_vocab_size=1, position_offset=2, relative_attention_num_buckets=32),
     "multi-qa-mpnet-base-dot-v1": dict(hidden_size=768, num_hidden_layers=12, num_attention_heads=12, intermediate_size=3072, type_vocab_size=1, position_offset=2, relative_attention_num_buckets=32, pooling="cls", normalize_embeddings=False),
+    # Rotary family (beyond the reference): nomic-bert-2048 behind
+    # nomic-embed-text (half-split rotary, SwiGLU gated MLP, 2048-token
+    # context — the >512 blocked-query attention path), RoFormer
+    # (interleaved rotary)
+    "nomic-embed-text-v1": dict(vocab_size=30528, hidden_size=768, num_hidden_layers=12, num_attention_heads=12, intermediate_size=3072, max_position_embeddings=2048, type_vocab_size=2, position_embedding_type="rotary", rotary_base=1000.0, gated_mlp=True, hidden_act="silu"),
+    "nomic-embed-text-v1.5": dict(vocab_size=30528, hidden_size=768, num_hidden_layers=12, num_attention_heads=12, intermediate_size=3072, max_position_embeddings=2048, type_vocab_size=2, position_embedding_type="rotary", rotary_base=1000.0, gated_mlp=True, hidden_act="silu"),
+    "roformer_chinese_base": dict(vocab_size=50000, hidden_size=768, num_hidden_layers=12, num_attention_heads=12, intermediate_size=3072, max_position_embeddings=1536, position_embedding_type="rotary", rotary_interleaved=True),
     # DistilBERT family (beyond the reference; loader translates names)
     "distilbert-base-uncased": dict(hidden_size=768, num_hidden_layers=6, num_attention_heads=12, intermediate_size=3072, type_vocab_size=1),
     "multi-qa-distilbert-cos-v1": dict(hidden_size=768, num_hidden_layers=6, num_attention_heads=12, intermediate_size=3072, type_vocab_size=1),

@@ -66,12 +66,13 @@ def embed(params: Params, config: BertConfig, token_ids: jax.Array,
         x = x + emb["token_type"][0]
     else:
         x = x + jnp.take(emb["token_type"], type_ids, axis=0)
-    off = config.position_offset  # RoBERTa rows start at padding_idx+1
-    if position_ids is None:
-        x = x + emb["position"][off:off + L]
-    else:
-        x = x + jnp.take(emb["position"], position_ids + off
-                         if off else position_ids, axis=0)
+    if "position" in emb:  # absent for rotary models (RoFormer, nomic)
+        off = config.position_offset  # RoBERTa rows start at padding_idx+1
+        if position_ids is None:
+            x = x + emb["position"][off:off + L]
+        else:
+            x = x + jnp.take(emb["position"], position_ids + off
+                             if off else position_ids, axis=0)
     return layer_norm(x, emb["ln"]["scale"], emb["ln"]["bias"], config.layer_norm_eps)
 
 
@@ -171,16 +172,21 @@ def attention_context(layer: Params, config: BertConfig, x: jax.Array,
                       lengths: jax.Array | None = None,
                       segments: jax.Array | None = None,
                       attn_window: int = 0,
-                      bias4: jax.Array | None = None) -> jax.Array:
+                      bias4: jax.Array | None = None,
+                      rope: tuple[jax.Array, jax.Array] | None = None
+                      ) -> jax.Array:
     """Pad-masked multi-head self-attention, up to (not including) the
     output projection (bert.cpp:994-1036). Returns [B, L, E_local]
     context. Under shard_map tensor parallelism the q/k/v weights are
     column-sharded by head, so E_local = E / tp — the head count is
     derived from the projection width, not from config. The fused VMEM
     kernel runs when either prefix lengths or packed segment ids are
-    given; otherwise the additive-mask einsum path."""
+    given; otherwise the additive-mask einsum path. rope = (cos, sin)
+    rotates q/k per position (ops/rotary.py) before either path — the
+    rotation is per-head, so it composes with head-sharded TP."""
     from ..ops import attention as attn_ops
     from ..ops.linear import _use_pallas
+    from ..ops.rotary import apply_rotary, apply_rotary_qkv
     B, L, E = x.shape
     D = config.head_dim
     a = layer["attn"]
@@ -192,6 +198,9 @@ def attention_context(layer: Params, config: BertConfig, x: jax.Array,
         El = qkv.shape[-1] // 3
         H = El // D
         if want_fused and _use_pallas() and attn_ops.supported(L, H, D):
+            if rope is not None:
+                qkv = apply_rotary_qkv(qkv, *rope, H=H, D=D,
+                                       interleaved=config.rotary_interleaved)
             # fully fused VMEM attention: scores/probs never touch HBM
             ctx = _fused_attn_dispatch(qkv.reshape(B * L, 3 * El), lengths,
                                        segments, B, L, H, D, attn_window,
@@ -208,6 +217,10 @@ def attention_context(layer: Params, config: BertConfig, x: jax.Array,
             k = linear(x, a["k"]["w"], a["k"]["b"])
             v = linear(x, a["v"]["w"], a["v"]["b"])
             qkv = jnp.concatenate([q, k, v], axis=-1)
+            if rope is not None:
+                qkv = apply_rotary_qkv(
+                    qkv, *rope, H=H, D=D,
+                    interleaved=config.rotary_interleaved)
             ctx = _fused_attn_dispatch(qkv.reshape(B * L, 3 * El), lengths,
                                        segments, B, L, H, D, attn_window,
                                        bias4)
@@ -215,6 +228,9 @@ def attention_context(layer: Params, config: BertConfig, x: jax.Array,
         q = q.reshape(B, L, H, D)
         k = linear(x, a["k"]["w"], a["k"]["b"]).reshape(B, L, H, D)
         v = linear(x, a["v"]["w"], a["v"]["b"]).reshape(B, L, H, D)
+    if rope is not None:
+        q = apply_rotary(q, *rope, interleaved=config.rotary_interleaved)
+        k = apply_rotary(k, *rope, interleaved=config.rotary_interleaved)
     # scores: [B, H, L, L] on the MXU; accumulate in f32.
     scores = jnp.einsum("blhd,bmhd->bhlm", q, k,
                         preferred_element_type=jnp.float32)
@@ -243,29 +259,41 @@ def encoder_layer(layer: Params, config: BertConfig, x: jax.Array,
                   tp_axis: str | None = None,
                   segments: jax.Array | None = None,
                   attn_window: int = 0,
-                  bias4: jax.Array | None = None) -> jax.Array:
+                  bias4: jax.Array | None = None,
+                  rope: tuple[jax.Array, jax.Array] | None = None
+                  ) -> jax.Array:
     """One transformer encoder block (post-LN, bert.cpp:987-1084).
 
     Single-device: the two residual+LayerNorm steps run fused inside the
     o-proj / FFN-down matmul kernels (ops/linear.py linear_residual_ln),
     saving two [B·L, E] HBM round trips per layer. Under shard_map TP
     (tp_axis set) those two matmuls are row-parallel with an explicit
-    psum each — one all-reduce per layer pair, riding ICI."""
+    psum each — one all-reduce per layer pair, riding ICI. Gated MLP
+    (nomic-bert swiglu): h = act(gate(x)) * up(x), the activation fused
+    into the gate matmul's kernel epilogue."""
     from ..ops.linear import linear_residual_ln
     a, m = layer["attn"], layer["mlp"]
     eps = config.layer_norm_eps
     ctx = attention_context(layer, config, x, mask_bias, lengths, segments,
-                            attn_window, bias4)
-    act = "gelu_tanh" if config.hidden_act == "gelu_tanh" else "gelu"
+                            attn_window, bias4, rope)
+    act = {"gelu_tanh": "gelu_tanh", "silu": "silu"}.get(
+        config.hidden_act, "gelu")
+
+    def ffn_hidden(x):
+        if "gate" in m:
+            return (linear(x, m["gate"]["w"], m["gate"]["b"], act=act)
+                    * linear(x, m["up"]["w"], m["up"]["b"]))
+        return linear(x, m["up"]["w"], m["up"]["b"], act=act)
+
     if tp_axis is not None:
         x = _row_parallel_residual_ln(ctx, a["o"]["w"], a["o"]["b"], x,
                                       a["ln"], eps, tp_axis)
-        h = linear(x, m["up"]["w"], m["up"]["b"], act=act)
+        h = ffn_hidden(x)
         return _row_parallel_residual_ln(h, m["down"]["w"], m["down"]["b"],
                                          x, m["ln"], eps, tp_axis)
     x = linear_residual_ln(ctx, a["o"]["w"], a["o"]["b"], x,
                            a["ln"]["scale"], a["ln"]["bias"], eps)
-    h = linear(x, m["up"]["w"], m["up"]["b"], act=act)  # GELU fused in-kernel
+    h = ffn_hidden(x)  # activation fused in-kernel
     return linear_residual_ln(h, m["down"]["w"], m["down"]["b"], x,
                               m["ln"]["scale"], m["ln"]["bias"], eps)
 
@@ -333,11 +361,18 @@ def encode_tokens(params: Params, config: BertConfig, token_ids: jax.Array,
             mask_bias = mask_bias + bias
             lengths = None
 
+    rope = None
+    if config.position_embedding_type == "rotary":
+        # cos/sin computed once (position-only), shared by every layer
+        from ..ops.rotary import rope_tables
+        rope = rope_tables(jnp.arange(token_ids.shape[1]),
+                           config.head_dim, config.rotary_base)
+
     # lax.scan over (stacked or shared) layer params: one compiled block.
     x = _scan_layers(params, config, x,
                      lambda layer, h: encoder_layer(
                          layer, config, h, mask_bias, lengths,
-                         tp_axis=tp_axis, bias4=bias4))
+                         tp_axis=tp_axis, bias4=bias4, rope=rope))
 
     if return_hidden:
         return x.astype(jnp.float32)
@@ -404,11 +439,19 @@ def encode_packed(params: Params, config: BertConfig, token_ids: jax.Array,
     else:
         seg_for_attn = seg_ids
 
+    rope = None
+    if config.position_embedding_type == "rotary":
+        # packed rows: per-token positions restart at each segment, so
+        # the tables are per-row [B, L, D/2]
+        from ..ops.rotary import rope_tables
+        rope = rope_tables(position_ids, config.head_dim,
+                           config.rotary_base)
+
     x = _scan_layers(params, config, x,
                      lambda layer, h: encoder_layer(
                          layer, config, h, mask_bias, None,
                          tp_axis=tp_axis, segments=seg_for_attn,
-                         attn_window=attn_window))
+                         attn_window=attn_window, rope=rope))
     pooled = jnp.einsum("bsl,ble->bse", pool_weights, x.astype(jnp.float32))
     if normalize:
         norm = jnp.linalg.norm(pooled, axis=-1, keepdims=True)

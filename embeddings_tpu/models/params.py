@@ -66,6 +66,8 @@ def init_params(config: BertConfig, rng: jax.Array | int = 0,
         "token_type": mat(next(keys), (config.type_vocab_size, Ee)),
         "ln": _ln(np.ones(Ee), np.zeros(Ee)),
     }
+    if config.position_embedding_type == "rotary":
+        del emb["position"]  # rotary: no learned position table
     if config.embedding_size is not None:
         emb["proj"] = {"w": mat(next(keys), (Ee, E)),
                        "b": jnp.zeros((E,), dtype)}
@@ -91,6 +93,11 @@ def init_params(config: BertConfig, rng: jax.Array | int = 0,
                    "bias": jnp.zeros((NL, E), jnp.float32)},
         },
     }
+    if config.gated_mlp:
+        gk = jax.random.split(next(keys), NL)
+        layers["mlp"]["gate"] = {
+            "w": stack(lambda i: mat(gk[i], (E, F))),
+            "b": jnp.zeros((NL, F), dtype)}
     out: Params = {"embeddings": emb, "layers": layers}
     if config.relative_attention_num_buckets:
         out["rel_bias"] = (jax.random.normal(
@@ -111,12 +118,13 @@ def _strip_prefix(sd: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
     # BPE tokenizer, one token-type row) live in config.position_offset
     # and the tokenizer dispatch, not in the tensor mapping
     for prefix in ("bert.", "roberta.", "albert.", "mpnet.", "distilbert.",
-                   "0.auto_model."):
+                   "roformer.", "0.auto_model."):
         if any(k.startswith(prefix + "embeddings") for k in sd):
             sd = {k[len(prefix):]: v for k, v in sd.items()
                   if k.startswith(prefix)}
             break
-    return _translate_mpnet(_translate_albert(_translate_distilbert(sd)))
+    return _translate_nomic(
+        _translate_mpnet(_translate_albert(_translate_distilbert(sd))))
 
 
 # DistilBERT layer-tensor names -> BERT names (the math is identical:
@@ -237,6 +245,49 @@ def _translate_mpnet(sd: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
     return out
 
 
+# nomic-bert-2048 layer-tensor names -> BERT names. Same post-LN block;
+# the fused Wqkv projection is split into q/k/v thirds, and the gated
+# MLP's fc11/fc12 land as intermediate.gate / intermediate.dense:
+# nomic's forward is fc2(act(fc11(x)) * fc12(x)) (the llama.cpp
+# NOMIC_BERT graph maps fc11 -> ffn_gate, fc12 -> ffn_up likewise).
+_NOMIC_LAYER_MAP = {
+    "attn.out_proj": "attention.output.dense",
+    "norm1": "attention.output.LayerNorm",
+    "norm2": "output.LayerNorm",
+    "mlp.fc11": "intermediate.gate",
+    "mlp.fc12": "intermediate.dense",
+    "mlp.fc1": "intermediate.dense",
+    "mlp.fc2": "output.dense",
+}
+
+
+def _translate_nomic(sd: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+    """Rewrite a nomic-bert-2048 state dict into BERT naming; no-op
+    otherwise. The fused [3E, out] Wqkv weight splits row-wise into
+    query/key/value (nomic stacks them q|k|v along the output axis)."""
+    if not any(".attn.Wqkv." in k for k in sd):
+        return sd
+    out: dict[str, np.ndarray] = {}
+    for k, v in sd.items():
+        if k.startswith("encoder.layers."):
+            _, _, i, rest = k.split(".", 3)
+            stem, _, leaf = rest.rpartition(".")
+            if stem == "attn.Wqkv":
+                E3 = v.shape[0]
+                for j, name in enumerate(("query", "key", "value")):
+                    out[f"encoder.layer.{i}.attention.self.{name}.{leaf}"] \
+                        = v[j * E3 // 3:(j + 1) * E3 // 3]
+                continue
+            mapped = _NOMIC_LAYER_MAP.get(stem)
+            if mapped is not None:
+                out[f"encoder.layer.{i}.{mapped}.{leaf}"] = v
+        elif k.startswith("emb_ln."):
+            out["embeddings.LayerNorm." + k.split(".", 1)[1]] = v
+        else:
+            out[k] = v  # embeddings.* names already match BERT's
+    return out
+
+
 def from_hf_state_dict(sd: dict[str, np.ndarray], config: BertConfig,
                        dtype=jnp.float32) -> Params:
     """Map a HF BERT state dict to our pytree.
@@ -259,10 +310,16 @@ def from_hf_state_dict(sd: dict[str, np.ndarray], config: BertConfig,
 
     emb = {
         "word": jnp.asarray(g("embeddings.word_embeddings.weight"), dtype),
-        "position": jnp.asarray(g("embeddings.position_embeddings.weight"), dtype),
         "token_type": jnp.asarray(g("embeddings.token_type_embeddings.weight"), dtype),
         "ln": _ln(g("embeddings.LayerNorm.weight"), g("embeddings.LayerNorm.bias")),
     }
+    if config.position_embedding_type == "absolute":
+        emb["position"] = jnp.asarray(
+            g("embeddings.position_embeddings.weight"), dtype)
+    if "embeddings_project.weight" in sd:
+        # RoFormer's factorized-embedding projection name
+        sd = {**sd, "embeddings.proj.weight": sd["embeddings_project.weight"],
+              "embeddings.proj.bias": sd["embeddings_project.bias"]}
     if "embeddings.proj.weight" in sd:
         # ALBERT factorized-embedding projection [E_emb -> H]
         emb["proj"] = {"w": jnp.asarray(lin("embeddings.proj"), dtype),
@@ -295,6 +352,10 @@ def from_hf_state_dict(sd: dict[str, np.ndarray], config: BertConfig,
             "ln": stack_ln("encoder.layer.{}.output.LayerNorm"),
         },
     }
+    if "encoder.layer.0.intermediate.gate.weight" in sd:
+        # nomic-bert gated MLP: down(act(gate(x)) * up(x))
+        layers["mlp"]["gate"] = stack_lin(
+            "encoder.layer.{}.intermediate.gate")
     out: Params = {"embeddings": emb, "layers": layers}
     if "rel_bias" in sd:
         # MPNet shared relative-attention-bias table [buckets, heads];
@@ -345,6 +406,11 @@ def to_hf_state_dict(params: Params) -> dict[str, np.ndarray]:
     if "rel_bias" in params:
         raise ValueError(
             "MPNet-family params (relative attention bias) have no "
+            "BERT-named state-dict form — the ggml/GGUF export formats "
+            "cannot represent them")
+    if "position" not in emb or "gate" in params["layers"].get("mlp", {}):
+        raise ValueError(
+            "rotary / gated-MLP params (RoFormer, nomic-bert) have no "
             "BERT-named state-dict form — the ggml/GGUF export formats "
             "cannot represent them")
     sd: dict[str, np.ndarray] = {

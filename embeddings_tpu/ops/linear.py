@@ -79,7 +79,7 @@ def quantized_matmul(x2d: jax.Array, w: QuantizedTensor,
     if (_use_pallas() or interpret) and _qmm.pallas_fits(K, N, bm, w.packed):
         xp = _pad_dim(x2d, 0, bm)
         epi = {None: None, "gelu": "bias_gelu",
-               "gelu_tanh": "bias_gelu_tanh"}[act]
+               "gelu_tanh": "bias_gelu_tanh", "silu": "bias_silu"}[act]
         out = _qmm.qmatmul(xp, w.codes, w.scales, w.mins, b, kind=w.kind,
                            epilogue=epi, bm=bm, packed=w.packed,
                            interpret=interpret)
@@ -87,7 +87,9 @@ def quantized_matmul(x2d: jax.Array, w: QuantizedTensor,
     y = jnp.dot(x2d, dequantize(w), preferred_element_type=jnp.float32)
     if b is not None:
         y = y + b
-    if act is not None:
+    if act == "silu":
+        y = jax.nn.silu(y)
+    elif act is not None:
         y = jax.nn.gelu(y, approximate=(act == "gelu_tanh"))
     return y.astype(x2d.dtype)
 
@@ -145,6 +147,8 @@ def linear(x: jax.Array, w, b: jax.Array | None = None,
     y = jnp.dot(x, w, preferred_element_type=jnp.float32)
     if b is not None:
         y = y + b  # bias added at accumulator precision
-    if act is not None:
+    if act == "silu":
+        y = jax.nn.silu(y)
+    elif act is not None:
         y = jax.nn.gelu(y, approximate=(act == "gelu_tanh"))
     return y.astype(x.dtype)

@@ -199,6 +199,10 @@ def _qmm_kernel(x_ref, c_ref, s_ref, m_ref, b_ref, o_ref, w_ref, *,
         # is a single fast transcendental). The unfused XLA fallback
         # (ops/linear.py) keeps exact erf for f32 parity testing.
         acc = jax.nn.gelu(acc, approximate=True)
+    elif epilogue == "bias_silu":
+        # SiLU for gated MLPs (nomic-bert swiglu): x * sigmoid(x) — one
+        # fast transcendental, same cost class as the tanh GELU above
+        acc = acc * jax.nn.sigmoid(acc)
     elif epilogue == "bias_residual_ln":
         # y = LayerNorm(residual + acc): the post-attention / post-FFN
         # residual+LN (bert.cpp:1040-1082) runs inside the matmul kernel,
@@ -259,7 +263,7 @@ def qmatmul(x: jax.Array, codes: jax.Array, scales: jax.Array,
     if epilogue is None:
         epilogue = "none" if bias is None else "bias"
     assert epilogue in ("none", "bias", "bias_gelu", "bias_gelu_tanh",
-                        "bias_residual_ln")
+                        "bias_silu", "bias_residual_ln")
     with_res = epilogue == "bias_residual_ln"
     out_dtype = out_dtype or x.dtype
     bm = _fit(M, bm, 8)

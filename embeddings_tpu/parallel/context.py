@@ -62,17 +62,22 @@ def make_mesh_cp(dp: int | None = None, sp: int = 1,
 
 def _cp_attention(layer: Params, config: BertConfig, x: jax.Array,
                   mask_bias: jax.Array,
-                  lengths: jax.Array | None = None) -> jax.Array:
+                  lengths: jax.Array | None = None,
+                  rope: tuple[jax.Array, jax.Array] | None = None
+                  ) -> jax.Array:
     """Local-query attention: q from the local [B, Lc, E] chunk, k/v
     all-gathered to the full sequence. Returns local context [B, Lc, E].
 
     With prefix lengths and a supported shape, the fused VMEM kernel
     (ops/attention.fused_attention_cp) computes the [Lc, L] score tile
     on-chip; the einsum fallback materializes [B, H, Lc, L] in HBM
-    (kept for CPU tests / tiny shapes).
+    (kept for CPU tests / tiny shapes). rope = local-position (cos, sin):
+    rotation is per-position, so rotating the local q/k chunk BEFORE the
+    k/v gather yields globally-correct rotary attention.
     """
     from ..ops import attention as attn_ops
     from ..ops.linear import _use_pallas
+    from ..ops.rotary import apply_rotary
     B, Lc, E = x.shape
     D = config.head_dim
     a = layer["attn"]
@@ -84,6 +89,13 @@ def _cp_attention(layer: Params, config: BertConfig, x: jax.Array,
         k = linear(x, a["k"]["w"], a["k"]["b"])
         v = linear(x, a["v"]["w"], a["v"]["b"])
     H = q.shape[-1] // D
+    if rope is not None:
+        q = apply_rotary(q.reshape(B, Lc, H, D), *rope,
+                         interleaved=config.rotary_interleaved
+                         ).reshape(B, Lc, H * D)
+        k = apply_rotary(k.reshape(B, Lc, H, D), *rope,
+                         interleaved=config.rotary_interleaved
+                         ).reshape(B, Lc, H * D)
     # one gather for k and v together: [B, L, 2E] over ICI
     kv = lax.all_gather(jnp.concatenate([k, v], axis=-1), SEQ_AXIS,
                         axis=1, tiled=True)
@@ -109,16 +121,22 @@ def _cp_attention(layer: Params, config: BertConfig, x: jax.Array,
 
 def _cp_layer(layer: Params, config: BertConfig, x: jax.Array,
               mask_bias: jax.Array,
-              lengths: jax.Array | None = None) -> jax.Array:
+              lengths: jax.Array | None = None,
+              rope: tuple[jax.Array, jax.Array] | None = None) -> jax.Array:
     """One encoder block with CP attention; everything after the
     attention context is local along L (bert.encoder_layer numerics)."""
     a, m = layer["attn"], layer["mlp"]
     eps = config.layer_norm_eps
-    ctx = _cp_attention(layer, config, x, mask_bias, lengths)
-    act = "gelu_tanh" if config.hidden_act == "gelu_tanh" else "gelu"
+    ctx = _cp_attention(layer, config, x, mask_bias, lengths, rope)
+    act = {"gelu_tanh": "gelu_tanh", "silu": "silu"}.get(
+        config.hidden_act, "gelu")
     x = linear_residual_ln(ctx, a["o"]["w"], a["o"]["b"], x,
                            a["ln"]["scale"], a["ln"]["bias"], eps)
-    h = linear(x, m["up"]["w"], m["up"]["b"], act=act)
+    if "gate" in m:   # gated MLP (nomic-bert): local along L
+        h = (linear(x, m["gate"]["w"], m["gate"]["b"], act=act)
+             * linear(x, m["up"]["w"], m["up"]["b"]))
+    else:
+        h = linear(x, m["up"]["w"], m["up"]["b"], act=act)
     return linear_residual_ln(h, m["down"]["w"], m["down"]["b"], x,
                               m["ln"]["scale"], m["ln"]["bias"], eps)
 
@@ -139,6 +157,14 @@ def make_cp_forward(config: BertConfig, mesh: Mesh, *,
     _nocheck = ({"check_vma": False} if "check_vma" in _params
                 else {"check_rep": False})
     pool = pooling or config.pooling
+    if config.relative_attention_num_buckets:
+        # the [H, Lc, L] bias would need per-shard global positions in
+        # both kernel and einsum paths — not wired; refuse rather than
+        # silently dropping the bias (MPNet without it is a different
+        # model)
+        raise ValueError("context parallelism does not support "
+                         "relative-attention-bias models (MPNet); "
+                         "use dp/tp instead")
 
     def local_fwd(p, ids, mask):
         B, Lc = ids.shape
@@ -148,6 +174,12 @@ def make_cp_forward(config: BertConfig, mesh: Mesh, *,
                        position_ids=jnp.broadcast_to(pos, (B, Lc)))
         if compute_dtype is not None:
             x = x.astype(jnp.dtype(compute_dtype))
+        x = bert._project_embeddings(p, x)  # ALBERT factorized embeddings
+        rope = None
+        if config.position_embedding_type == "rotary":
+            # local-position tables: rotation precedes the k/v gather
+            from ..ops.rotary import rope_tables
+            rope = rope_tables(pos[0], config.head_dim, config.rotary_base)
         mask_full = lax.all_gather(mask, SEQ_AXIS, axis=1, tiled=True)
         bias = ((1.0 - mask_full.astype(jnp.float32))
                 * mask_value)[:, None, None, :]          # [B, 1, 1, L]
@@ -155,10 +187,10 @@ def make_cp_forward(config: BertConfig, mesh: Mesh, *,
         # takes the per-sequence lengths directly
         lengths = jnp.sum(mask_full, axis=1).astype(jnp.int32)
 
-        def body(h, layer):
-            return _cp_layer(layer, config, h, bias, lengths), None
-
-        x, _ = lax.scan(body, x, p["layers"])
+        x = bert._scan_layers(
+            p, config, x,
+            lambda layer, h: _cp_layer(layer, config, h, bias, lengths,
+                                       rope))
         xf = x.astype(jnp.float32)
         maskf = mask.astype(jnp.float32)
         if pool == "mean":

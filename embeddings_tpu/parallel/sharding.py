@@ -101,10 +101,11 @@ def param_pspecs(params: Params, mesh: Mesh) -> Params:
     ln2 = {"scale": rep1, "bias": rep1}
     emb_specs: Params = {
         "word": word_spec,
-        "position": rep2,
         "token_type": rep2,
         "ln": {"scale": P(None), "bias": P(None)},
     }
+    if "position" in params["embeddings"]:  # absent for rotary models
+        emb_specs["position"] = rep2
     if "proj" in params["embeddings"]:
         # ALBERT factorized-embedding projection: small, replicated
         emb_specs["proj"] = {"w": rep2, "b": P(None)}
@@ -125,6 +126,11 @@ def param_pspecs(params: Params, mesh: Mesh) -> Params:
             },
         },
     }
+    if "gate" in params["layers"]["mlp"]:
+        # gated MLP (nomic-bert): gate is column-parallel like up — the
+        # elementwise act(gate)*up then happens shard-locally
+        specs["layers"]["mlp"]["gate"] = for_linear(
+            params["layers"]["mlp"]["gate"], col, P(None, MODEL_AXIS))
     if "rel_bias" in params:
         # MPNet relative-bias table [buckets, H]: head axis follows the
         # column-parallel q/k/v head split so each shard biases exactly
@@ -197,12 +203,15 @@ def _check_tp_shardable(pspecs: Params, tp: int) -> None:
     over-count by tp. Fail loudly instead."""
     def _has_model_axis(spec) -> bool:
         return any(ax == MODEL_AXIS for ax in spec if ax)
-    for path, name in ((("attn", "q"), "attn.q"),
-                       (("attn", "k"), "attn.k"),
-                       (("attn", "v"), "attn.v"),
-                       (("attn", "o"), "attn.o"),
-                       (("mlp", "up"), "mlp.up"),
-                       (("mlp", "down"), "mlp.down")):
+    checks = [(("attn", "q"), "attn.q"),
+              (("attn", "k"), "attn.k"),
+              (("attn", "v"), "attn.v"),
+              (("attn", "o"), "attn.o"),
+              (("mlp", "up"), "mlp.up"),
+              (("mlp", "down"), "mlp.down")]
+    if "gate" in pspecs["layers"]["mlp"]:
+        checks.append((("mlp", "gate"), "mlp.gate"))
+    for path, name in checks:
         node = pspecs["layers"]
         for k in path:
             node = node[k]

@@ -436,4 +436,13 @@ def load_model(path: str | Path, *, dtype: str = "f32",
         config,
         cls_token_id=tokenizer.cls_id, sep_token_id=tokenizer.sep_id,
         unk_token_id=tokenizer.unk_id, pad_token_id=tokenizer.pad_id)
+    if engine_config is None:
+        # honor the model's context length (the reference reads
+        # n_max_tokens from the model hparams, bert.cpp:499-521): a
+        # long-context model (rotary nomic-bert-2048) should not be
+        # silently truncated to the 512 BERT default
+        from ..config import EngineConfig
+        engine_config = EngineConfig(
+            max_seq_len=config.max_position_embeddings
+            - config.position_offset)
     return Engine(params, config, tokenizer, engine_config, mesh)

@@ -111,3 +111,48 @@ def test_engine_with_cp_mesh(cfg, params, small_vocab):
     single = Engine(p, cfg2, tok, dataclasses.replace(ec))
     np.testing.assert_allclose(out, single.encode_batch(texts),
                                atol=2e-5, rtol=1e-5)
+
+
+def test_cp_rotary_gated_matches_single_device():
+    """Rotary (half-split) + gated-MLP model under CP: rotation applied
+    to local q/k chunks before the K/V gather must equal the
+    single-device rotary forward."""
+    cfg2 = BertConfig(vocab_size=128, hidden_size=64, num_hidden_layers=2,
+                      num_attention_heads=2, intermediate_size=128,
+                      max_position_embeddings=64,
+                      position_embedding_type="rotary", rotary_base=1000.0,
+                      gated_mlp=True, hidden_act="silu")
+    p = P.init_params(cfg2, rng=0)
+    assert "position" not in p["embeddings"]
+    rng = np.random.default_rng(5)
+    ids = jnp.asarray(rng.integers(5, 128, (4, 32)), jnp.int32)
+    mask = np.ones((4, 32), np.int32)
+    mask[0, 20:] = 0
+    mask = jnp.asarray(mask)
+    ref = np.asarray(bert.encode_tokens(p, cfg2, ids, mask))
+    fwd = make_cp_forward(cfg2, make_mesh_cp(dp=2, sp=4))
+    got = np.asarray(fwd(p, ids, mask))
+    np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-5)
+
+
+def test_cp_shared_layers_runs_full_depth():
+    """ALBERT-style shared layers under CP must apply the stored layer
+    num_hidden_layers times (regression: the old scan ran it once)."""
+    cfg2 = BertConfig(vocab_size=128, hidden_size=64, num_hidden_layers=3,
+                      num_attention_heads=2, intermediate_size=128,
+                      max_position_embeddings=64, shared_layers=True,
+                      embedding_size=32)
+    p = P.init_params(cfg2, rng=0)
+    rng = np.random.default_rng(6)
+    ids = jnp.asarray(rng.integers(5, 128, (2, 32)), jnp.int32)
+    mask = jnp.ones((2, 32), jnp.int32)
+    ref = np.asarray(bert.encode_tokens(p, cfg2, ids, mask))
+    fwd = make_cp_forward(cfg2, make_mesh_cp(dp=2, sp=4))
+    got = np.asarray(fwd(p, ids, mask))
+    np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-5)
+
+
+def test_cp_refuses_relative_attention_bias(cfg):
+    cfg2 = dataclasses.replace(cfg, relative_attention_num_buckets=16)
+    with pytest.raises(ValueError, match="relative-attention-bias"):
+        make_cp_forward(cfg2, make_mesh_cp(dp=2, sp=4))

@@ -318,3 +318,27 @@ def test_mesh_packed_fails_loudly_when_tp_cannot_shard(small_vocab):
     eng = Engine(qp, tiny, tok, ec, mesh=make_mesh(dp=4, tp=2))
     with pytest.raises(ValueError, match="cannot shard"):
         eng.encode_batch_packed(["hello world", "fox"] * 4, row_len=16)
+
+
+def test_sharded_rotary_gated_forward_matches_single():
+    """nomic-style rotary + gated MLP under dp x tp shard_map: the gate
+    weight is column-parallel and the per-head rotation composes with
+    head sharding."""
+    cfg2 = BertConfig(vocab_size=128, hidden_size=64, num_hidden_layers=2,
+                      num_attention_heads=8, intermediate_size=128,
+                      max_position_embeddings=32,
+                      position_embedding_type="rotary", rotary_base=1000.0,
+                      gated_mlp=True, hidden_act="silu")
+    p = P.init_params(cfg2, rng=0)
+    rng_l = np.random.default_rng(7)
+    ids = jnp.asarray(rng_l.integers(5, 128, (8, 16)), jnp.int32)
+    mask = np.ones((8, 16), np.int32)
+    mask[0, 10:] = 0
+    mask = jnp.asarray(mask)
+    ref = np.asarray(bert.encode_tokens(p, cfg2, ids, mask))
+    mesh = make_mesh(dp=2, tp=4)
+    sp = shard_params(p, cfg2, mesh)
+    assert "position" not in sp["embeddings"]
+    fwd = make_sharded_forward(cfg2, mesh)
+    got = np.asarray(fwd(sp, ids, mask))
+    np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-5)
