@@ -53,7 +53,9 @@ class BertConfig:
     # position-dependent angles (ops/rotary.py). rotary_interleaved
     # picks the pairing convention: True = (x0,x1)(x2,x3)... (RoFormer /
     # GPT-J), False = (x0,x_{D/2})... (GPT-NeoX / flash-attn / nomic).
-    position_embedding_type: str = "absolute"  # "absolute" | "rotary"
+    # "alibi" (jina-bert-v2): no position table; a symmetric per-head
+    # -slope*|i-j| penalty on the attention logits (ops/alibi.py).
+    position_embedding_type: str = "absolute"  # "absolute"|"rotary"|"alibi"
     rotary_base: float = 10000.0
     rotary_interleaved: bool = False
     # Gated MLP (nomic-bert "swiglu"/"geglu"): down(act(gate(x)) * up(x))
@@ -161,6 +163,21 @@ class BertConfig:
             overrides.setdefault("rotary_base",
                                  float(d.get("rotary_emb_base", 1000.0)))
             overrides.setdefault("gated_mlp", gated)
+        if d.get("position_embedding_type") == "alibi":
+            # jina-bert-v2 (jina-embeddings-v2-*): model_type "bert" with
+            # ALiBi attention bias instead of a position table, and a GLU
+            # MLP selected by feed_forward_type ("geglu" in every
+            # published jina-v2; "reglu" accepted, "original" = plain
+            # BERT FFN). 8192-token context via the blocked-query
+            # attention grids.
+            overrides.setdefault("position_embedding_type", "alibi")
+            fft = d.get("feed_forward_type", "original")
+            if fft in ("geglu", "reglu"):
+                overrides.setdefault("gated_mlp", True)
+                d = {**d, "hidden_act": {"geglu": "gelu",
+                                         "reglu": "relu"}[fft]}
+            elif fft != "original":
+                raise ValueError(f"unknown feed_forward_type {fft!r}")
         if d.get("model_type") == "distilbert":
             d = {**d,
                  "hidden_size": d["dim"],
@@ -312,6 +329,10 @@ KNOWN_MODELS: dict[str, dict[str, Any]] = {
     "nomic-embed-text-v1": dict(vocab_size=30528, hidden_size=768, num_hidden_layers=12, num_attention_heads=12, intermediate_size=3072, max_position_embeddings=2048, type_vocab_size=2, position_embedding_type="rotary", rotary_base=1000.0, gated_mlp=True, hidden_act="silu"),
     "nomic-embed-text-v1.5": dict(vocab_size=30528, hidden_size=768, num_hidden_layers=12, num_attention_heads=12, intermediate_size=3072, max_position_embeddings=2048, type_vocab_size=2, position_embedding_type="rotary", rotary_base=1000.0, gated_mlp=True, hidden_act="silu"),
     "roformer_chinese_base": dict(vocab_size=50000, hidden_size=768, num_hidden_layers=12, num_attention_heads=12, intermediate_size=3072, max_position_embeddings=1536, position_embedding_type="rotary", rotary_interleaved=True),
+    # ALiBi family (beyond the reference): jina-bert-v2 — symmetric
+    # ALiBi logit bias, GeGLU MLP, 8192-token context, mean pooling
+    "jina-embeddings-v2-base-en": dict(vocab_size=30528, hidden_size=768, num_hidden_layers=12, num_attention_heads=12, intermediate_size=3072, max_position_embeddings=8192, position_embedding_type="alibi", gated_mlp=True, hidden_act="gelu"),
+    "jina-embeddings-v2-small-en": dict(vocab_size=30528, hidden_size=512, num_hidden_layers=4, num_attention_heads=8, intermediate_size=2048, max_position_embeddings=8192, position_embedding_type="alibi", gated_mlp=True, hidden_act="gelu"),
     # DistilBERT family (beyond the reference; loader translates names)
     "distilbert-base-uncased": dict(hidden_size=768, num_hidden_layers=6, num_attention_heads=12, intermediate_size=3072, type_vocab_size=1),
     "multi-qa-distilbert-cos-v1": dict(hidden_size=768, num_hidden_layers=6, num_attention_heads=12, intermediate_size=3072, type_vocab_size=1),

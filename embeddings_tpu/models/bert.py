@@ -141,6 +141,34 @@ def relative_attention_bias(table: jax.Array, position_ids: jax.Array,
     return jnp.transpose(values, (0, 3, 1, 2)).astype(jnp.float32)
 
 
+def alibi_attention_bias(slopes: jax.Array, position_ids: jax.Array
+                         ) -> jax.Array:
+    """Symmetric (encoder) ALiBi: additive [B, H, Lq, Lk] attention-logit
+    bias ``-slope_h * |pos_i - pos_j|`` (jina-bert-v2; ops/alibi.py).
+    position_ids [B, L] or [1, L] (broadcasts over the batch). Under
+    tensor parallelism the slopes arrive head-sharded, so H here is the
+    local head count — mirrors relative_attention_bias."""
+    dist = jnp.abs(position_ids[:, None, :]
+                   - position_ids[:, :, None])          # [B, L, L]
+    return (-slopes.astype(jnp.float32)[None, :, None, None]
+            * dist[:, None, :, :].astype(jnp.float32))
+
+
+def _logit_bias(params: Params, config: BertConfig,
+                position_ids: jax.Array) -> jax.Array | None:
+    """The model family's additive attention-logit bias ([B|1, H, L, L]
+    f32), or None: MPNet's bucketed relative-position table or
+    jina-bert-v2's ALiBi penalty. Both are position-only and shared by
+    every layer, so callers compute it once per forward."""
+    rel = params.get("rel_bias")
+    if rel is not None:
+        return relative_attention_bias(rel, position_ids, config)
+    slopes = params.get("alibi_slopes")
+    if slopes is not None:
+        return alibi_attention_bias(slopes, position_ids)
+    return None
+
+
 def _fused_attn_dispatch(qkv2d, lengths, segments, B, L, H, D,
                          attn_window=0, bias4=None):
     from ..ops import attention as attn_ops
@@ -276,7 +304,7 @@ def encoder_layer(layer: Params, config: BertConfig, x: jax.Array,
     eps = config.layer_norm_eps
     ctx = attention_context(layer, config, x, mask_bias, lengths, segments,
                             attn_window, bias4, rope)
-    act = {"gelu_tanh": "gelu_tanh", "silu": "silu"}.get(
+    act = {"gelu_tanh": "gelu_tanh", "silu": "silu", "relu": "relu"}.get(
         config.hidden_act, "gelu")
 
     def ffn_hidden(x):
@@ -341,19 +369,19 @@ def encode_tokens(params: Params, config: BertConfig, token_ids: jax.Array,
     lengths = (jnp.sum(attention_mask.astype(jnp.int32), axis=1)
                if prefix_mask else None)
 
-    rel = params.get("rel_bias")
     bias4 = None
-    if rel is not None:
-        # MPNet shared relative position bias. Fast path: the fused VMEM
-        # kernel takes the bias as a [nQ, H_local, Lq, L] operand —
-        # computed ONCE here (batch-independent) and reused by every
-        # layer. Otherwise fold it into the additive mask ([B,1,1,L] +
-        # [1,H,L,L] -> [B,H,L,L]) and take the einsum path.
+    L = token_ids.shape[1]
+    bias = _logit_bias(params, config, jnp.arange(L)[None])
+    if bias is not None:
+        # Family logit bias (MPNet relative-position / jina ALiBi).
+        # Fast path: the fused VMEM kernel takes the bias as a
+        # [nQ, H_local, Lq, L] operand — computed ONCE here
+        # (batch-independent) and reused by every layer. Otherwise fold
+        # it into the additive mask ([B,1,1,L] + [1,H,L,L] ->
+        # [B,H,L,L]) and take the einsum path.
         from ..ops import attention as attn_ops
         from ..ops.linear import _use_pallas
-        L = token_ids.shape[1]
-        bias = relative_attention_bias(rel, jnp.arange(L)[None], config)
-        H_local, D = rel.shape[1], config.head_dim
+        H_local, D = bias.shape[1], config.head_dim
         if (prefix_mask and _use_pallas()
                 and attn_ops.bias_supported(L, H_local, D)):
             bias4 = attn_ops.prepare_attention_bias(bias, L)
@@ -428,13 +456,12 @@ def encode_packed(params: Params, config: BertConfig, token_ids: jax.Array,
         x = x.astype(jnp.dtype(compute_dtype))
     x = _project_embeddings(params, x)
 
-    rel = params.get("rel_bias")
-    if rel is not None:
-        # MPNet packed rows: bias from the per-segment-restarting
+    bias = _logit_bias(params, config, position_ids)
+    if bias is not None:
+        # MPNet/ALiBi packed rows: bias from the per-segment-restarting
         # position ids (cross-segment entries are masked out anyway);
         # einsum path — the segmented kernels have no bias operand
-        mask_bias = mask_bias + relative_attention_bias(
-            rel, position_ids, config)
+        mask_bias = mask_bias + bias
         seg_for_attn = None
     else:
         seg_for_attn = seg_ids

@@ -98,12 +98,18 @@ def init_params(config: BertConfig, rng: jax.Array | int = 0,
         layers["mlp"]["gate"] = {
             "w": stack(lambda i: mat(gk[i], (E, F))),
             "b": jnp.zeros((NL, F), dtype)}
+    if config.position_embedding_type == "alibi":
+        del emb["position"]  # ALiBi: no learned position table
     out: Params = {"embeddings": emb, "layers": layers}
     if config.relative_attention_num_buckets:
         out["rel_bias"] = (jax.random.normal(
             next(keys), (config.relative_attention_num_buckets,
                          config.num_attention_heads)) * std
             ).astype(jnp.float32)
+    if config.position_embedding_type == "alibi":
+        from ..ops.alibi import alibi_slopes
+        out["alibi_slopes"] = jnp.asarray(
+            alibi_slopes(config.num_attention_heads), jnp.float32)
     return out
 
 
@@ -123,8 +129,8 @@ def _strip_prefix(sd: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
             sd = {k[len(prefix):]: v for k, v in sd.items()
                   if k.startswith(prefix)}
             break
-    return _translate_nomic(
-        _translate_mpnet(_translate_albert(_translate_distilbert(sd))))
+    return _translate_jina(_translate_nomic(
+        _translate_mpnet(_translate_albert(_translate_distilbert(sd)))))
 
 
 # DistilBERT layer-tensor names -> BERT names (the math is identical:
@@ -288,6 +294,49 @@ def _translate_nomic(sd: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
     return out
 
 
+def _translate_jina(sd: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+    """Rewrite a jina-bert-v2 state dict into BERT naming; no-op
+    otherwise. Attention tensors already use BERT names; the GLU MLP
+    maps as gate/up/down: ``mlp.gated_layers`` [2I, E] (no bias) splits
+    row-wise into gate (first I rows) | up (last I rows) — the same
+    split llama.cpp's converter applies (gated_layers_w -> ffn_gate,
+    gated_layers_v -> ffn_up); later jina revisions ship the halves
+    pre-split under those names. ``mlp.wo`` is the down projection and
+    ``mlp.layernorm`` the block's output LayerNorm."""
+    if not any(".mlp.wo." in k for k in sd):
+        return sd
+    out: dict[str, np.ndarray] = {}
+    leaf_map = {"wo": "output.dense", "layernorm": "output.LayerNorm",
+                "gated_layers_w": "intermediate.gate",
+                "gated_layers_v": "intermediate.dense",
+                # non-GLU jina variants (feed_forward_type "original")
+                "up_layer": "intermediate.dense",
+                "down_layer": "output.dense"}
+    for k, v in sd.items():
+        if k.startswith("encoder.layer.") and ".mlp." in k:
+            _, _, i, rest = k.split(".", 3)
+            stem, _, leaf = rest.rpartition(".")
+            name = stem.removeprefix("mlp.")
+            if name == "gated_layers":
+                I = v.shape[0] // 2
+                out[f"encoder.layer.{i}.intermediate.gate.{leaf}"] = v[:I]
+                out[f"encoder.layer.{i}.intermediate.dense.{leaf}"] = v[I:]
+                continue
+            mapped = leaf_map.get(name)
+            if mapped is not None:
+                out[f"encoder.layer.{i}.{mapped}.{leaf}"] = v
+        else:
+            out[k] = v  # embeddings.* / attention.* names match BERT's
+    # gated_layers has no bias: synthesize zeros so stack_lin is uniform
+    # (HF Linear weights are [out, in] — bias length is shape[0])
+    for k in list(out):
+        if k.endswith((".intermediate.gate.weight",
+                       ".intermediate.dense.weight")):
+            out.setdefault(k[:-len("weight")] + "bias",
+                           np.zeros(out[k].shape[0], np.float32))
+    return out
+
+
 def from_hf_state_dict(sd: dict[str, np.ndarray], config: BertConfig,
                        dtype=jnp.float32) -> Params:
     """Map a HF BERT state dict to our pytree.
@@ -361,6 +410,13 @@ def from_hf_state_dict(sd: dict[str, np.ndarray], config: BertConfig,
         # MPNet shared relative-attention-bias table [buckets, heads];
         # stays f32 (tiny, added to f32 attention logits)
         out["rel_bias"] = jnp.asarray(sd["rel_bias"], jnp.float32)
+    if config.position_embedding_type == "alibi":
+        # jina-bert-v2: slopes are derived from the head count, not
+        # stored in the checkpoint; carried as a param so TP's head
+        # split shards them alongside q/k/v (parallel/sharding.py)
+        from ..ops.alibi import alibi_slopes
+        out["alibi_slopes"] = jnp.asarray(
+            alibi_slopes(config.num_attention_heads), jnp.float32)
     return out
 
 
@@ -408,6 +464,11 @@ def to_hf_state_dict(params: Params) -> dict[str, np.ndarray]:
             "MPNet-family params (relative attention bias) have no "
             "BERT-named state-dict form — the ggml/GGUF export formats "
             "cannot represent them")
+    if "alibi_slopes" in params:
+        raise ValueError(
+            "ALiBi-family params (jina-bert-v2) have no BERT-named "
+            "state-dict form — the ggml/GGUF export formats cannot "
+            "represent them")
     if "position" not in emb or "gate" in params["layers"].get("mlp", {}):
         raise ValueError(
             "rotary / gated-MLP params (RoFormer, nomic-bert) have no "

@@ -78,17 +78,22 @@ def quantized_matmul(x2d: jax.Array, w: QuantizedTensor,
     bm = min(256, max(8, -(-M // 8) * 8))  # small-M friendliness
     if (_use_pallas() or interpret) and _qmm.pallas_fits(K, N, bm, w.packed):
         xp = _pad_dim(x2d, 0, bm)
-        epi = {None: None, "gelu": "bias_gelu",
+        # relu has no kernel epilogue (no published reglu encoder needs
+        # the fusion); bias still runs fused, relu applies after
+        epi = {None: None, "relu": None, "gelu": "bias_gelu",
                "gelu_tanh": "bias_gelu_tanh", "silu": "bias_silu"}[act]
         out = _qmm.qmatmul(xp, w.codes, w.scales, w.mins, b, kind=w.kind,
                            epilogue=epi, bm=bm, packed=w.packed,
                            interpret=interpret)
-        return out[:M]
+        out = out[:M]
+        return jnp.maximum(out, 0) if act == "relu" else out
     y = jnp.dot(x2d, dequantize(w), preferred_element_type=jnp.float32)
     if b is not None:
         y = y + b
     if act == "silu":
         y = jax.nn.silu(y)
+    elif act == "relu":
+        y = jax.nn.relu(y)
     elif act is not None:
         y = jax.nn.gelu(y, approximate=(act == "gelu_tanh"))
     return y.astype(x2d.dtype)
@@ -149,6 +154,8 @@ def linear(x: jax.Array, w, b: jax.Array | None = None,
         y = y + b  # bias added at accumulator precision
     if act == "silu":
         y = jax.nn.silu(y)
+    elif act == "relu":
+        y = jax.nn.relu(y)
     elif act is not None:
         y = jax.nn.gelu(y, approximate=(act == "gelu_tanh"))
     return y.astype(x.dtype)

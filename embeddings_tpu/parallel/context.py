@@ -157,14 +157,15 @@ def make_cp_forward(config: BertConfig, mesh: Mesh, *,
     _nocheck = ({"check_vma": False} if "check_vma" in _params
                 else {"check_rep": False})
     pool = pooling or config.pooling
-    if config.relative_attention_num_buckets:
+    if (config.relative_attention_num_buckets
+            or config.position_embedding_type == "alibi"):
         # the [H, Lc, L] bias would need per-shard global positions in
         # both kernel and einsum paths — not wired; refuse rather than
-        # silently dropping the bias (MPNet without it is a different
-        # model)
+        # silently dropping the bias (MPNet/jina-v2 without it is a
+        # different model)
         raise ValueError("context parallelism does not support "
-                         "relative-attention-bias models (MPNet); "
-                         "use dp/tp instead")
+                         "attention-logit-bias models (MPNet relative "
+                         "bias, jina-bert-v2 ALiBi); use dp/tp instead")
 
     def local_fwd(p, ids, mask):
         B, Lc = ids.shape

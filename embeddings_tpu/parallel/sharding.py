@@ -139,6 +139,12 @@ def param_pspecs(params: Params, mesh: Mesh) -> Params:
         if not _divisible(params["rel_bias"].shape, spec, mesh):
             spec = P(None, None)
         specs["rel_bias"] = spec
+    if "alibi_slopes" in params:
+        # jina-bert-v2 ALiBi slopes [H]: same head split as rel_bias
+        spec = P(MODEL_AXIS)
+        if not _divisible(params["alibi_slopes"].shape, spec, mesh):
+            spec = P(None)
+        specs["alibi_slopes"] = spec
     return specs
 
 

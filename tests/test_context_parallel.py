@@ -154,5 +154,5 @@ def test_cp_shared_layers_runs_full_depth():
 
 def test_cp_refuses_relative_attention_bias(cfg):
     cfg2 = dataclasses.replace(cfg, relative_attention_num_buckets=16)
-    with pytest.raises(ValueError, match="relative-attention-bias"):
+    with pytest.raises(ValueError, match="relative bias"):
         make_cp_forward(cfg2, make_mesh_cp(dp=2, sp=4))

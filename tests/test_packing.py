@@ -265,9 +265,12 @@ def test_planner_many_tiny_segments():
     seen = sorted(sg.sentence for b in batches for row in b.rows
                   for sg in row)
     assert seen == list(range(401))
-    t0 = time.time()
+    # CPU time, not wall clock: the bound must hold under full-suite
+    # machine load too (the first-fit scan this guards against took
+    # minutes, so the margin stays meaningful)
+    t0 = time.process_time()
     plan_packing([5] * 200_000, row_len=128, batch_rows=256)
-    assert time.time() - t0 < 5.0  # O(n log n); first-fit scan took ages
+    assert time.process_time() - t0 < 10.0  # O(n log n)
 
 
 def test_engine_packed_hybrid_long_sentences(small_vocab):
