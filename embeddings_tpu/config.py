@@ -61,6 +61,18 @@ class BertConfig:
     # Gated MLP (nomic-bert "swiglu"/"geglu"): down(act(gate(x)) * up(x))
     # instead of down(act(up(x))); hidden_act supplies act.
     gated_mlp: bool = False
+    # ModernBERT family: pre-norm blocks (x += attn(ln(x)); x += mlp(ln(x))
+    # with the FIRST layer's attention norm an identity — the embedding
+    # LayerNorm directly precedes it — and one final norm after the
+    # stack). "post" = classic BERT post-LN (everything else).
+    norm_style: str = "post"  # "post" | "pre"
+    # ModernBERT alternating attention: layer i attends globally iff
+    # i % global_attn_every_n_layers == 0, otherwise only within
+    # |i-j| <= local_attention_window//2; local layers use
+    # local_rotary_base for their RoPE tables. 1/0/None = all-global.
+    global_attn_every_n_layers: int = 1
+    local_attention_window: int = 0
+    local_rotary_base: float | None = None
 
     # Sentence-embedding head (SentenceTransformers semantics).
     pooling: str = "mean"  # "mean" | "cls" | "max"
@@ -163,6 +175,32 @@ class BertConfig:
             overrides.setdefault("rotary_base",
                                  float(d.get("rotary_emb_base", 1000.0)))
             overrides.setdefault("gated_mlp", gated)
+        if d.get("model_type") == "modernbert":
+            # ModernBERT (gte-modernbert-base, nomic modernbert-embed):
+            # pre-norm biasless blocks, RoPE with separate global/local
+            # thetas, attention alternating global / 128-token sliding
+            # window, GeGLU MLP (Wi packs act-half|mult-half), final norm.
+            overrides.setdefault("position_embedding_type", "rotary")
+            overrides.setdefault("rotary_base",
+                                 float(d.get("global_rope_theta", 160000.0)))
+            overrides.setdefault(
+                "local_rotary_base",
+                float(d.get("local_rope_theta")
+                      or d.get("global_rope_theta", 160000.0)))
+            overrides.setdefault("global_attn_every_n_layers",
+                                 int(d.get("global_attn_every_n_layers", 3)))
+            overrides.setdefault("local_attention_window",
+                                 int(d.get("local_attention", 128)))
+            overrides.setdefault("gated_mlp", True)
+            overrides.setdefault("norm_style", "pre")
+            overrides.setdefault("cls_token_id",
+                                 int(d.get("cls_token_id", 50281)))
+            overrides.setdefault("sep_token_id",
+                                 int(d.get("sep_token_id", 50282)))
+            d = {**d,
+                 "hidden_act": d.get("hidden_activation", "gelu"),
+                 "layer_norm_eps": d.get("norm_eps", 1e-5),
+                 "type_vocab_size": 1}  # synthesized zeros row
         if d.get("position_embedding_type") == "alibi":
             # jina-bert-v2 (jina-embeddings-v2-*): model_type "bert" with
             # ALiBi attention bias instead of a position table, and a GLU
@@ -329,6 +367,10 @@ KNOWN_MODELS: dict[str, dict[str, Any]] = {
     "nomic-embed-text-v1": dict(vocab_size=30528, hidden_size=768, num_hidden_layers=12, num_attention_heads=12, intermediate_size=3072, max_position_embeddings=2048, type_vocab_size=2, position_embedding_type="rotary", rotary_base=1000.0, gated_mlp=True, hidden_act="silu"),
     "nomic-embed-text-v1.5": dict(vocab_size=30528, hidden_size=768, num_hidden_layers=12, num_attention_heads=12, intermediate_size=3072, max_position_embeddings=2048, type_vocab_size=2, position_embedding_type="rotary", rotary_base=1000.0, gated_mlp=True, hidden_act="silu"),
     "roformer_chinese_base": dict(vocab_size=50000, hidden_size=768, num_hidden_layers=12, num_attention_heads=12, intermediate_size=3072, max_position_embeddings=1536, position_embedding_type="rotary", rotary_interleaved=True),
+    # ModernBERT family (beyond the reference): pre-norm biasless blocks,
+    # alternating global/sliding-window RoPE attention, GeGLU, 8192 ctx
+    "gte-modernbert-base": dict(vocab_size=50368, hidden_size=768, num_hidden_layers=22, num_attention_heads=12, intermediate_size=1152, max_position_embeddings=8192, position_embedding_type="rotary", rotary_base=160000.0, local_rotary_base=10000.0, global_attn_every_n_layers=3, local_attention_window=128, gated_mlp=True, norm_style="pre", layer_norm_eps=1e-5, type_vocab_size=1, cls_token_id=50281, sep_token_id=50282, pooling="cls"),
+    "modernbert-embed-base": dict(vocab_size=50368, hidden_size=768, num_hidden_layers=22, num_attention_heads=12, intermediate_size=1152, max_position_embeddings=8192, position_embedding_type="rotary", rotary_base=160000.0, local_rotary_base=10000.0, global_attn_every_n_layers=3, local_attention_window=128, gated_mlp=True, norm_style="pre", layer_norm_eps=1e-5, type_vocab_size=1, cls_token_id=50281, sep_token_id=50282),
     # ALiBi family (beyond the reference): jina-bert-v2 — symmetric
     # ALiBi logit bias, GeGLU MLP, 8192-token context, mean pooling
     "jina-embeddings-v2-base-en": dict(vocab_size=30528, hidden_size=768, num_hidden_layers=12, num_attention_heads=12, intermediate_size=3072, max_position_embeddings=8192, position_embedding_type="alibi", gated_mlp=True, hidden_act="gelu"),

@@ -87,17 +87,27 @@ def _project_embeddings(params: Params, x: jax.Array) -> jax.Array:
 
 
 def _scan_layers(params: Params, config: BertConfig, x: jax.Array,
-                 apply_layer) -> jax.Array:
+                 apply_layer, aux: Params | None = None) -> jax.Array:
     """Run the encoder stack: scan over stacked per-layer params, or —
     ALBERT cross-layer sharing — scan num_hidden_layers iterations over
-    the single stored layer (one compiled body either way)."""
+    the single stored layer (one compiled body either way). aux: an
+    optional pytree of per-layer [NL, ...] arrays scanned alongside the
+    params (ModernBERT's is_global / ln_apply flags); apply_layer then
+    receives (layer, h, aux_i)."""
     if config.shared_layers:
+        assert aux is None, "per-layer aux with shared layers"
         shared = jax.tree_util.tree_map(lambda a: a[0], params["layers"])
 
         def body(h, _):
             return apply_layer(shared, h), None
 
         x, _ = lax.scan(body, x, None, length=config.num_hidden_layers)
+    elif aux is not None:
+        def body(h, t):
+            layer, aux_i = t
+            return apply_layer(layer, h, aux_i), None
+
+        x, _ = lax.scan(body, x, (params["layers"], aux))
     else:
         def body(h, layer):
             return apply_layer(layer, h), None
@@ -304,26 +314,118 @@ def encoder_layer(layer: Params, config: BertConfig, x: jax.Array,
     eps = config.layer_norm_eps
     ctx = attention_context(layer, config, x, mask_bias, lengths, segments,
                             attn_window, bias4, rope)
-    act = {"gelu_tanh": "gelu_tanh", "silu": "silu", "relu": "relu"}.get(
-        config.hidden_act, "gelu")
-
-    def ffn_hidden(x):
-        if "gate" in m:
-            return (linear(x, m["gate"]["w"], m["gate"]["b"], act=act)
-                    * linear(x, m["up"]["w"], m["up"]["b"]))
-        return linear(x, m["up"]["w"], m["up"]["b"], act=act)
-
     if tp_axis is not None:
         x = _row_parallel_residual_ln(ctx, a["o"]["w"], a["o"]["b"], x,
                                       a["ln"], eps, tp_axis)
-        h = ffn_hidden(x)
+        h = _ffn_hidden(m, x, config)
         return _row_parallel_residual_ln(h, m["down"]["w"], m["down"]["b"],
                                          x, m["ln"], eps, tp_axis)
     x = linear_residual_ln(ctx, a["o"]["w"], a["o"]["b"], x,
                            a["ln"]["scale"], a["ln"]["bias"], eps)
-    h = ffn_hidden(x)  # activation fused in-kernel
+    h = _ffn_hidden(m, x, config)  # activation fused in-kernel
     return linear_residual_ln(h, m["down"]["w"], m["down"]["b"], x,
                               m["ln"]["scale"], m["ln"]["bias"], eps)
+
+
+def _ffn_hidden(m: Params, x: jax.Array, config: BertConfig) -> jax.Array:
+    """MLP hidden: act(up(x)) — or act(gate(x)) * up(x) for gated MLPs
+    (nomic swiglu, jina/ModernBERT geglu) with the activation fused into
+    the gate matmul's kernel epilogue."""
+    act = {"gelu_tanh": "gelu_tanh", "silu": "silu", "relu": "relu"}.get(
+        config.hidden_act, "gelu")
+    if "gate" in m:
+        return (linear(x, m["gate"]["w"], m["gate"]["b"], act=act)
+                * linear(x, m["up"]["w"], m["up"]["b"]))
+    return linear(x, m["up"]["w"], m["up"]["b"], act=act)
+
+
+def _prenorm_scan_args(config: BertConfig, L: int, positions: jax.Array,
+                       mask_value: float):
+    """Per-layer scan flags, local-theta RoPE tables, and the
+    sliding-window logit bias for the pre-norm (ModernBERT) stack.
+
+    positions: the same array the caller's global RoPE tables were built
+    from — 1-D [L] (padded batches) or [B, L] (packed rows, restarting
+    per segment). Returns (aux, rope_l, window_bias); rope_l is None
+    when the local theta equals the global one (caller reuses rope_g),
+    window_bias is None when every layer is global.
+    """
+    NL = config.num_hidden_layers
+    n = max(1, config.global_attn_every_n_layers)
+    aux = {"is_global": (jnp.arange(NL) % n == 0).astype(jnp.float32),
+           # layer 0's attention norm is nn.Identity in ModernBERT (the
+           # embedding LayerNorm immediately precedes it)
+           "ln_apply": (jnp.arange(NL) > 0).astype(jnp.float32)}
+    rope_l = None
+    if (config.position_embedding_type == "rotary"
+            and config.local_rotary_base
+            and config.local_rotary_base != config.rotary_base):
+        from ..ops.rotary import rope_tables
+        rope_l = rope_tables(positions, config.head_dim,
+                             config.local_rotary_base)
+    window_bias = None
+    if config.local_attention_window > 0 and n > 1 and NL > 1:
+        p = positions if positions.ndim == 2 else positions[None]
+        dist = jnp.abs(p[:, None, :] - p[:, :, None])      # [B|1, L, L]
+        window_bias = jnp.where(
+            dist <= config.local_attention_window // 2, 0.0,
+            mask_value).astype(jnp.float32)[:, None]       # [B|1,1,L,L]
+    return aux, rope_l, window_bias
+
+
+def encoder_layer_pre(layer: Params, config: BertConfig, x: jax.Array,
+                      mask_bias: jax.Array, aux: Params,
+                      rope_g: tuple[jax.Array, jax.Array],
+                      rope_l: tuple[jax.Array, jax.Array],
+                      window_bias: jax.Array | None,
+                      lengths: jax.Array | None = None,
+                      tp_axis: str | None = None,
+                      bias4_window: jax.Array | None = None) -> jax.Array:
+    """One pre-norm encoder block (ModernBERT):
+    x += Wo·attn(attn_norm(x)); x += Wo·glu(mlp_norm(x)).
+
+    aux (per-layer scalars from the scan): is_global selects global vs
+    sliding-window attention AND the matching RoPE table (global/local
+    theta differ); ln_apply skips layer 0's identity attention norm.
+    Attention: when bias4_window is given (TPU, kernel-supported shape)
+    every layer runs the fused VMEM bias kernel — the sliding-window
+    mask is just an additive logit bias, zeroed on global layers — so
+    [L, L] scores never reach HBM; otherwise local layers fold the
+    window into the additive mask and take the einsum path.
+    Residual adds stay outside the matmuls (no post-LN to fuse into the
+    kernel epilogue here); under TP the o/down matmuls are row-parallel
+    with one psum each, bias added after the reduction."""
+    a, m = layer["attn"], layer["mlp"]
+    eps = config.layer_norm_eps
+    g = aux["is_global"]
+    xn = layer_norm(x, a["ln"]["scale"], a["ln"]["bias"], eps)
+    xn = jnp.where(aux["ln_apply"] > 0, xn, x)
+    rope = (rope_g if rope_l is rope_g else
+            tuple(jnp.where(g > 0, cg, cl)
+                  for cg, cl in zip(rope_g, rope_l)))
+    mb = mask_bias
+    bias4 = None
+    if window_bias is not None and bias4_window is not None:
+        # fused path: the window mask rides the bias-kernel operand,
+        # zeroed on global layers ((1-g) select); scores stay in VMEM
+        bias4 = (1.0 - g) * bias4_window
+    elif window_bias is not None:
+        # einsum fallback: local layers additionally mask |i-j| > w//2
+        mb = mask_bias + (1.0 - g) * window_bias
+        lengths = None
+    ctx = attention_context(layer, config, xn, mb, lengths, rope=rope,
+                            bias4=bias4)
+
+    def residual_add(h, lin, res):
+        if tp_axis is not None:
+            y = linear(h, lin["w"], None)
+            y = lax.psum(y, tp_axis) + lin["b"].astype(jnp.float32)
+            return res + y.astype(res.dtype)
+        return res + linear(h, lin["w"], lin["b"])
+
+    x = residual_add(ctx, a["o"], x)
+    hn = layer_norm(x, m["ln"]["scale"], m["ln"]["bias"], eps)
+    return residual_add(_ffn_hidden(m, hn, config), m["down"], x)
 
 
 def encode_tokens(params: Params, config: BertConfig, token_ids: jax.Array,
@@ -396,11 +498,42 @@ def encode_tokens(params: Params, config: BertConfig, token_ids: jax.Array,
         rope = rope_tables(jnp.arange(token_ids.shape[1]),
                            config.head_dim, config.rotary_base)
 
-    # lax.scan over (stacked or shared) layer params: one compiled block.
-    x = _scan_layers(params, config, x,
-                     lambda layer, h: encoder_layer(
-                         layer, config, h, mask_bias, lengths,
-                         tp_axis=tp_axis, bias4=bias4, rope=rope))
+    if config.norm_style == "pre":
+        # ModernBERT: scan per-layer flags alongside the stacked params
+        aux, rope_l, window_bias = _prenorm_scan_args(
+            config, L, jnp.arange(L), mask_value)
+        rope_l = rope if rope_l is None else rope_l
+        bias4_window = None
+        if window_bias is not None and lengths is not None:
+            # fused route: window mask as the bias-kernel operand (one
+            # [nQ, H, Lq, L] array, batch-independent, shared across
+            # layers). Not under TP: the operand is per-local-head and
+            # encode_tokens cannot know the shard's head count here.
+            from ..ops import attention as attn_ops
+            from ..ops.linear import _use_pallas
+            H, D = config.num_attention_heads, config.head_dim
+            if (tp_axis is None and _use_pallas()
+                    and attn_ops.bias_supported(L, H, D)):
+                bias4_window = attn_ops.prepare_attention_bias(
+                    jnp.broadcast_to(window_bias, (1, H, L, L)), L)
+        x = _scan_layers(params, config, x,
+                         lambda layer, h, aux_i: encoder_layer_pre(
+                             layer, config, h, mask_bias, aux_i,
+                             rope_g=rope, rope_l=rope_l,
+                             window_bias=window_bias, lengths=lengths,
+                             tp_axis=tp_axis, bias4_window=bias4_window),
+                         aux=aux)
+    else:
+        # lax.scan over (stacked or shared) layer params: one compiled
+        # block.
+        x = _scan_layers(params, config, x,
+                         lambda layer, h: encoder_layer(
+                             layer, config, h, mask_bias, lengths,
+                             tp_axis=tp_axis, bias4=bias4, rope=rope))
+
+    if "final_ln" in params:  # ModernBERT post-stack norm
+        x = layer_norm(x, params["final_ln"]["scale"],
+                       params["final_ln"]["bias"], config.layer_norm_eps)
 
     if return_hidden:
         return x.astype(jnp.float32)
@@ -474,11 +607,28 @@ def encode_packed(params: Params, config: BertConfig, token_ids: jax.Array,
         rope = rope_tables(position_ids, config.head_dim,
                            config.rotary_base)
 
-    x = _scan_layers(params, config, x,
-                     lambda layer, h: encoder_layer(
-                         layer, config, h, mask_bias, None,
-                         tp_axis=tp_axis, segments=seg_for_attn,
-                         attn_window=attn_window, rope=rope))
+    if config.norm_style == "pre":
+        # ModernBERT packed rows: window distances from the per-segment
+        # positions (cross-segment pairs are already masked); einsum
+        # attention via the combined mask
+        aux, rope_l, window_bias = _prenorm_scan_args(
+            config, token_ids.shape[1], position_ids, mask_value)
+        rope_l = rope if rope_l is None else rope_l
+        x = _scan_layers(params, config, x,
+                         lambda layer, h, aux_i: encoder_layer_pre(
+                             layer, config, h, mask_bias, aux_i,
+                             rope_g=rope, rope_l=rope_l,
+                             window_bias=window_bias, tp_axis=tp_axis),
+                         aux=aux)
+    else:
+        x = _scan_layers(params, config, x,
+                         lambda layer, h: encoder_layer(
+                             layer, config, h, mask_bias, None,
+                             tp_axis=tp_axis, segments=seg_for_attn,
+                             attn_window=attn_window, rope=rope))
+    if "final_ln" in params:  # ModernBERT post-stack norm
+        x = layer_norm(x, params["final_ln"]["scale"],
+                       params["final_ln"]["bias"], config.layer_norm_eps)
     pooled = jnp.einsum("bsl,ble->bse", pool_weights, x.astype(jnp.float32))
     if normalize:
         norm = jnp.linalg.norm(pooled, axis=-1, keepdims=True)

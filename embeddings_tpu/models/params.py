@@ -110,6 +110,8 @@ def init_params(config: BertConfig, rng: jax.Array | int = 0,
         from ..ops.alibi import alibi_slopes
         out["alibi_slopes"] = jnp.asarray(
             alibi_slopes(config.num_attention_heads), jnp.float32)
+    if config.norm_style == "pre":
+        out["final_ln"] = _ln(np.ones(E), np.zeros(E))
     return out
 
 
@@ -124,13 +126,13 @@ def _strip_prefix(sd: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
     # BPE tokenizer, one token-type row) live in config.position_offset
     # and the tokenizer dispatch, not in the tensor mapping
     for prefix in ("bert.", "roberta.", "albert.", "mpnet.", "distilbert.",
-                   "roformer.", "0.auto_model."):
+                   "roformer.", "model.", "0.auto_model."):
         if any(k.startswith(prefix + "embeddings") for k in sd):
             sd = {k[len(prefix):]: v for k, v in sd.items()
                   if k.startswith(prefix)}
             break
-    return _translate_jina(_translate_nomic(
-        _translate_mpnet(_translate_albert(_translate_distilbert(sd)))))
+    return _translate_modernbert(_translate_jina(_translate_nomic(
+        _translate_mpnet(_translate_albert(_translate_distilbert(sd))))))
 
 
 # DistilBERT layer-tensor names -> BERT names (the math is identical:
@@ -294,6 +296,73 @@ def _translate_nomic(sd: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
     return out
 
 
+def _translate_modernbert(sd: dict[str, np.ndarray]
+                          ) -> dict[str, np.ndarray]:
+    """Rewrite a ModernBERT state dict into BERT naming; no-op otherwise.
+
+    ModernBERT (HF modeling_modernbert.py) is biasless throughout
+    (attention_bias/mlp_bias/norm_bias all False) — zero biases are
+    synthesized so the shared stacking code stays uniform. The fused
+    Wqkv [3E, E] splits row-wise q|k|v; the GeGLU Wi [2I, E] splits into
+    the activated half (rows 0..I, our "gate") and the multiplier half
+    (rows I.., our "up") — HF's ``act(input) * gate`` chunk order.
+    Layer 0's attention norm is nn.Identity (the embedding LayerNorm
+    directly precedes it): ones/zeros are synthesized here and the
+    forward skips it via config.norm_style == "pre" (models/bert.py).
+    The final post-stack norm lands as the top-level "final_ln"."""
+    if not any(k.startswith("layers.") and ".attn.Wqkv." in k for k in sd):
+        return sd
+    out: dict[str, np.ndarray] = {}
+    E = sd["embeddings.tok_embeddings.weight"].shape[1]
+    zeros_e = np.zeros(E, np.float32)
+    norm_map = {"attn_norm": "attention.output.LayerNorm",
+                "mlp_norm": "output.LayerNorm"}
+    n_layers = 1 + max(int(k.split(".")[1]) for k in sd
+                       if k.startswith("layers."))
+    for k, v in sd.items():
+        if k.startswith("layers."):
+            _, i, rest = k.split(".", 2)
+            stem, _, leaf = rest.rpartition(".")
+            p = f"encoder.layer.{i}."
+            if stem == "attn.Wqkv":
+                for j, name in enumerate(("query", "key", "value")):
+                    out[p + f"attention.self.{name}.{leaf}"] \
+                        = v[j * v.shape[0] // 3:(j + 1) * v.shape[0] // 3]
+            elif stem == "attn.Wo":
+                out[p + f"attention.output.dense.{leaf}"] = v
+            elif stem == "mlp.Wi":
+                I = v.shape[0] // 2
+                out[p + f"intermediate.gate.{leaf}"] = v[:I]
+                out[p + f"intermediate.dense.{leaf}"] = v[I:]
+            elif stem == "mlp.Wo":
+                out[p + f"output.dense.{leaf}"] = v
+            elif stem in norm_map:
+                out[p + f"{norm_map[stem]}.{leaf}"] = v
+        elif k == "embeddings.tok_embeddings.weight":
+            out["embeddings.word_embeddings.weight"] = v
+        elif k.startswith("embeddings.norm."):
+            out["embeddings.LayerNorm." + k.rsplit(".", 1)[1]] = v
+        elif k.startswith("final_norm."):
+            out["final_ln." + k.rsplit(".", 1)[1]] = v
+        else:
+            out[k] = v
+    out.setdefault("embeddings.token_type_embeddings.weight",
+                   np.zeros((1, E), np.float32))
+    # biasless model: synthesize zeros for every missing linear/norm bias
+    # (HF weights are [out, in]; norms are [out] — bias length = shape[0])
+    for k in list(out):
+        if k.endswith(".weight") and not k.endswith("_embeddings.weight"):
+            out.setdefault(k[:-len("weight")] + "bias",
+                           np.zeros(out[k].shape[0], np.float32))
+    # layer 0's Identity attention norm: ones/zeros placeholders (the
+    # prenorm forward never applies them — ln_apply flag is 0 there)
+    for i in range(n_layers):
+        p = f"encoder.layer.{i}.attention.output.LayerNorm."
+        out.setdefault(p + "weight", np.ones(E, np.float32))
+        out.setdefault(p + "bias", zeros_e.copy())
+    return out
+
+
 def _translate_jina(sd: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
     """Rewrite a jina-bert-v2 state dict into BERT naming; no-op
     otherwise. Attention tensors already use BERT names; the GLU MLP
@@ -417,6 +486,9 @@ def from_hf_state_dict(sd: dict[str, np.ndarray], config: BertConfig,
         from ..ops.alibi import alibi_slopes
         out["alibi_slopes"] = jnp.asarray(
             alibi_slopes(config.num_attention_heads), jnp.float32)
+    if "final_ln.weight" in sd:
+        # ModernBERT post-stack norm
+        out["final_ln"] = _ln(g("final_ln.weight"), g("final_ln.bias"))
     return out
 
 

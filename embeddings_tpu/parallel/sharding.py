@@ -145,6 +145,9 @@ def param_pspecs(params: Params, mesh: Mesh) -> Params:
         if not _divisible(params["alibi_slopes"].shape, spec, mesh):
             spec = P(None)
         specs["alibi_slopes"] = spec
+    if "final_ln" in params:
+        # ModernBERT post-stack norm: tiny, replicated
+        specs["final_ln"] = {"scale": P(None), "bias": P(None)}
     return specs
 
 

@@ -156,11 +156,20 @@ class ByteLevelBPETokenizer:
             if p.get("type") == "ByteLevel":
                 kw.setdefault("add_prefix_space",
                               bool(p.get("add_prefix_space", False)))
-        # special tokens by content when declared
+        # special tokens by content when declared: RoBERTa's <s>-style
+        # names or ModernBERT's [CLS]-style names (tokenizer_config.json
+        # values, already in kw, take precedence)
+        roles = {"<s>": "cls_token", "[CLS]": "cls_token",
+                 "</s>": "sep_token", "[SEP]": "sep_token",
+                 "<pad>": "pad_token", "[PAD]": "pad_token",
+                 "<unk>": "unk_token", "[UNK]": "unk_token",
+                 "<mask>": "mask_token", "[MASK]": "mask_token"}
         for at in d.get("added_tokens", []):
             c = at.get("content", "")
-            if c in ("<s>", "</s>", "<pad>", "<unk>", "<mask>"):
+            role = roles.get(c)
+            if role is not None:
                 vocab.setdefault(c, at["id"])
+                kw.setdefault(role, c)
         return cls(vocab, merges, **kw)
 
     # -- core algorithm ------------------------------------------------------
