@@ -277,7 +277,16 @@ class EngineConfig:
     def __post_init__(self) -> None:
         self.seq_buckets = tuple(sorted(set(int(b) for b in self.seq_buckets)))
         if self.seq_buckets[-1] < self.max_seq_len:
-            self.seq_buckets = self.seq_buckets + (self.max_seq_len,)
+            # extend by doubling, ending exactly at max_seq_len: a
+            # long-context model (nomic 2048, jina/ModernBERT 8192) gets
+            # intermediate buckets instead of padding every >512-token
+            # text to the full context
+            bb = set(self.seq_buckets)
+            b = self.seq_buckets[-1]
+            while b < self.max_seq_len:
+                b = min(b * 2, self.max_seq_len)
+                bb.add(b)
+            self.seq_buckets = tuple(sorted(bb))
         # batch buckets must cover batch_size (a batch_size above the
         # largest default bucket would otherwise fail at plan time):
         # extend by doubling, ending exactly at batch_size

@@ -180,8 +180,35 @@ def _logit_bias(params: Params, config: BertConfig,
 
 
 def _fused_attn_dispatch(qkv2d, lengths, segments, B, L, H, D,
-                         attn_window=0, bias4=None):
+                         attn_window=0, bias4=None, local_window=None,
+                         alibi=None):
     from ..ops import attention as attn_ops
+    E = H * D
+
+    def global_attn(q2d):
+        if alibi is not None:
+            # jina-bert-v2 at long L: slopes are static (derived from
+            # the head count) so the ALiBi penalty is computed from iota
+            # in-kernel — no O(L^2) bias operand at any length
+            return attn_ops.fused_attention_stream(
+                q2d, lengths, B=B, L=L, H=H, D=D, BK=attn_ops.pick_bk(L),
+                alibi_slopes=alibi)
+        if not attn_ops.whole_row_fits(L, E):
+            # whole-row K/V would not fit VMEM: stream key blocks
+            return attn_ops.fused_attention_stream(
+                q2d, lengths, B=B, L=L, H=H, D=D, BK=attn_ops.pick_bk(L))
+        return attn_ops.fused_attention(q2d, lengths, B=B, L=L, H=H, D=D)
+
+    if local_window is not None:
+        # ModernBERT alternating attention: one lax.cond per layer picks
+        # the global kernel or the banded sliding-window kernel (both
+        # compiled once; is_global is the scanned per-layer flag)
+        g, w = local_window
+        return lax.cond(
+            g > 0, global_attn,
+            lambda q2d: attn_ops.fused_attention_window(
+                q2d, lengths, B=B, L=L, H=H, D=D, window=w),
+            qkv2d)
     if bias4 is not None:
         # MPNet relative position bias folded into the fused kernel
         return attn_ops.fused_attention_bias(qkv2d, lengths, bias4,
@@ -202,7 +229,23 @@ def _fused_attn_dispatch(qkv2d, lengths, segments, B, L, H, D,
                 qkv2d, segments, B=B, L=L, H=H, D=D, window=attn_window)
         return attn_ops.fused_attention_segmented(
             qkv2d, segments, B=B, L=L, H=H, D=D)
-    return attn_ops.fused_attention(qkv2d, lengths, B=B, L=L, H=H, D=D)
+    return global_attn(qkv2d)
+
+
+def _attn_kernels_ok(L: int, H: int, D: int, segments,
+                     local_window, alibi) -> bool:
+    """Can the requested fused-attention flavor run at this shape?"""
+    from ..ops import attention as attn_ops
+    if segments is not None:
+        return attn_ops.supported(L, H, D)
+    if local_window is not None:
+        # both cond branches: banded (BK=128) + global (whole-row/stream)
+        return attn_ops.stream_supported(L, H, D, attn_ops.BQ)
+    if alibi is not None:
+        return attn_ops.stream_supported(L, H, D, attn_ops.pick_bk(L))
+    if not attn_ops.whole_row_fits(L, H * D):
+        return attn_ops.stream_supported(L, H, D, attn_ops.pick_bk(L))
+    return attn_ops.supported(L, H, D)
 
 
 def attention_context(layer: Params, config: BertConfig, x: jax.Array,
@@ -211,7 +254,9 @@ def attention_context(layer: Params, config: BertConfig, x: jax.Array,
                       segments: jax.Array | None = None,
                       attn_window: int = 0,
                       bias4: jax.Array | None = None,
-                      rope: tuple[jax.Array, jax.Array] | None = None
+                      rope: tuple[jax.Array, jax.Array] | None = None,
+                      local_window: tuple | None = None,
+                      alibi: tuple[float, ...] | None = None
                       ) -> jax.Array:
     """Pad-masked multi-head self-attention, up to (not including) the
     output projection (bert.cpp:994-1036). Returns [B, L, E_local]
@@ -235,14 +280,16 @@ def attention_context(layer: Params, config: BertConfig, x: jax.Array,
         qkv = linear(x, a["qkv"]["w"], a["qkv"]["b"])  # [B, L, 3*E_local]
         El = qkv.shape[-1] // 3
         H = El // D
-        if want_fused and _use_pallas() and attn_ops.supported(L, H, D):
+        if (want_fused and _use_pallas()
+                and _attn_kernels_ok(L, H, D, segments, local_window,
+                                     alibi)):
             if rope is not None:
                 qkv = apply_rotary_qkv(qkv, *rope, H=H, D=D,
                                        interleaved=config.rotary_interleaved)
             # fully fused VMEM attention: scores/probs never touch HBM
             ctx = _fused_attn_dispatch(qkv.reshape(B * L, 3 * El), lengths,
                                        segments, B, L, H, D, attn_window,
-                                       bias4)
+                                       bias4, local_window, alibi)
             return ctx.reshape(B, L, El)
         q = qkv[..., :El].reshape(B, L, H, D)
         k = qkv[..., El:2 * El].reshape(B, L, H, D)
@@ -251,7 +298,9 @@ def attention_context(layer: Params, config: BertConfig, x: jax.Array,
         q = linear(x, a["q"]["w"], a["q"]["b"])
         El = q.shape[-1]
         H = El // D
-        if want_fused and _use_pallas() and attn_ops.supported(L, H, D):
+        if (want_fused and _use_pallas()
+                and _attn_kernels_ok(L, H, D, segments, local_window,
+                                     alibi)):
             k = linear(x, a["k"]["w"], a["k"]["b"])
             v = linear(x, a["v"]["w"], a["v"]["b"])
             qkv = jnp.concatenate([q, k, v], axis=-1)
@@ -261,7 +310,7 @@ def attention_context(layer: Params, config: BertConfig, x: jax.Array,
                     interleaved=config.rotary_interleaved)
             ctx = _fused_attn_dispatch(qkv.reshape(B * L, 3 * El), lengths,
                                        segments, B, L, H, D, attn_window,
-                                       bias4)
+                                       bias4, local_window, alibi)
             return ctx.reshape(B, L, El)
         q = q.reshape(B, L, H, D)
         k = linear(x, a["k"]["w"], a["k"]["b"]).reshape(B, L, H, D)
@@ -298,7 +347,8 @@ def encoder_layer(layer: Params, config: BertConfig, x: jax.Array,
                   segments: jax.Array | None = None,
                   attn_window: int = 0,
                   bias4: jax.Array | None = None,
-                  rope: tuple[jax.Array, jax.Array] | None = None
+                  rope: tuple[jax.Array, jax.Array] | None = None,
+                  alibi: tuple[float, ...] | None = None
                   ) -> jax.Array:
     """One transformer encoder block (post-LN, bert.cpp:987-1084).
 
@@ -313,7 +363,7 @@ def encoder_layer(layer: Params, config: BertConfig, x: jax.Array,
     a, m = layer["attn"], layer["mlp"]
     eps = config.layer_norm_eps
     ctx = attention_context(layer, config, x, mask_bias, lengths, segments,
-                            attn_window, bias4, rope)
+                            attn_window, bias4, rope, alibi=alibi)
     if tp_axis is not None:
         x = _row_parallel_residual_ln(ctx, a["o"]["w"], a["o"]["b"], x,
                                       a["ln"], eps, tp_axis)
@@ -380,21 +430,21 @@ def encoder_layer_pre(layer: Params, config: BertConfig, x: jax.Array,
                       window_bias: jax.Array | None,
                       lengths: jax.Array | None = None,
                       tp_axis: str | None = None,
-                      bias4_window: jax.Array | None = None) -> jax.Array:
+                      window_kernel: bool = False) -> jax.Array:
     """One pre-norm encoder block (ModernBERT):
     x += Wo·attn(attn_norm(x)); x += Wo·glu(mlp_norm(x)).
 
     aux (per-layer scalars from the scan): is_global selects global vs
     sliding-window attention AND the matching RoPE table (global/local
     theta differ); ln_apply skips layer 0's identity attention norm.
-    Attention: when bias4_window is given (TPU, kernel-supported shape)
-    every layer runs the fused VMEM bias kernel — the sliding-window
-    mask is just an additive logit bias, zeroed on global layers — so
-    [L, L] scores never reach HBM; otherwise local layers fold the
-    window into the additive mask and take the einsum path.
-    Residual adds stay outside the matmuls (no post-LN to fuse into the
-    kernel epilogue here); under TP the o/down matmuls are row-parallel
-    with one psum each, bias added after the reduction."""
+    Attention: with window_kernel (TPU, kernel-supported shape) each
+    layer runs a lax.cond between the global fused/streaming kernel and
+    the banded sliding-window kernel (O(L·window) work, scores never in
+    HBM); otherwise local layers fold the window into the additive mask
+    and take the einsum path. Residual adds stay outside the matmuls
+    (no post-LN to fuse into the kernel epilogue here); under TP the
+    o/down matmuls are row-parallel with one psum each, bias added
+    after the reduction."""
     a, m = layer["attn"], layer["mlp"]
     eps = config.layer_norm_eps
     g = aux["is_global"]
@@ -404,17 +454,15 @@ def encoder_layer_pre(layer: Params, config: BertConfig, x: jax.Array,
             tuple(jnp.where(g > 0, cg, cl)
                   for cg, cl in zip(rope_g, rope_l)))
     mb = mask_bias
-    bias4 = None
-    if window_bias is not None and bias4_window is not None:
-        # fused path: the window mask rides the bias-kernel operand,
-        # zeroed on global layers ((1-g) select); scores stay in VMEM
-        bias4 = (1.0 - g) * bias4_window
+    local_window = None
+    if window_bias is not None and window_kernel:
+        local_window = (g, config.local_attention_window)
     elif window_bias is not None:
         # einsum fallback: local layers additionally mask |i-j| > w//2
         mb = mask_bias + (1.0 - g) * window_bias
         lengths = None
     ctx = attention_context(layer, config, xn, mb, lengths, rope=rope,
-                            bias4=bias4)
+                            local_window=local_window)
 
     def residual_add(h, lin, res):
         if tp_axis is not None:
@@ -472,24 +520,39 @@ def encode_tokens(params: Params, config: BertConfig, token_ids: jax.Array,
                if prefix_mask else None)
 
     bias4 = None
+    alibi_static = None
     L = token_ids.shape[1]
-    bias = _logit_bias(params, config, jnp.arange(L)[None])
-    if bias is not None:
+    if "alibi_slopes" in params or params.get("rel_bias") is not None:
         # Family logit bias (MPNet relative-position / jina ALiBi).
         # Fast path: the fused VMEM kernel takes the bias as a
         # [nQ, H_local, Lq, L] operand — computed ONCE here
-        # (batch-independent) and reused by every layer. Otherwise fold
-        # it into the additive mask ([B,1,1,L] + [1,H,L,L] ->
+        # (batch-independent) and reused by every layer. ALiBi at long L
+        # (bias operand past the kernel's VMEM cap): the slopes are
+        # STATIC, so the streaming kernel computes the penalty from iota
+        # in-kernel and no O(L^2) bias array ever exists. Otherwise fold
+        # the bias into the additive mask ([B,1,1,L] + [1,H,L,L] ->
         # [B,H,L,L]) and take the einsum path.
         from ..ops import attention as attn_ops
         from ..ops.linear import _use_pallas
-        H_local, D = bias.shape[1], config.head_dim
-        if (prefix_mask and _use_pallas()
-                and attn_ops.bias_supported(L, H_local, D)):
-            bias4 = attn_ops.prepare_attention_bias(bias, L)
+        H_cfg, D = config.num_attention_heads, config.head_dim
+        if ("alibi_slopes" in params and prefix_mask and tp_axis is None
+                and _use_pallas()
+                and not attn_ops.bias_supported(L, H_cfg, D)
+                and attn_ops.stream_supported(L, H_cfg, D,
+                                              attn_ops.pick_bk(L))):
+            # gated on tp_axis is None: H_cfg then equals the head count
+            # attention_context derives, so its inner check agrees
+            from ..ops.alibi import alibi_slopes
+            alibi_static = tuple(alibi_slopes(H_cfg))
         else:
-            mask_bias = mask_bias + bias
-            lengths = None
+            bias = _logit_bias(params, config, jnp.arange(L)[None])
+            H_local = bias.shape[1]
+            if (prefix_mask and _use_pallas()
+                    and attn_ops.bias_supported(L, H_local, D)):
+                bias4 = attn_ops.prepare_attention_bias(bias, L)
+            else:
+                mask_bias = mask_bias + bias
+                lengths = None
 
     rope = None
     if config.position_embedding_type == "rotary":
@@ -503,25 +566,23 @@ def encode_tokens(params: Params, config: BertConfig, token_ids: jax.Array,
         aux, rope_l, window_bias = _prenorm_scan_args(
             config, L, jnp.arange(L), mask_value)
         rope_l = rope if rope_l is None else rope_l
-        bias4_window = None
-        if window_bias is not None and lengths is not None:
-            # fused route: window mask as the bias-kernel operand (one
-            # [nQ, H, Lq, L] array, batch-independent, shared across
-            # layers). Not under TP: the operand is per-local-head and
-            # encode_tokens cannot know the shard's head count here.
-            from ..ops import attention as attn_ops
-            from ..ops.linear import _use_pallas
-            H, D = config.num_attention_heads, config.head_dim
-            if (tp_axis is None and _use_pallas()
-                    and attn_ops.bias_supported(L, H, D)):
-                bias4_window = attn_ops.prepare_attention_bias(
-                    jnp.broadcast_to(window_bias, (1, H, L, L)), L)
+        # banded-kernel route: each layer lax.conds between the global
+        # kernel and the O(L·window) sliding-window kernel. Gated on
+        # tp_axis is None so this check uses the SAME head count as
+        # attention_context's inner check — if they could disagree the
+        # einsum fallback would silently drop the window mask.
+        from ..ops.linear import _use_pallas
+        window_kernel = (window_bias is not None and lengths is not None
+                         and tp_axis is None and _use_pallas()
+                         and _attn_kernels_ok(
+                             L, config.num_attention_heads,
+                             config.head_dim, None, (1.0, 1), None))
         x = _scan_layers(params, config, x,
                          lambda layer, h, aux_i: encoder_layer_pre(
                              layer, config, h, mask_bias, aux_i,
                              rope_g=rope, rope_l=rope_l,
                              window_bias=window_bias, lengths=lengths,
-                             tp_axis=tp_axis, bias4_window=bias4_window),
+                             tp_axis=tp_axis, window_kernel=window_kernel),
                          aux=aux)
     else:
         # lax.scan over (stacked or shared) layer params: one compiled
@@ -529,7 +590,8 @@ def encode_tokens(params: Params, config: BertConfig, token_ids: jax.Array,
         x = _scan_layers(params, config, x,
                          lambda layer, h: encoder_layer(
                              layer, config, h, mask_bias, lengths,
-                             tp_axis=tp_axis, bias4=bias4, rope=rope))
+                             tp_axis=tp_axis, bias4=bias4, rope=rope,
+                             alibi=alibi_static))
 
     if "final_ln" in params:  # ModernBERT post-stack norm
         x = layer_norm(x, params["final_ln"]["scale"],

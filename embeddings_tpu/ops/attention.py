@@ -545,6 +545,211 @@ def fused_attention_cp(q: jax.Array, kv: jax.Array, lengths: jax.Array, *,
     )(lengths, q, kv, kv)
 
 
+def _attn_kernel_stream(lengths_ref, q_ref, k_ref, v_ref, o_ref, acc_ref, *,
+                        Lq: int, BK: int, L: int, D: int, H: int,
+                        scale: float, nKB: int, span: int | None,
+                        window: int, causal: bool,
+                        slopes: tuple[float, ...] | None):
+    """Streaming (online-accumulation) variant of _attn_kernel: keys and
+    values arrive in [BK, E] blocks over the innermost grid dimension, so
+    VMEM never holds a whole row of K/V — this is what takes the engine
+    past the ~2048-token whole-row VMEM ceiling to 8192+.
+
+    NO running max is needed: the no-max-subtraction clamp bound
+    (_clamp_hi, sized to the TOTAL key count L) makes every partial f32
+    accumulation overflow-safe, so cross-block softmax is a plain sum of
+    exp2 terms — the accumulator [Lq, H*2D] carries [ctx | denom] per
+    head (same augmented-ones-column PV trick) and one reciprocal
+    normalizes at the last block.
+
+    Static mask modes (compiled per model family, no bias operand):
+    - span: banded/sliding-window grids — the innermost dimension walks
+      only the 2*span+1 key blocks around the query block (ModernBERT
+      local layers); out-of-range steps clamp to a valid block and mask
+      to zero.
+    - window: |i-j| <= window//2 in-block mask (with span, exact
+      ModernBERT local attention at O(L*window) cost).
+    - slopes: per-head ALiBi -slope*|i-j| computed from iota in-kernel
+      (jina-bert-v2 at long L, where a bias *operand* would be O(L^2)).
+    - causal: j <= i (decoder-style last-token-pooled embedders).
+    """
+    b = pl.program_id(0)
+    qb = pl.program_id(1)
+    kb = pl.program_id(2)
+    W = pl.num_programs(2)
+
+    @pl.when(kb == 0)
+    def _zero():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    n = lengths_ref[b]
+    if span is None:
+        kb_real = kb
+        in_range = None
+    else:
+        raw = qb - span + kb
+        kb_real = jnp.clip(raw, 0, nKB - 1)
+        in_range = (raw >= 0) & (raw <= nKB - 1)
+    qpos = qb * Lq + jax.lax.broadcasted_iota(jnp.int32, (Lq, BK), 0)
+    kpos = kb_real * BK + jax.lax.broadcasted_iota(jnp.int32, (Lq, BK), 1)
+    ok = kpos < n
+    if in_range is not None:
+        ok &= in_range
+    if window:
+        ok &= jnp.abs(qpos - kpos) <= window // 2
+    if causal:
+        ok &= kpos <= qpos
+    s2 = scale * LOG2E
+    clamp_hi = _clamp_hi(L)
+    dist = None
+    if slopes is not None:
+        dist = jnp.abs(qpos - kpos).astype(jnp.float32) * LOG2E
+    aug_col = jax.lax.broadcasted_iota(jnp.int32, (BK, 2 * D), 1)
+    for h in range(H):
+        sl = slice(h * D, (h + 1) * D)
+        q = q_ref[:, sl]
+        k = k_ref[:, sl]
+        vaug = jnp.where(aug_col == D, jnp.ones((), v_ref.dtype),
+                         jnp.pad(v_ref[:, sl], ((0, 0), (0, D))))
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * s2
+        if slopes is not None:
+            s = s - slopes[h] * dist
+        s = jnp.clip(s, _CLAMP_LO, clamp_hi)
+        p = jnp.where(ok, jnp.exp2(s), 0.0).astype(q.dtype)
+        d = jax.lax.dot(p, vaug, preferred_element_type=jnp.float32)
+        asl = slice(2 * D * h, 2 * D * (h + 1))
+        acc_ref[:, asl] += d
+
+    @pl.when(kb == W - 1)
+    def _finalize():
+        for h in range(H):
+            acc = acc_ref[:, 2 * D * h:2 * D * (h + 1)]
+            denom = jnp.maximum(acc[:, D:D + 1], 1e-30)
+            o_ref[:, h * D:(h + 1) * D] = (
+                acc[:, :D] * (1.0 / denom)).astype(o_ref.dtype)
+
+
+def stream_supported(L: int, H: int, D: int, BK: int = 512) -> bool:
+    """Shapes the streaming kernel carries: 128-row query blocks, key
+    blocks of BK, lane-tiled E."""
+    return (D <= LANE and (H * D) % LANE == 0
+            and L % BQ == 0 and L % BK == 0)
+
+
+def pick_bk(L: int) -> int:
+    """Largest key-block size dividing L (bigger blocks = fewer grid
+    steps and better MXU utilization; 512 fits VMEM at every E)."""
+    for bk in (512, 256, 128):
+        if L % bk == 0:
+            return bk
+    return BQ
+
+
+def whole_row_fits(L: int, E: int, itemsize: int = 2) -> bool:
+    """Can the non-streaming kernels hold whole-row K/V? Mosaic DOUBLE-
+    BUFFERS each operand, so the k+v budget is 4*L*E*itemsize; ~4 MB
+    more goes to q/o/score tiles. Measured on v5e: L=2048 E=768 bf16
+    (12.6 MB k/v) OOMs scoped VMEM at 17.48M/16M; L=1024 (6.3 MB) fits.
+    Past this, dispatch streams key blocks (models/bert.py)."""
+    return 4 * L * E * itemsize + 4 * 1024 * 1024 <= 15 * 1024 * 1024
+
+
+def _stream_call(qkv, lengths, *, B, L, H, D, BK, span, window, causal,
+                 slopes, interpret):
+    E = H * D
+    M = B * L
+    assert qkv.shape == (M, 3 * E), (qkv.shape, (M, 3 * E))
+    assert stream_supported(L, H, D, BK), (L, H, D, BK)
+    nQ = L // BQ
+    nKB = L // BK
+    W = nKB if span is None else min(2 * span + 1, nKB)
+    if span is not None and W == nKB:
+        span = None  # band covers everything: plain streaming walk
+        if window and window // 2 >= L - 1:
+            window = 0
+
+    def kmap(col):
+        if span is None:
+            return lambda b, qb, kb, *_: (b * nKB + kb, col)
+        return lambda b, qb, kb, *_: (
+            b * nKB + jnp.clip(qb - span + kb, 0, nKB - 1), col)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, nQ, W),
+        in_specs=[
+            pl.BlockSpec((BQ, E), lambda b, qb, kb, *_: (b * nQ + qb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BK, E), kmap(1), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BK, E), kmap(2), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((BQ, E),
+                               lambda b, qb, kb, *_: (b * nQ + qb, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((BQ, 2 * E), jnp.float32)],
+    )
+    kernel = functools.partial(
+        _attn_kernel_stream, Lq=BQ, BK=BK, L=L, D=D, H=H,
+        scale=1.0 / (D ** 0.5), nKB=nKB, span=span, window=window,
+        causal=causal, slopes=slopes)
+    eff_keys = min(W * BK, L)
+    flops = 2 * 2 * B * H * L * eff_keys * D
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((M, E), qkv.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=M * 4 * E * qkv.dtype.itemsize,
+            transcendentals=B * H * L * eff_keys),
+        interpret=interpret,
+    )(lengths, qkv, qkv, qkv)
+
+
+@functools.partial(jax.jit, static_argnames=("B", "L", "H", "D", "BK",
+                                             "alibi_slopes", "causal",
+                                             "mask_value", "interpret"))
+def fused_attention_stream(qkv: jax.Array, lengths: jax.Array, *, B: int,
+                           L: int, H: int, D: int, BK: int = 512,
+                           alibi_slopes: tuple[float, ...] | None = None,
+                           causal: bool = False, mask_value: float = -1e9,
+                           interpret: bool = False) -> jax.Array:
+    """Streaming-KV fused attention: same contract as fused_attention but
+    VMEM holds only [BK, E] key/value blocks at a time, so L is bounded
+    by HBM, not VMEM (8192+). Optional in-kernel ALiBi (alibi_slopes: a
+    STATIC tuple — jina-bert-v2 derives it from the head count, so no
+    O(L^2) bias operand exists at any length) and causal masking
+    (decoder-style embedders). mask_value accepted for API compat."""
+    if alibi_slopes is not None:
+        assert len(alibi_slopes) == H, (len(alibi_slopes), H)
+    return _stream_call(qkv, lengths, B=B, L=L, H=H, D=D, BK=BK, span=None,
+                        window=0, causal=causal, slopes=alibi_slopes,
+                        interpret=interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("B", "L", "H", "D", "window",
+                                             "mask_value", "interpret"))
+def fused_attention_window(qkv: jax.Array, lengths: jax.Array, *, B: int,
+                           L: int, H: int, D: int, window: int,
+                           mask_value: float = -1e9,
+                           interpret: bool = False) -> jax.Array:
+    """Banded (sliding-window) fused attention: token i attends to
+    |i-j| <= window//2 (ModernBERT local layers). The grid walks only
+    the 2*span+1 key blocks around each 128-row query block, so cost is
+    O(L * window), independent of row length — the dense analogue of the
+    packed block-skip kernel (fused_attention_segmented_blockskip)."""
+    assert window > 0
+    span = -(-(window // 2) // BQ)  # key blocks reachable on each side
+    return _stream_call(qkv, lengths, B=B, L=L, H=H, D=D, BK=BQ, span=span,
+                        window=window, causal=False, slopes=None,
+                        interpret=interpret)
+
+
 @functools.partial(jax.jit, static_argnames=("B", "L", "H", "D",
                                              "mask_value", "interpret"))
 def fused_attention(qkv: jax.Array, lengths: jax.Array, *, B: int, L: int,

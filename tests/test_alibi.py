@@ -380,3 +380,35 @@ def test_export_refused(jina_params):
     our, _, _ = jina_params
     with pytest.raises(ValueError, match="ALiBi"):
         P.to_hf_state_dict(our)
+
+
+def test_long_rows_dispatch_stream_kernel():
+    """Past the bias kernel's VMEM cap the forward must select the
+    streaming kernel with STATIC slopes — no O(L^2) bias array."""
+    from unittest import mock
+    import importlib
+    import embeddings_tpu.ops.attention as attn_ops
+    linear_mod = importlib.import_module("embeddings_tpu.ops.linear")
+    H, D = 8, 16
+    cfg = BertConfig(vocab_size=VOCAB, hidden_size=H * D,
+                     num_hidden_layers=1, num_attention_heads=H,
+                     intermediate_size=64, max_position_embeddings=4096,
+                     position_embedding_type="alibi", gated_mlp=True)
+    params = P.init_params(cfg, rng=0)
+    L = 4096
+    assert not attn_ops.bias_supported(L, H, D)
+    assert attn_ops.stream_supported(L, H, D, attn_ops.pick_bk(L))
+    ids = jnp.zeros((1, L), jnp.int32)
+    mask = jnp.ones((1, L), jnp.int32)
+    calls = []
+
+    def spy(qkv, lengths, **kw):
+        calls.append(kw)
+        return jnp.zeros((qkv.shape[0], qkv.shape[1] // 3), qkv.dtype)
+
+    with mock.patch.object(linear_mod, "_use_pallas", lambda: True), \
+         mock.patch.object(attn_ops, "fused_attention_stream", spy):
+        bert.encode_tokens(params, cfg, ids, mask)
+    assert calls, "streaming kernel was not dispatched"
+    np.testing.assert_allclose(calls[0]["alibi_slopes"],
+                               paper_slopes(H), rtol=1e-6)

@@ -250,3 +250,101 @@ def test_mpnet_forward_uses_fused_bias_kernel(rng):
         got = np.asarray(bert.encode_tokens(params, cfg, ids, mask))
     assert calls, "bias kernel was not dispatched"
     np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# streaming / banded kernels (long-context path)
+# ---------------------------------------------------------------------------
+
+def _stream_ref(qkv, lengths, B, L, H, D, *, window=0, slopes=None,
+                causal=False):
+    """numpy reference for the streaming kernel's mask/bias modes."""
+    E = H * D
+    q = np.asarray(qkv[:, :E], np.float32).reshape(B, L, H, D)
+    k = np.asarray(qkv[:, E:2 * E], np.float32).reshape(B, L, H, D)
+    v = np.asarray(qkv[:, 2 * E:], np.float32).reshape(B, L, H, D)
+    pos = np.arange(L)
+    ok = (pos[None, None, :] < np.asarray(lengths)[:, None, None]
+          ) & np.ones((1, L, 1), bool)                      # [B, Lq, Lk]
+    if window:
+        ok = ok & (np.abs(pos[:, None] - pos[None, :]) <= window // 2)
+    if causal:
+        ok = ok & (pos[None, :] <= pos[:, None])
+    s = np.einsum("blhd,bmhd->bhlm", q, k) / math.sqrt(D)
+    if slopes is not None:
+        s = s - (np.asarray(slopes)[None, :, None, None]
+                 * np.abs(pos[:, None] - pos[None, :])[None, None])
+    s = np.where(ok[:, None], s, -1e30)
+    p = np.exp(s - s.max(-1, keepdims=True))
+    p = p / np.maximum(p.sum(-1, keepdims=True), 1e-30)
+    return np.einsum("bhlm,bmhd->blhd", p, v).reshape(B * L, E)
+
+
+def _check_valid_rows(got, ref, lengths, L, atol=2e-3):
+    for b, n in enumerate(np.asarray(lengths)):
+        np.testing.assert_allclose(got[b * L: b * L + int(n)],
+                                   ref[b * L: b * L + int(n)],
+                                   atol=atol, rtol=1e-2)
+
+
+@pytest.mark.parametrize("BK", [128, 256])
+def test_fused_attention_stream_matches_ref(BK, rng):
+    from embeddings_tpu.ops.attention import (fused_attention_stream,
+                                              stream_supported)
+    B, L, H, D = 2, 256, 2, 64
+    assert stream_supported(L, H, D, BK)
+    E = H * D
+    qkv = jnp.asarray(rng.standard_normal((B * L, 3 * E)) * 0.5,
+                      jnp.float32)
+    lengths = jnp.asarray([256, 139], jnp.int32)
+    got = np.asarray(fused_attention_stream(
+        qkv, lengths, B=B, L=L, H=H, D=D, BK=BK, interpret=True),
+        np.float32)
+    ref = _stream_ref(qkv, lengths, B, L, H, D)
+    _check_valid_rows(got, ref, lengths, L)
+
+
+def test_fused_attention_stream_alibi(rng):
+    from embeddings_tpu.ops.alibi import alibi_slopes
+    from embeddings_tpu.ops.attention import fused_attention_stream
+    B, L, H, D = 2, 256, 4, 32
+    E = H * D
+    slopes = tuple(alibi_slopes(H))
+    qkv = jnp.asarray(rng.standard_normal((B * L, 3 * E)) * 0.5,
+                      jnp.float32)
+    lengths = jnp.asarray([256, 100], jnp.int32)
+    got = np.asarray(fused_attention_stream(
+        qkv, lengths, B=B, L=L, H=H, D=D, BK=128,
+        alibi_slopes=slopes, interpret=True), np.float32)
+    ref = _stream_ref(qkv, lengths, B, L, H, D, slopes=slopes)
+    _check_valid_rows(got, ref, lengths, L)
+
+
+def test_fused_attention_stream_causal(rng):
+    from embeddings_tpu.ops.attention import fused_attention_stream
+    B, L, H, D = 1, 256, 2, 64
+    E = H * D
+    qkv = jnp.asarray(rng.standard_normal((B * L, 3 * E)) * 0.5,
+                      jnp.float32)
+    lengths = jnp.asarray([201], jnp.int32)
+    got = np.asarray(fused_attention_stream(
+        qkv, lengths, B=B, L=L, H=H, D=D, BK=128, causal=True,
+        interpret=True), np.float32)
+    ref = _stream_ref(qkv, lengths, B, L, H, D, causal=True)
+    _check_valid_rows(got, ref, lengths, L)
+
+
+@pytest.mark.parametrize("L,window", [(256, 8), (512, 128), (512, 300),
+                                      (384, 1000)])
+def test_fused_attention_window_matches_ref(L, window, rng):
+    from embeddings_tpu.ops.attention import fused_attention_window
+    B, H, D = 2, 2, 64
+    E = H * D
+    qkv = jnp.asarray(rng.standard_normal((B * L, 3 * E)) * 0.5,
+                      jnp.float32)
+    lengths = jnp.asarray([L, L - 57], jnp.int32)
+    got = np.asarray(fused_attention_window(
+        qkv, lengths, B=B, L=L, H=H, D=D, window=window, interpret=True),
+        np.float32)
+    ref = _stream_ref(qkv, lengths, B, L, H, D, window=window)
+    _check_valid_rows(got, ref, lengths, L)

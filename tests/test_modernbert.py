@@ -309,3 +309,46 @@ def test_export_refused(hf_modernbert_and_params):
     _, our, _ = hf_modernbert_and_params
     with pytest.raises(ValueError):
         P.to_hf_state_dict(our)
+
+
+def test_forward_dispatches_window_kernel():
+    """At kernel-supported shapes the prenorm stack must route local
+    layers to fused_attention_window and global layers to the plain
+    fused kernel (lax.cond traces both)."""
+    import functools
+    from unittest import mock
+    import embeddings_tpu.ops.attention as attn_ops
+    import importlib
+    linear_mod = importlib.import_module("embeddings_tpu.ops.linear")
+    cfg = BertConfig(vocab_size=VOCAB, hidden_size=128,
+                     num_hidden_layers=NL, num_attention_heads=4,
+                     intermediate_size=96, max_position_embeddings=512,
+                     position_embedding_type="rotary",
+                     rotary_base=160000.0, local_rotary_base=10000.0,
+                     global_attn_every_n_layers=3,
+                     local_attention_window=8, gated_mlp=True,
+                     norm_style="pre", layer_norm_eps=1e-5,
+                     type_vocab_size=1)
+    params = P.init_params(cfg, rng=0)
+    ids = jnp.asarray(np.random.default_rng(0).integers(5, VOCAB, (2, 256)),
+                      jnp.int32)
+    mask = jnp.ones((2, 256), jnp.int32)
+    ref = np.asarray(bert.encode_tokens(params, cfg, ids, mask))
+    calls = {"window": 0, "global": 0}
+    ow, og = attn_ops.fused_attention_window, attn_ops.fused_attention
+
+    def spy_w(*a, **kw):
+        calls["window"] += 1
+        return ow(*a, **kw, interpret=True)
+
+    def spy_g(*a, **kw):
+        calls["global"] += 1
+        return og(*a, **kw, interpret=True)
+
+    with mock.patch.object(linear_mod, "_use_pallas", lambda: True), \
+         mock.patch.object(attn_ops, "fused_attention_window", spy_w), \
+         mock.patch.object(attn_ops, "fused_attention", spy_g):
+        got = np.asarray(bert.encode_tokens(params, cfg, ids, mask))
+    assert calls["window"] and calls["global"], calls
+    cos = (got * ref).sum(-1)
+    assert cos.min() > 0.999, cos
