@@ -183,6 +183,66 @@ def check_attention(results, rng):
                         "ok": bool(err < 3e-2)})
         print(json.dumps(results[-1]), flush=True)
 
+    # streaming-KV family (long-context path): plain stream at the two
+    # BK choices, banded window, in-kernel ALiBi, and causal — each at a
+    # shape that actually streams (L=2048 is past the whole-row ceiling)
+    def stream_ref(qkvx, lensx, Bx, Lx, window=0, slopes=None,
+                   causal=False):
+        qx = np.asarray(qkvx[:, :E], np.float32).reshape(Bx, Lx, H, D)
+        kx = np.asarray(qkvx[:, E:2 * E], np.float32).reshape(Bx, Lx, H, D)
+        vx = np.asarray(qkvx[:, 2 * E:], np.float32).reshape(Bx, Lx, H, D)
+        pos = np.arange(Lx)
+        okx = (pos[None, None, :] < np.asarray(lensx)[:, None, None]
+               ) & np.ones((1, Lx, 1), bool)
+        if window:
+            okx = okx & (np.abs(pos[:, None] - pos[None, :]) <= window // 2)
+        if causal:
+            okx = okx & (pos[None, :] <= pos[:, None])
+        s = np.einsum("blhd,bmhd->bhlm", qx, kx) / np.sqrt(D)
+        if slopes is not None:
+            s = s - (np.asarray(slopes)[None, :, None, None]
+                     * np.abs(pos[:, None] - pos[None, :])[None, None])
+        s = np.where(okx[:, None], s, -1e9)
+        p = np.exp(s - s.max(-1, keepdims=True))
+        p /= np.maximum(p.sum(-1, keepdims=True), 1e-30)
+        return np.einsum("bhlm,bmhd->blhd", p, vx).reshape(Bx * Lx, E)
+
+    from embeddings_tpu.ops.alibi import alibi_slopes
+    Bs, Ls = 2, 2048
+    qkvs = jnp.asarray(rng.standard_normal((Bs * Ls, 3 * E)) * 0.3,
+                       jnp.bfloat16)
+    lenss = jnp.asarray([Ls, Ls - 301], jnp.int32)
+    stream_cases = [
+        ("fused_attention_stream_bk512",
+         lambda: A.fused_attention_stream(qkvs, lenss, B=Bs, L=Ls, H=H,
+                                          D=D, BK=512), {}),
+        ("fused_attention_stream_bk256",
+         lambda: A.fused_attention_stream(qkvs, lenss, B=Bs, L=Ls, H=H,
+                                          D=D, BK=256), {}),
+        ("fused_attention_window128",
+         lambda: A.fused_attention_window(qkvs, lenss, B=Bs, L=Ls, H=H,
+                                          D=D, window=128),
+         dict(window=128)),
+        ("fused_attention_stream_alibi",
+         lambda: A.fused_attention_stream(
+             qkvs, lenss, B=Bs, L=Ls, H=H, D=D, BK=512,
+             alibi_slopes=tuple(alibi_slopes(H))),
+         dict(slopes=alibi_slopes(H))),
+        ("fused_attention_stream_causal",
+         lambda: A.fused_attention_stream(qkvs, lenss, B=Bs, L=Ls, H=H,
+                                          D=D, BK=512, causal=True),
+         dict(causal=True)),
+    ]
+    validh = (np.arange(Ls)[None, :]
+              < np.asarray(lenss)[:, None]).reshape(Bs * Ls)
+    for op, fn, refkw in stream_cases:
+        gots = np.asarray(fn(), np.float32)
+        refs = stream_ref(qkvs, lenss, Bs, Ls, **refkw)
+        err = float(np.abs(gots[validh] - refs[validh]).max())
+        results.append({"op": op, "kind": "bf16", "K": Ls, "N": E,
+                        "max_abs_err": err, "ok": bool(err < 3e-2)})
+        print(json.dumps(results[-1]), flush=True)
+
     # CP kernel: local-query/global-KV (the sp=4 shard shape at L=512)
     Bc, Lc, Lf = 8, 128, 512
     q2 = jnp.asarray(rng.standard_normal((Bc * Lc, E)) * 0.3, jnp.bfloat16)

@@ -66,6 +66,14 @@ class BertConfig:
     # LayerNorm directly precedes it — and one final norm after the
     # stack). "post" = classic BERT post-LN (everything else).
     norm_style: str = "post"  # "post" | "pre"
+    # Decoder-based embedders (Qwen2 family: gte-Qwen2, e5-style):
+    # RMSNorm instead of LayerNorm, grouped-query attention (fewer K/V
+    # heads than Q heads), optionally causal attention, and last-token
+    # pooling. first_attn_norm_identity is the ModernBERT layer-0 quirk.
+    norm_type: str = "layernorm"  # "layernorm" | "rmsnorm"
+    num_key_value_heads: int | None = None  # None = num_attention_heads
+    causal: bool = False
+    first_attn_norm_identity: bool = False
     # ModernBERT alternating attention: layer i attends globally iff
     # i % global_attn_every_n_layers == 0, otherwise only within
     # |i-j| <= local_attention_window//2; local layers use
@@ -75,7 +83,8 @@ class BertConfig:
     local_rotary_base: float | None = None
 
     # Sentence-embedding head (SentenceTransformers semantics).
-    pooling: str = "mean"  # "mean" | "cls" | "max"
+    # "lasttoken" = the last non-pad position (decoder-based embedders).
+    pooling: str = "mean"  # "mean" | "cls" | "max" | "lasttoken"
     normalize_embeddings: bool = True
 
     # Special token ids. The reference hardcodes 101/102/100/0
@@ -175,6 +184,34 @@ class BertConfig:
             overrides.setdefault("rotary_base",
                                  float(d.get("rotary_emb_base", 1000.0)))
             overrides.setdefault("gated_mlp", gated)
+        if d.get("model_type") == "qwen2":
+            # Decoder-based embedders on the Qwen2 architecture
+            # (gte-Qwen2-*-instruct, and the same block shape as
+            # e5-mistral/Llama-style embedders): RMSNorm pre-norm
+            # blocks, GQA, SwiGLU, RoPE, last-token pooling. Causal by
+            # default (decoder); gte-Qwen2's modeling code flips
+            # attention bidirectional — honor an is_causal field when
+            # the checkpoint carries one.
+            overrides.setdefault("norm_style", "pre")
+            overrides.setdefault("norm_type", "rmsnorm")
+            overrides.setdefault("causal", bool(d.get("is_causal", True)))
+            overrides.setdefault("num_key_value_heads",
+                                 int(d.get("num_key_value_heads",
+                                           d["num_attention_heads"])))
+            overrides.setdefault("position_embedding_type", "rotary")
+            overrides.setdefault("rotary_base",
+                                 float(d.get("rope_theta", 1000000.0)))
+            overrides.setdefault("gated_mlp", True)
+            overrides.setdefault("pooling", "lasttoken")
+            eos = d.get("eos_token_id", 151643)
+            overrides.setdefault("cls_token_id", int(d.get("bos_token_id")
+                                                     or eos))
+            overrides.setdefault("sep_token_id", int(eos))
+            d = {**d,
+                 "hidden_act": d.get("hidden_act", "silu"),
+                 "layer_norm_eps": d.get("rms_norm_eps", 1e-6),
+                 "pad_token_id": d.get("pad_token_id") or int(eos),
+                 "type_vocab_size": 1}  # synthesized zeros row
         if d.get("model_type") == "modernbert":
             # ModernBERT (gte-modernbert-base, nomic modernbert-embed):
             # pre-norm biasless blocks, RoPE with separate global/local
@@ -193,6 +230,7 @@ class BertConfig:
                                  int(d.get("local_attention", 128)))
             overrides.setdefault("gated_mlp", True)
             overrides.setdefault("norm_style", "pre")
+            overrides.setdefault("first_attn_norm_identity", True)
             overrides.setdefault("cls_token_id",
                                  int(d.get("cls_token_id", 50281)))
             overrides.setdefault("sep_token_id",
@@ -378,8 +416,13 @@ KNOWN_MODELS: dict[str, dict[str, Any]] = {
     "roformer_chinese_base": dict(vocab_size=50000, hidden_size=768, num_hidden_layers=12, num_attention_heads=12, intermediate_size=3072, max_position_embeddings=1536, position_embedding_type="rotary", rotary_interleaved=True),
     # ModernBERT family (beyond the reference): pre-norm biasless blocks,
     # alternating global/sliding-window RoPE attention, GeGLU, 8192 ctx
-    "gte-modernbert-base": dict(vocab_size=50368, hidden_size=768, num_hidden_layers=22, num_attention_heads=12, intermediate_size=1152, max_position_embeddings=8192, position_embedding_type="rotary", rotary_base=160000.0, local_rotary_base=10000.0, global_attn_every_n_layers=3, local_attention_window=128, gated_mlp=True, norm_style="pre", layer_norm_eps=1e-5, type_vocab_size=1, cls_token_id=50281, sep_token_id=50282, pooling="cls"),
-    "modernbert-embed-base": dict(vocab_size=50368, hidden_size=768, num_hidden_layers=22, num_attention_heads=12, intermediate_size=1152, max_position_embeddings=8192, position_embedding_type="rotary", rotary_base=160000.0, local_rotary_base=10000.0, global_attn_every_n_layers=3, local_attention_window=128, gated_mlp=True, norm_style="pre", layer_norm_eps=1e-5, type_vocab_size=1, cls_token_id=50281, sep_token_id=50282),
+    "gte-modernbert-base": dict(vocab_size=50368, hidden_size=768, num_hidden_layers=22, num_attention_heads=12, intermediate_size=1152, max_position_embeddings=8192, position_embedding_type="rotary", rotary_base=160000.0, local_rotary_base=10000.0, global_attn_every_n_layers=3, local_attention_window=128, gated_mlp=True, norm_style="pre", first_attn_norm_identity=True, layer_norm_eps=1e-5, type_vocab_size=1, cls_token_id=50281, sep_token_id=50282, pooling="cls"),
+    "modernbert-embed-base": dict(vocab_size=50368, hidden_size=768, num_hidden_layers=22, num_attention_heads=12, intermediate_size=1152, max_position_embeddings=8192, position_embedding_type="rotary", rotary_base=160000.0, local_rotary_base=10000.0, global_attn_every_n_layers=3, local_attention_window=128, gated_mlp=True, norm_style="pre", first_attn_norm_identity=True, layer_norm_eps=1e-5, type_vocab_size=1, cls_token_id=50281, sep_token_id=50282),
+    # Qwen2 decoder-embedder family (beyond the reference): RMSNorm
+    # pre-norm blocks, GQA, SwiGLU, RoPE, last-token pooling. gte-Qwen2
+    # runs attention bidirectionally (is_causal=False in its config).
+    "gte-Qwen2-1.5B-instruct": dict(vocab_size=151646, hidden_size=1536, num_hidden_layers=28, num_attention_heads=12, intermediate_size=8960, max_position_embeddings=32768, num_key_value_heads=2, norm_style="pre", norm_type="rmsnorm", position_embedding_type="rotary", rotary_base=1000000.0, gated_mlp=True, hidden_act="silu", layer_norm_eps=1e-6, type_vocab_size=1, pooling="lasttoken"),
+    "gte-Qwen2-7B-instruct": dict(vocab_size=151646, hidden_size=3584, num_hidden_layers=28, num_attention_heads=28, intermediate_size=18944, max_position_embeddings=32768, num_key_value_heads=4, norm_style="pre", norm_type="rmsnorm", position_embedding_type="rotary", rotary_base=1000000.0, gated_mlp=True, hidden_act="silu", layer_norm_eps=1e-6, type_vocab_size=1, pooling="lasttoken"),
     # ALiBi family (beyond the reference): jina-bert-v2 — symmetric
     # ALiBi logit bias, GeGLU MLP, 8192-token context, mean pooling
     "jina-embeddings-v2-base-en": dict(vocab_size=30528, hidden_size=768, num_hidden_layers=12, num_attention_heads=12, intermediate_size=3072, max_position_embeddings=8192, position_embedding_type="alibi", gated_mlp=True, hidden_act="gelu"),

@@ -46,6 +46,23 @@ def layer_norm(x: jax.Array, scale: jax.Array, bias: jax.Array, eps: float) -> j
     return (y * scale + bias).astype(x.dtype)
 
 
+def rms_norm(x: jax.Array, scale: jax.Array, eps: float) -> jax.Array:
+    """RMSNorm over the last axis (no mean subtraction, no bias), f32
+    accumulation — Qwen2/Llama-family decoder embedders."""
+    xf = x.astype(jnp.float32)
+    y = xf * lax.rsqrt(jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+                       + eps)
+    return (y * scale).astype(x.dtype)
+
+
+def _norm(config: BertConfig, x: jax.Array, ln: Params) -> jax.Array:
+    """config-selected normalization (ln["bias"] is zeros for RMSNorm
+    models — the translators synthesize it for stacking uniformity)."""
+    if config.norm_type == "rmsnorm":
+        return rms_norm(x, ln["scale"], config.layer_norm_eps)
+    return layer_norm(x, ln["scale"], ln["bias"], config.layer_norm_eps)
+
+
 def gelu(x: jax.Array, approximate: bool) -> jax.Array:
     return jax.nn.gelu(x, approximate=approximate)
 
@@ -73,6 +90,8 @@ def embed(params: Params, config: BertConfig, token_ids: jax.Array,
         else:
             x = x + jnp.take(emb["position"], position_ids + off
                              if off else position_ids, axis=0)
+    if "ln" not in emb:  # Qwen2-family: bare token embedding, no norm
+        return x
     return layer_norm(x, emb["ln"]["scale"], emb["ln"]["bias"], config.layer_norm_eps)
 
 
@@ -181,18 +200,19 @@ def _logit_bias(params: Params, config: BertConfig,
 
 def _fused_attn_dispatch(qkv2d, lengths, segments, B, L, H, D,
                          attn_window=0, bias4=None, local_window=None,
-                         alibi=None):
+                         alibi=None, causal=False):
     from ..ops import attention as attn_ops
     E = H * D
 
     def global_attn(q2d):
-        if alibi is not None:
-            # jina-bert-v2 at long L: slopes are static (derived from
-            # the head count) so the ALiBi penalty is computed from iota
-            # in-kernel — no O(L^2) bias operand at any length
+        if alibi is not None or causal:
+            # streaming kernel's static mask modes: in-kernel ALiBi
+            # (jina-bert-v2 — slopes derive from the head count, no
+            # O(L^2) bias operand at any length) and causal (decoder
+            # embedders)
             return attn_ops.fused_attention_stream(
                 q2d, lengths, B=B, L=L, H=H, D=D, BK=attn_ops.pick_bk(L),
-                alibi_slopes=alibi)
+                alibi_slopes=alibi, causal=causal)
         if not attn_ops.whole_row_fits(L, E):
             # whole-row K/V would not fit VMEM: stream key blocks
             return attn_ops.fused_attention_stream(
@@ -233,7 +253,7 @@ def _fused_attn_dispatch(qkv2d, lengths, segments, B, L, H, D,
 
 
 def _attn_kernels_ok(L: int, H: int, D: int, segments,
-                     local_window, alibi) -> bool:
+                     local_window, alibi, causal: bool = False) -> bool:
     """Can the requested fused-attention flavor run at this shape?"""
     from ..ops import attention as attn_ops
     if segments is not None:
@@ -241,7 +261,7 @@ def _attn_kernels_ok(L: int, H: int, D: int, segments,
     if local_window is not None:
         # both cond branches: banded (BK=128) + global (whole-row/stream)
         return attn_ops.stream_supported(L, H, D, attn_ops.BQ)
-    if alibi is not None:
+    if alibi is not None or causal:
         return attn_ops.stream_supported(L, H, D, attn_ops.pick_bk(L))
     if not attn_ops.whole_row_fits(L, H * D):
         return attn_ops.stream_supported(L, H, D, attn_ops.pick_bk(L))
@@ -256,8 +276,8 @@ def attention_context(layer: Params, config: BertConfig, x: jax.Array,
                       bias4: jax.Array | None = None,
                       rope: tuple[jax.Array, jax.Array] | None = None,
                       local_window: tuple | None = None,
-                      alibi: tuple[float, ...] | None = None
-                      ) -> jax.Array:
+                      alibi: tuple[float, ...] | None = None,
+                      causal: bool = False) -> jax.Array:
     """Pad-masked multi-head self-attention, up to (not including) the
     output projection (bert.cpp:994-1036). Returns [B, L, E_local]
     context. Under shard_map tensor parallelism the q/k/v weights are
@@ -282,14 +302,14 @@ def attention_context(layer: Params, config: BertConfig, x: jax.Array,
         H = El // D
         if (want_fused and _use_pallas()
                 and _attn_kernels_ok(L, H, D, segments, local_window,
-                                     alibi)):
+                                     alibi, causal)):
             if rope is not None:
                 qkv = apply_rotary_qkv(qkv, *rope, H=H, D=D,
                                        interleaved=config.rotary_interleaved)
             # fully fused VMEM attention: scores/probs never touch HBM
             ctx = _fused_attn_dispatch(qkv.reshape(B * L, 3 * El), lengths,
                                        segments, B, L, H, D, attn_window,
-                                       bias4, local_window, alibi)
+                                       bias4, local_window, alibi, causal)
             return ctx.reshape(B, L, El)
         q = qkv[..., :El].reshape(B, L, H, D)
         k = qkv[..., El:2 * El].reshape(B, L, H, D)
@@ -298,11 +318,21 @@ def attention_context(layer: Params, config: BertConfig, x: jax.Array,
         q = linear(x, a["q"]["w"], a["q"]["b"])
         El = q.shape[-1]
         H = El // D
+        k = linear(x, a["k"]["w"], a["k"]["b"])
+        v = linear(x, a["v"]["w"], a["v"]["b"])
+        if k.shape[-1] != El:
+            # grouped-query attention (Qwen2 family): repeat each K/V
+            # head over its group of query heads (HF repeat_kv order —
+            # query head h reads kv head h // n_rep). fuse_qkv skips GQA
+            # models, so this is the only projection layout.
+            rep = El // k.shape[-1]
+            k = jnp.repeat(k.reshape(B, L, -1, D), rep,
+                           axis=2).reshape(B, L, El)
+            v = jnp.repeat(v.reshape(B, L, -1, D), rep,
+                           axis=2).reshape(B, L, El)
         if (want_fused and _use_pallas()
                 and _attn_kernels_ok(L, H, D, segments, local_window,
-                                     alibi)):
-            k = linear(x, a["k"]["w"], a["k"]["b"])
-            v = linear(x, a["v"]["w"], a["v"]["b"])
+                                     alibi, causal)):
             qkv = jnp.concatenate([q, k, v], axis=-1)
             if rope is not None:
                 qkv = apply_rotary_qkv(
@@ -310,11 +340,11 @@ def attention_context(layer: Params, config: BertConfig, x: jax.Array,
                     interleaved=config.rotary_interleaved)
             ctx = _fused_attn_dispatch(qkv.reshape(B * L, 3 * El), lengths,
                                        segments, B, L, H, D, attn_window,
-                                       bias4, local_window, alibi)
+                                       bias4, local_window, alibi, causal)
             return ctx.reshape(B, L, El)
         q = q.reshape(B, L, H, D)
-        k = linear(x, a["k"]["w"], a["k"]["b"]).reshape(B, L, H, D)
-        v = linear(x, a["v"]["w"], a["v"]["b"]).reshape(B, L, H, D)
+        k = k.reshape(B, L, H, D)
+        v = v.reshape(B, L, H, D)
     if rope is not None:
         q = apply_rotary(q, *rope, interleaved=config.rotary_interleaved)
         k = apply_rotary(k, *rope, interleaved=config.rotary_interleaved)
@@ -402,10 +432,12 @@ def _prenorm_scan_args(config: BertConfig, L: int, positions: jax.Array,
     """
     NL = config.num_hidden_layers
     n = max(1, config.global_attn_every_n_layers)
+    # layer 0's attention norm is nn.Identity in ModernBERT (the
+    # embedding LayerNorm immediately precedes it); Qwen2-family norms
+    # every layer
+    skip0 = 1 if config.first_attn_norm_identity else 0
     aux = {"is_global": (jnp.arange(NL) % n == 0).astype(jnp.float32),
-           # layer 0's attention norm is nn.Identity in ModernBERT (the
-           # embedding LayerNorm immediately precedes it)
-           "ln_apply": (jnp.arange(NL) > 0).astype(jnp.float32)}
+           "ln_apply": (jnp.arange(NL) >= skip0).astype(jnp.float32)}
     rope_l = None
     if (config.position_embedding_type == "rotary"
             and config.local_rotary_base
@@ -446,9 +478,8 @@ def encoder_layer_pre(layer: Params, config: BertConfig, x: jax.Array,
     o/down matmuls are row-parallel with one psum each, bias added
     after the reduction."""
     a, m = layer["attn"], layer["mlp"]
-    eps = config.layer_norm_eps
     g = aux["is_global"]
-    xn = layer_norm(x, a["ln"]["scale"], a["ln"]["bias"], eps)
+    xn = _norm(config, x, a["ln"])
     xn = jnp.where(aux["ln_apply"] > 0, xn, x)
     rope = (rope_g if rope_l is rope_g else
             tuple(jnp.where(g > 0, cg, cl)
@@ -462,7 +493,8 @@ def encoder_layer_pre(layer: Params, config: BertConfig, x: jax.Array,
         mb = mask_bias + (1.0 - g) * window_bias
         lengths = None
     ctx = attention_context(layer, config, xn, mb, lengths, rope=rope,
-                            local_window=local_window)
+                            local_window=local_window,
+                            causal=config.causal)
 
     def residual_add(h, lin, res):
         if tp_axis is not None:
@@ -472,7 +504,7 @@ def encoder_layer_pre(layer: Params, config: BertConfig, x: jax.Array,
         return res + linear(h, lin["w"], lin["b"])
 
     x = residual_add(ctx, a["o"], x)
-    hn = layer_norm(x, m["ln"]["scale"], m["ln"]["bias"], eps)
+    hn = _norm(config, x, m["ln"])
     return residual_add(_ffn_hidden(m, hn, config), m["down"], x)
 
 
@@ -506,6 +538,13 @@ def encode_tokens(params: Params, config: BertConfig, token_ids: jax.Array,
     # mask alone is equivalent post-softmax for real query rows, and pad
     # query rows are dropped by pooling either way.
     mask_bias = ((1.0 - mask) * mask_value)[:, None, None, :]  # [B,1,1,L]
+    if config.causal:
+        # decoder embedders: fold the causal mask for the einsum path
+        # (the fused path applies it in-kernel; XLA drops this term
+        # when the kernel route is taken)
+        pos = jnp.arange(token_ids.shape[1])
+        mask_bias = mask_bias + jnp.where(
+            pos[None, :] <= pos[:, None], 0.0, mask_value)[None, None]
 
     x = embed(params, config, token_ids)
     # Activation dtype: bf16 keeps every matmul on the MXU's native path
@@ -593,9 +632,8 @@ def encode_tokens(params: Params, config: BertConfig, token_ids: jax.Array,
                              tp_axis=tp_axis, bias4=bias4, rope=rope,
                              alibi=alibi_static))
 
-    if "final_ln" in params:  # ModernBERT post-stack norm
-        x = layer_norm(x, params["final_ln"]["scale"],
-                       params["final_ln"]["bias"], config.layer_norm_eps)
+    if "final_ln" in params:  # ModernBERT/Qwen2 post-stack norm
+        x = _norm(config, x, params["final_ln"])
 
     if return_hidden:
         return x.astype(jnp.float32)
@@ -611,6 +649,11 @@ def encode_tokens(params: Params, config: BertConfig, token_ids: jax.Array,
     elif pooling == "max":
         neg = jnp.where(mask[:, :, None] > 0, xf, -jnp.inf)
         pooled = jnp.max(neg, axis=1)
+    elif pooling == "lasttoken":
+        # decoder-based embedders: the last non-pad position (right
+        # padding; the engine always right-pads)
+        idx = jnp.maximum(jnp.sum(mask, axis=1).astype(jnp.int32) - 1, 0)
+        pooled = xf[jnp.arange(xf.shape[0]), idx]
     else:
         raise ValueError(f"unknown pooling: {pooling}")
 
@@ -645,6 +688,13 @@ def encode_packed(params: Params, config: BertConfig, token_ids: jax.Array,
     valid = (seg_ids >= 0)[:, None, :]
     mask_bias = jnp.where(same & valid, 0.0, mask_value
                           ).astype(jnp.float32)[:, None]   # [B,1,L,L]
+    if config.causal:
+        # packed decoder rows: segments are contiguous and ascending, so
+        # the row-global triangular mask IS the within-segment causal
+        # mask (cross-segment pairs are already masked above)
+        pos = jnp.arange(token_ids.shape[1])
+        mask_bias = mask_bias + jnp.where(
+            pos[None, :] <= pos[:, None], 0.0, mask_value)[None, None]
 
     x = embed(params, config, token_ids, position_ids=position_ids)
     if compute_dtype is not None:
@@ -658,6 +708,8 @@ def encode_packed(params: Params, config: BertConfig, token_ids: jax.Array,
         # einsum path — the segmented kernels have no bias operand
         mask_bias = mask_bias + bias
         seg_for_attn = None
+    elif config.causal:
+        seg_for_attn = None  # segmented kernels have no causal mode
     else:
         seg_for_attn = seg_ids
 
@@ -688,9 +740,8 @@ def encode_packed(params: Params, config: BertConfig, token_ids: jax.Array,
                              layer, config, h, mask_bias, None,
                              tp_axis=tp_axis, segments=seg_for_attn,
                              attn_window=attn_window, rope=rope))
-    if "final_ln" in params:  # ModernBERT post-stack norm
-        x = layer_norm(x, params["final_ln"]["scale"],
-                       params["final_ln"]["bias"], config.layer_norm_eps)
+    if "final_ln" in params:  # ModernBERT/Qwen2 post-stack norm
+        x = _norm(config, x, params["final_ln"])
     pooled = jnp.einsum("bsl,ble->bse", pool_weights, x.astype(jnp.float32))
     if normalize:
         norm = jnp.linalg.norm(pooled, axis=-1, keepdims=True)

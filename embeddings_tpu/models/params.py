@@ -76,10 +76,15 @@ def init_params(config: BertConfig, rng: jax.Array | int = 0,
     def stack(f):
         return jnp.stack([f(i) for i in range(NL)])
 
+    # GQA (Qwen2 family): K/V projections are num_key_value_heads wide
+    Ekv = ((config.num_key_value_heads or config.num_attention_heads)
+           * config.head_dim)
+    widths = {"q": E, "k": Ekv, "v": Ekv, "o": E}
     layers = {
         "attn": {
-            **{name: {"w": stack(lambda i, j=j: mat(lk[i, j], (E, E))),
-                      "b": jnp.zeros((NL, E), dtype)}
+            **{name: {"w": stack(lambda i, j=j, n=name: mat(
+                          lk[i, j], (E, widths[n]))),
+                      "b": jnp.zeros((NL, widths[name]), dtype)}
                for j, name in enumerate(["q", "k", "v", "o"])},
             "ln": {"scale": jnp.ones((NL, E), jnp.float32),
                    "bias": jnp.zeros((NL, E), jnp.float32)},
@@ -100,6 +105,8 @@ def init_params(config: BertConfig, rng: jax.Array | int = 0,
             "b": jnp.zeros((NL, F), dtype)}
     if config.position_embedding_type == "alibi":
         del emb["position"]  # ALiBi: no learned position table
+    if config.norm_type == "rmsnorm":
+        del emb["ln"]  # Qwen2-family: bare token embedding, no norm
     out: Params = {"embeddings": emb, "layers": layers}
     if config.relative_attention_num_buckets:
         out["rel_bias"] = (jax.random.normal(
@@ -131,8 +138,9 @@ def _strip_prefix(sd: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
             sd = {k[len(prefix):]: v for k, v in sd.items()
                   if k.startswith(prefix)}
             break
-    return _translate_modernbert(_translate_jina(_translate_nomic(
-        _translate_mpnet(_translate_albert(_translate_distilbert(sd))))))
+    return _translate_qwen2(_translate_modernbert(_translate_jina(
+        _translate_nomic(_translate_mpnet(_translate_albert(
+            _translate_distilbert(sd)))))))
 
 
 # DistilBERT layer-tensor names -> BERT names (the math is identical:
@@ -296,6 +304,55 @@ def _translate_nomic(sd: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
     return out
 
 
+_QWEN2_LAYER_MAP = {
+    "self_attn.q_proj": "attention.self.query",
+    "self_attn.k_proj": "attention.self.key",
+    "self_attn.v_proj": "attention.self.value",
+    "self_attn.o_proj": "attention.output.dense",
+    "input_layernorm": "attention.output.LayerNorm",   # pre-attn norm slot
+    "post_attention_layernorm": "output.LayerNorm",    # pre-MLP norm slot
+    "mlp.gate_proj": "intermediate.gate",
+    "mlp.up_proj": "intermediate.dense",
+    "mlp.down_proj": "output.dense",
+}
+
+
+def _translate_qwen2(sd: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+    """Rewrite a Qwen2(-family decoder) state dict into BERT naming;
+    no-op otherwise. RMSNorms land in the LayerNorm slots (the prenorm
+    forward reads them via config.norm_type == "rmsnorm"; zero biases
+    are synthesized for stacking uniformity). K/V projections keep
+    their GQA width (num_key_value_heads * head_dim). No position
+    table, no token-type table (zeros row synthesized), no embedding
+    norm; the final RMSNorm lands as the top-level "final_ln"."""
+    if not any("self_attn.q_proj" in k for k in sd):
+        return sd
+    if any(k.startswith("model.") for k in sd):  # Qwen2ForCausalLM dump
+        sd = {k[len("model."):]: v for k, v in sd.items()
+              if k.startswith("model.")}
+    out: dict[str, np.ndarray] = {}
+    for k, v in sd.items():
+        if k.startswith("layers."):
+            _, i, rest = k.split(".", 2)
+            stem, _, leaf = rest.rpartition(".")
+            mapped = _QWEN2_LAYER_MAP.get(stem)
+            if mapped is not None:
+                out[f"encoder.layer.{i}.{mapped}.{leaf}"] = v
+        elif k == "embed_tokens.weight":
+            out["embeddings.word_embeddings.weight"] = v
+        elif k == "norm.weight":
+            out["final_ln.weight"] = v
+        # lm_head and rotary inv_freq buffers are dropped
+    E = out["embeddings.word_embeddings.weight"].shape[1]
+    out.setdefault("embeddings.token_type_embeddings.weight",
+                   np.zeros((1, E), np.float32))
+    for k in list(out):
+        if k.endswith(".weight") and not k.endswith("_embeddings.weight"):
+            out.setdefault(k[:-len("weight")] + "bias",
+                           np.zeros(out[k].shape[0], np.float32))
+    return out
+
+
 def _translate_modernbert(sd: dict[str, np.ndarray]
                           ) -> dict[str, np.ndarray]:
     """Rewrite a ModernBERT state dict into BERT naming; no-op otherwise.
@@ -429,8 +486,11 @@ def from_hf_state_dict(sd: dict[str, np.ndarray], config: BertConfig,
     emb = {
         "word": jnp.asarray(g("embeddings.word_embeddings.weight"), dtype),
         "token_type": jnp.asarray(g("embeddings.token_type_embeddings.weight"), dtype),
-        "ln": _ln(g("embeddings.LayerNorm.weight"), g("embeddings.LayerNorm.bias")),
     }
+    if "embeddings.LayerNorm.weight" in sd:
+        # absent for Qwen2-family decoders (bare token embedding)
+        emb["ln"] = _ln(g("embeddings.LayerNorm.weight"),
+                        g("embeddings.LayerNorm.bias"))
     if config.position_embedding_type == "absolute":
         emb["position"] = jnp.asarray(
             g("embeddings.position_embeddings.weight"), dtype)
@@ -685,6 +745,10 @@ def fuse_qkv(params: Params) -> Params:
     if "qkv" in attn:
         return params
     q, k, v = attn["q"], attn["k"], attn["v"]
+    if k["b"].shape[-1] != q["b"].shape[-1]:
+        # GQA (Qwen2 family): unequal q/k widths — the forward's
+        # split-by-thirds contract would break; keep separate projections
+        return params
 
     def cat(xs, axis):
         if isinstance(xs[0], QuantizedTensor):

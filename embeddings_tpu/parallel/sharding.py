@@ -102,8 +102,9 @@ def param_pspecs(params: Params, mesh: Mesh) -> Params:
     emb_specs: Params = {
         "word": word_spec,
         "token_type": rep2,
-        "ln": {"scale": P(None), "bias": P(None)},
     }
+    if "ln" in params["embeddings"]:  # absent for Qwen2-family decoders
+        emb_specs["ln"] = {"scale": P(None), "bias": P(None)}
     if "position" in params["embeddings"]:  # absent for rotary models
         emb_specs["position"] = rep2
     if "proj" in params["embeddings"]:

@@ -252,8 +252,8 @@ class Engine:
                     "token packing is not implemented for seq-parallel "
                     "(CP) meshes; falling back to bucketed encode")
                 return self.encode_toks(toks)
-        if self.config.pooling not in ("mean", "cls"):
-            raise ValueError("packing supports mean/cls pooling")
+        if self.config.pooling not in ("mean", "cls", "lasttoken"):
+            raise ValueError("packing supports mean/cls/lasttoken pooling")
         from .batching import pick_bucket
         from .packing import materialize, plan_packing
         ec = self.engine_config
@@ -416,6 +416,11 @@ def load_model(path: str | Path, *, dtype: str = "f32",
                     f"(or vocab.json+merges.txt) next to {path}") from None
     if pooling is not None:
         config = dataclasses.replace(config, pooling=pooling)
+    if (config.norm_type == "rmsnorm"
+            and getattr(tokenizer, "special_style", None) == "cls_sep"):
+        # decoder-based embedders (Qwen2 family) take bare tokens + eos,
+        # not a [CLS]/<s> wrap
+        tokenizer.special_style = "eos_only"
     from ..ops.quant import QuantizedTensor
     already_quant = isinstance(params["layers"]["mlp"]["up"]["w"],
                                QuantizedTensor)

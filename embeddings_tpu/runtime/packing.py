@@ -147,8 +147,11 @@ def materialize(batch: PackedBatch, toks: Sequence[Sequence[int]],
                 pool[r, s, sl] = 1.0 / sg.length
             elif pooling == "cls":
                 pool[r, s, sg.start] = 1.0
+            elif pooling == "lasttoken":
+                pool[r, s, sg.start + sg.length - 1] = 1.0
             else:
                 raise ValueError(
-                    f"packing supports mean/cls pooling, not {pooling}")
+                    f"packing supports mean/cls/lasttoken pooling, "
+                    f"not {pooling}")
             mapping.append((r, s, sg.sentence))
     return ids, seg, pos, pool, mapping

@@ -70,9 +70,19 @@ class ByteLevelBPETokenizer:
                  add_prefix_space: bool = False,
                  cls_token: str = "<s>", sep_token: str = "</s>",
                  unk_token: str = "<unk>", pad_token: str = "<pad>",
-                 mask_token: str = "<mask>"):
+                 mask_token: str = "<mask>",
+                 pattern: str | None = None,
+                 special_style: str = "cls_sep"):
         if _re is None:  # pragma: no cover
             raise ImportError("byte-level BPE needs the 'regex' package")
+        # pattern: the pre-tokenization regex — GPT-2's by default;
+        # Qwen2-family tokenizer.json files carry their own Split regex.
+        # special_style: "cls_sep" wraps <s> ... </s> (RoBERTa/ModernBERT
+        # semantics); "eos_only" appends the sep/eos token alone
+        # (decoder-based embedders: the last token IS the eos).
+        assert special_style in ("cls_sep", "eos_only"), special_style
+        self.pattern = pattern or _GPT2_PATTERN
+        self.special_style = special_style
         self.token_to_id = dict(vocab)
         n = max(self.token_to_id.values()) + 1 if self.token_to_id else 0
         self._id_to_token = [""] * n
@@ -80,7 +90,7 @@ class ByteLevelBPETokenizer:
             self._id_to_token[i] = t
         self.merge_ranks = {tuple(m): r for r, m in enumerate(merges)}
         self.add_prefix_space = add_prefix_space
-        self._pat = _re.compile(_GPT2_PATTERN)
+        self._pat = _re.compile(self.pattern)
         get = self.token_to_id.get
         # RoBERTa's <s>/</s> play CLS/SEP's role; default ids 0/2/3/1
         # are the published RoBERTa assignment
@@ -114,6 +124,14 @@ class ByteLevelBPETokenizer:
                     v = v.get("content")
                 if isinstance(v, str):
                     kw[name] = v
+            # decoder-family configs name eos/bos instead of sep/cls
+            for src, dst in (("eos_token", "sep_token"),
+                             ("bos_token", "cls_token")):
+                v = cfg.get(src)
+                if isinstance(v, dict):
+                    v = v.get("content")
+                if isinstance(v, str):
+                    kw.setdefault(dst, v)
         if vj.exists() and mt.exists():
             with open(vj, encoding="utf-8") as f:
                 vocab = json.load(f)
@@ -156,6 +174,12 @@ class ByteLevelBPETokenizer:
             if p.get("type") == "ByteLevel":
                 kw.setdefault("add_prefix_space",
                               bool(p.get("add_prefix_space", False)))
+            elif p.get("type") == "Split":
+                # Qwen2-family: a custom pre-tokenization regex instead
+                # of ByteLevel's built-in GPT-2 pattern
+                pat = p.get("pattern", {})
+                if isinstance(pat, dict) and "Regex" in pat:
+                    kw.setdefault("pattern", pat["Regex"])
         # special tokens by content when declared: RoBERTa's <s>-style
         # names or ModernBERT's [CLS]-style names (tokenizer_config.json
         # values, already in kw, take precedence)
@@ -163,7 +187,9 @@ class ByteLevelBPETokenizer:
                  "</s>": "sep_token", "[SEP]": "sep_token",
                  "<pad>": "pad_token", "[PAD]": "pad_token",
                  "<unk>": "unk_token", "[UNK]": "unk_token",
-                 "<mask>": "mask_token", "[MASK]": "mask_token"}
+                 "<mask>": "mask_token", "[MASK]": "mask_token",
+                 # Qwen2-family eos doubles as the sep/eos wrap token
+                 "<|endoftext|>": "sep_token"}
         for at in d.get("added_tokens", []):
             c = at.get("content", "")
             role = roles.get(c)
@@ -228,13 +254,17 @@ class ByteLevelBPETokenizer:
         return [self._id_to_token[i] for i in self.tokenize_to_ids(text)]
 
     def encode(self, text: str, max_len: int | None = None) -> list[int]:
-        """<s> ids </s>, truncated to max_len keeping the final </s> —
-        same truncation contract as WordPieceTokenizer.encode."""
-        if max_len is not None and 0 < max_len < 2:
-            raise ValueError("max_len must be >= 2 (<s> + </s>)")
+        """<s> ids </s> (or ids + eos for special_style="eos_only"),
+        truncated to max_len keeping the final </s>/eos — same
+        truncation contract as WordPieceTokenizer.encode."""
+        n_special = 1 if self.special_style == "eos_only" else 2
+        if max_len is not None and 0 < max_len < n_special:
+            raise ValueError(f"max_len must be >= {n_special}")
         ids = self.tokenize_to_ids(text)
-        if max_len is not None and len(ids) > max_len - 2:
-            ids = ids[: max_len - 2]
+        if max_len is not None and len(ids) > max_len - n_special:
+            ids = ids[: max_len - n_special]
+        if self.special_style == "eos_only":
+            return ids + [self.sep_id]
         return [self.cls_id] + ids + [self.sep_id]
 
     def encode_batch(self, texts: Iterable[str],
