@@ -273,6 +273,8 @@ def _install_quantized(params: dict, quants: dict, config: BertConfig) -> dict:
     maybe("o", attn, "encoder.layer.{}.attention.output.dense")
     maybe("up", mlp, "encoder.layer.{}.intermediate.dense")
     maybe("down", mlp, "encoder.layer.{}.output.dense")
+    if "gate" in mlp:  # gated-MLP arches (nomic / jina GGUFs)
+        maybe("gate", mlp, "encoder.layer.{}.intermediate.gate")
     return params
 
 

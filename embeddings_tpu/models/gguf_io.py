@@ -31,6 +31,10 @@ re-quantize onto the engine's own kernels.
 
 BERT tensor names follow llama.cpp's bert arch (token_embd.weight,
 blk.N.attn_q.weight, ...) — mapped to/from HF state-dict names below.
+Reads additionally cover llama.cpp's nomic-bert arch (fused attn_qkv
+split on load, ffn_gate, RoPE theta from {arch}.rope.freq_base) and
+jina-bert-v2 (ALiBi + gated MLP) — the two non-bert encoder arches
+published embedding GGUFs actually use.
 """
 
 from __future__ import annotations
@@ -82,6 +86,10 @@ _BLOCK_NAMES = {
     "ffn_up": "intermediate.dense",
     "ffn_down": "output.dense",
     "layer_output_norm": "output.LayerNorm",
+    # nomic-bert / jina-bert-v2 arches (plain bert never ships these):
+    # gated-MLP gate half, and nomic's fused Wqkv (split on read)
+    "ffn_gate": "intermediate.gate",
+    "attn_qkv": "attention.self.qkv",
 }
 
 
@@ -665,14 +673,12 @@ def read_gguf(path: str | Path, *, dequant: bool = False):
             (vtype,) = struct.unpack("<I", f.read(4))
             meta[key] = _r_value(f, vtype)
         arch = meta.get("general.architecture", "bert")
-        if arch != "bert":
-            # nomic-bert (RoPE) / jina-bert-v2 (ALiBi) use the same
-            # container but different position handling — loading them
-            # through the vanilla BERT forward would silently produce
-            # wrong embeddings, so refuse instead
+        if arch not in ("bert", "nomic-bert", "jina-bert-v2"):
+            # other encoder arches would silently produce wrong
+            # embeddings through this forward — refuse instead
             raise ValueError(
-                f"unsupported GGUF architecture {arch!r} (only vanilla "
-                f"'bert' encoders; nomic/jina variants need RoPE/ALiBi)")
+                f"unsupported GGUF architecture {arch!r} (supported: "
+                f"bert, nomic-bert (RoPE), jina-bert-v2 (ALiBi))")
         infos = []
         for _ in range(n_tensors):
             tname = _r_str(f)
@@ -723,7 +729,9 @@ def read_gguf(path: str | Path, *, dequant: bool = False):
                     codes, d, m = q4_1_from_bytes(raw, R, K)
                     qt = Q.QuantizedTensor(_j(codes.T), _j(d.T), _j(m.T),
                                            "q4_1", -2)
-                if dequant:
+                if dequant or ".qkv." in hf_name:
+                    # fused nomic Wqkv must split into q/k/v below —
+                    # dense f32 (load_model(dtype=...) re-quantizes)
                     sd[hf_name] = np.asarray(
                         Q.dequantize(qt)).T.reshape(shape)
                 else:
@@ -732,22 +740,63 @@ def read_gguf(path: str | Path, *, dequant: bool = False):
                 raise ValueError(
                     f"unsupported ggml tensor type {ttype} ({tname})")
 
-    n_head = int(meta.get("bert.attention.head_count", 12))
+    # nomic-bert fused Wqkv: split thirds along the output axis (HF
+    # [out, in] orientation; llama.cpp stacks q|k|v like nomic's torch
+    # checkpoint, models/params._translate_nomic)
+    for k in [k for k in sd if ".attention.self.qkv." in k]:
+        v = sd[k]
+        third = v.shape[0] // 3
+        for j, nm in enumerate(("query", "key", "value")):
+            sd[k.replace(".qkv.", f".{nm}.")] = v[j * third:(j + 1) * third]
+        del sd[k]
+    if arch != "bert":
+        # biasless tensors (jina gated_layers, nomic variants):
+        # synthesize zeros so the shared stacking code stays uniform
+        def _out_dim(v) -> int:
+            if isinstance(v, Q.QuantizedTensor):
+                return int(v.shape[-1])        # ggml [K, N] orientation
+            return int(v.shape[0])             # HF [out, in] / [out]
+
+        for k in [k for k in sd if k.endswith(".weight")
+                  and not k.endswith("_embeddings.weight")]:
+            sd.setdefault(k[:-len("weight")] + "bias",
+                          np.zeros(_out_dim(sd[k]), np.float32))
+
+    p = arch
+    arch_over: dict[str, Any] = {}
+    if arch == "nomic-bert":
+        arch_over = dict(
+            position_embedding_type="rotary",
+            rotary_base=float(meta.get(f"{p}.rope.freq_base", 1000.0)),
+            hidden_act="silu")
+    elif arch == "jina-bert-v2":
+        arch_over = dict(position_embedding_type="alibi",
+                         hidden_act="gelu")
+    if any(".intermediate.gate." in k for k in sd):
+        arch_over["gated_mlp"] = True
+    required = [f"{p}.embedding_length", f"{p}.block_count",
+                f"{p}.feed_forward_length"]
+    missing = [k for k in required if k not in meta]
+    if missing:
+        raise ValueError(f"GGUF file is missing required {arch} "
+                         f"hparams: {missing}")
+    n_head = int(meta.get(f"{p}.attention.head_count", 12))
     config = BertConfig(
-        vocab_size=int(meta.get("bert.vocab_size",
+        vocab_size=int(meta.get(f"{p}.vocab_size",
                                 len(meta.get("tokenizer.ggml.tokens", []))
                                 or 30522)),
-        hidden_size=int(meta["bert.embedding_length"]),
-        num_hidden_layers=int(meta["bert.block_count"]),
+        hidden_size=int(meta[f"{p}.embedding_length"]),
+        num_hidden_layers=int(meta[f"{p}.block_count"]),
         num_attention_heads=n_head,
-        intermediate_size=int(meta["bert.feed_forward_length"]),
-        max_position_embeddings=int(meta.get("bert.context_length", 512)),
+        intermediate_size=int(meta[f"{p}.feed_forward_length"]),
+        max_position_embeddings=int(meta.get(f"{p}.context_length", 512)),
         layer_norm_eps=float(
-            meta.get("bert.attention.layer_norm_epsilon", 1e-12)),
+            meta.get(f"{p}.attention.layer_norm_epsilon", 1e-12)),
         # llama.cpp pooling_type enum: 1=mean, 2=cls (0=none -> our mean
         # default, matching the reference's mean-pool-everything)
-        pooling={2: "cls"}.get(int(meta.get("bert.pooling_type", 1)),
+        pooling={2: "cls"}.get(int(meta.get(f"{p}.pooling_type", 1)),
                                "mean"),
+        **arch_over,
     )
     return sd, config, meta
 

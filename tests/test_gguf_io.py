@@ -222,15 +222,22 @@ def test_malformed_files_fail_cleanly(tmp_path, params, cfg, small_vocab):
         f.write(b"\x00" * 64)
     with pytest.raises((ValueError, EOFError)):
         gguf_io.read_gguf(p)
-    # wrong architecture refuses with a clear message
-    p2 = tmp_path / "arch.gguf"
-    with open(p2, "wb") as f:
-        f.write(struct.pack("<IIQQ", gguf_io.MAGIC, 3, 0, 1))
-        gguf_io._w_str(f, "general.architecture")
-        f.write(struct.pack("<I", gguf_io.T_STRING))
-        gguf_io._w_str(f, "nomic-bert")
+    # wrong architecture refuses with a clear message (nomic-bert /
+    # jina-bert-v2 are supported arches now — use a genuinely foreign one)
+    def arch_only(name: str, arch: str):
+        p2 = tmp_path / name
+        with open(p2, "wb") as f:
+            f.write(struct.pack("<IIQQ", gguf_io.MAGIC, 3, 0, 1))
+            gguf_io._w_str(f, "general.architecture")
+            f.write(struct.pack("<I", gguf_io.T_STRING))
+            gguf_io._w_str(f, arch)
+        return p2
+
     with pytest.raises(ValueError, match="unsupported GGUF architecture"):
-        gguf_io.read_gguf(p2)
+        gguf_io.read_gguf(arch_only("arch.gguf", "llama"))
+    # a supported arch with its hparams missing fails cleanly too
+    with pytest.raises(ValueError, match="missing required"):
+        gguf_io.read_gguf(arch_only("arch2.gguf", "nomic-bert"))
 
 
 def test_cli_convert_to_gguf(tmp_path, params, cfg, small_vocab):
@@ -528,3 +535,203 @@ def test_cli_convert_to_kquant_gguf(tmp_path, small_vocab):
          str(d), str(tmp_path / "m2.npz"), "--dtype", "q4_K"],
         capture_output=True, text=True, timeout=300)
     assert bad.returncode == 1 and "GGUF block format" in bad.stderr
+
+
+# ---------------------------------------------------------------------------
+# nomic-bert / jina-bert-v2 architecture reads
+# ---------------------------------------------------------------------------
+
+def _write_raw_gguf(path, arch, hparams, tensors, tokens):
+    """Minimal GGUF v3 writer for arch fixtures: tensors is a list of
+    (gguf_name, np.float32 array in HF orientation, ggml_type) — q4_0
+    entries are encoded with the module's own codec."""
+    kv = [("general.architecture", gguf_io.T_STRING, arch),
+          ("general.alignment", gguf_io.T_U32, gguf_io.ALIGNMENT),
+          ("tokenizer.ggml.model", gguf_io.T_STRING, "bert"),
+          ("tokenizer.ggml.tokens", gguf_io.T_ARRAY,
+           (gguf_io.T_STRING, list(tokens)))]
+    for k, v in hparams.items():
+        vt = gguf_io.T_F32 if isinstance(v, float) else gguf_io.T_U32
+        kv.append((f"{arch}.{k}", vt, v))
+    recs = []
+    for name, arr, ttype in tensors:
+        ne = tuple(int(x) for x in arr.shape[::-1])
+        if ttype == gguf_io.GGML_F32:
+            data = arr.astype(np.float32).tobytes()
+        elif ttype == gguf_io.GGML_Q4_0:
+            data = gguf_io.q4_0_to_bytes(arr.astype(np.float32))
+        else:
+            raise AssertionError(ttype)
+        recs.append((name, ne, ttype, data))
+    with open(path, "wb") as f:
+        f.write(struct.pack("<IIQQ", gguf_io.MAGIC, gguf_io.VERSION,
+                            len(recs), len(kv)))
+        for key, vtype, v in kv:
+            gguf_io._w_str(f, key)
+            f.write(struct.pack("<I", vtype))
+            gguf_io._w_value(f, vtype, v)
+        off = 0
+        for name, ne, ttype, data in recs:
+            gguf_io._w_str(f, name)
+            f.write(struct.pack("<I", len(ne)))
+            f.write(struct.pack(f"<{len(ne)}Q", *ne))
+            f.write(struct.pack("<IQ", ttype, off))
+            off += len(data)
+            off += (-off) % gguf_io.ALIGNMENT
+        f.write(b"\x00" * ((-f.tell()) % gguf_io.ALIGNMENT))
+        for _, _, _, data in recs:
+            f.write(data)
+            f.write(b"\x00" * ((-len(data)) % gguf_io.ALIGNMENT))
+
+
+_ARCH_V, _ARCH_E, _ARCH_H, _ARCH_I, _ARCH_NL = 64, 64, 4, 96, 2
+
+
+def _arch_weights(seed):
+    rng = np.random.default_rng(seed)
+
+    def w(*shape):
+        return (rng.standard_normal(shape) * 0.05).astype(np.float32)
+    return w
+
+
+def test_nomic_bert_gguf_roundtrip(tmp_path, small_vocab):
+    """nomic-bert arch: fused attn_qkv split on read, quantized ffn_gate,
+    RoPE config from rope.freq_base; forward matches the same weights
+    loaded through the HF path."""
+    from embeddings_tpu.models import bert
+    w = _arch_weights(0)
+    V, E, I, NL = _ARCH_V, _ARCH_E, _ARCH_I, _ARCH_NL
+    t = {"token_embd.weight": w(V, E),
+         "token_types.weight": w(2, E),
+         "token_embd_norm.weight": 1.0 + 0.1 * w(E),
+         "token_embd_norm.bias": 0.1 * w(E)}
+    for i in range(NL):
+        t[f"blk.{i}.attn_qkv.weight"] = w(3 * E, E)
+        t[f"blk.{i}.attn_qkv.bias"] = 0.1 * w(3 * E)
+        t[f"blk.{i}.attn_output.weight"] = w(E, E)
+        t[f"blk.{i}.attn_output.bias"] = 0.1 * w(E)
+        t[f"blk.{i}.attn_output_norm.weight"] = 1.0 + 0.1 * w(E)
+        t[f"blk.{i}.attn_output_norm.bias"] = 0.1 * w(E)
+        t[f"blk.{i}.ffn_gate.weight"] = w(I, E)
+        t[f"blk.{i}.ffn_up.weight"] = w(I, E)
+        t[f"blk.{i}.ffn_down.weight"] = w(E, I)
+        t[f"blk.{i}.layer_output_norm.weight"] = 1.0 + 0.1 * w(E)
+        t[f"blk.{i}.layer_output_norm.bias"] = 0.1 * w(E)
+    tensors = [(k, v, gguf_io.GGML_Q4_0 if ".ffn_gate." in k
+                and k.endswith(".weight") else gguf_io.GGML_F32)
+               for k, v in t.items()]
+    path = tmp_path / "nomic.gguf"
+    _write_raw_gguf(path, "nomic-bert",
+                    dict(embedding_length=E, block_count=NL,
+                         feed_forward_length=I, context_length=128,
+                         vocab_size=V,
+                         **{"attention.head_count": _ARCH_H,
+                            "attention.layer_norm_epsilon": 1e-12,
+                            "rope.freq_base": 1000.0}),
+                    tensors, small_vocab[:V])
+    from embeddings_tpu.models.gguf_io import load_gguf_model
+    params, cfg, tok = load_gguf_model(path)
+    assert cfg.position_embedding_type == "rotary"
+    assert cfg.rotary_base == 1000.0 and cfg.gated_mlp
+    assert "position" not in params["embeddings"]
+    assert isinstance(params["layers"]["mlp"]["gate"]["w"],
+                      Q.QuantizedTensor)
+
+    # reference: the same weights through the HF nomic translation
+    hf_sd = {"embeddings.word_embeddings.weight": t["token_embd.weight"],
+             "embeddings.token_type_embeddings.weight":
+                 t["token_types.weight"],
+             "embeddings.LayerNorm.weight": t["token_embd_norm.weight"],
+             "embeddings.LayerNorm.bias": t["token_embd_norm.bias"]}
+    for i in range(NL):
+        hf_sd[f"encoder.layers.{i}.attn.Wqkv.weight"] = \
+            t[f"blk.{i}.attn_qkv.weight"]
+        hf_sd[f"encoder.layers.{i}.attn.Wqkv.bias"] = \
+            t[f"blk.{i}.attn_qkv.bias"]
+        hf_sd[f"encoder.layers.{i}.attn.out_proj.weight"] = \
+            t[f"blk.{i}.attn_output.weight"]
+        hf_sd[f"encoder.layers.{i}.attn.out_proj.bias"] = \
+            t[f"blk.{i}.attn_output.bias"]
+        hf_sd[f"encoder.layers.{i}.norm1.weight"] = \
+            t[f"blk.{i}.attn_output_norm.weight"]
+        hf_sd[f"encoder.layers.{i}.norm1.bias"] = \
+            t[f"blk.{i}.attn_output_norm.bias"]
+        hf_sd[f"encoder.layers.{i}.mlp.fc11.weight"] = \
+            t[f"blk.{i}.ffn_gate.weight"]
+        hf_sd[f"encoder.layers.{i}.mlp.fc11.bias"] = \
+            np.zeros(_ARCH_I, np.float32)
+        hf_sd[f"encoder.layers.{i}.mlp.fc12.weight"] = \
+            t[f"blk.{i}.ffn_up.weight"]
+        hf_sd[f"encoder.layers.{i}.mlp.fc12.bias"] = \
+            np.zeros(_ARCH_I, np.float32)
+        hf_sd[f"encoder.layers.{i}.mlp.fc2.weight"] = \
+            t[f"blk.{i}.ffn_down.weight"]
+        hf_sd[f"encoder.layers.{i}.mlp.fc2.bias"] = \
+            np.zeros(_ARCH_E, np.float32)  # no down bias in the fixture
+        hf_sd[f"encoder.layers.{i}.norm2.weight"] = \
+            t[f"blk.{i}.layer_output_norm.weight"]
+        hf_sd[f"encoder.layers.{i}.norm2.bias"] = \
+            t[f"blk.{i}.layer_output_norm.bias"]
+    ref_params = P.from_hf_state_dict(hf_sd, cfg)
+    from embeddings_tpu.models import bert as B
+    rng = np.random.default_rng(1)
+    ids = jnp.asarray(rng.integers(0, V, (2, 16)), jnp.int32)
+    mask = jnp.ones((2, 16), jnp.int32)
+    got = np.asarray(B.encode_tokens(params, cfg, ids, mask))
+    ref = np.asarray(B.encode_tokens(ref_params, cfg, ids, mask))
+    cos = (got * ref).sum(-1)
+    assert cos.min() > 0.995, cos  # gate is q4_0 in the gguf fixture
+
+
+def test_jina_bert_v2_gguf_loads(tmp_path, small_vocab):
+    """jina-bert-v2 arch: ALiBi config + slopes derived, gated MLP,
+    biasless gate/up; end-to-end through the Engine."""
+    w = _arch_weights(2)
+    V, E, I, NL = _ARCH_V, _ARCH_E, _ARCH_I, _ARCH_NL
+    t = {"token_embd.weight": w(V, E),
+         "token_types.weight": w(2, E),
+         "token_embd_norm.weight": 1.0 + 0.1 * w(E),
+         "token_embd_norm.bias": 0.1 * w(E)}
+    for i in range(NL):
+        for nm in ("attn_q", "attn_k", "attn_v", "attn_output"):
+            t[f"blk.{i}.{nm}.weight"] = w(E, E)
+            t[f"blk.{i}.{nm}.bias"] = 0.1 * w(E)
+        t[f"blk.{i}.attn_output_norm.weight"] = 1.0 + 0.1 * w(E)
+        t[f"blk.{i}.attn_output_norm.bias"] = 0.1 * w(E)
+        t[f"blk.{i}.ffn_gate.weight"] = w(I, E)
+        t[f"blk.{i}.ffn_up.weight"] = w(I, E)
+        t[f"blk.{i}.ffn_down.weight"] = w(E, I)
+        t[f"blk.{i}.ffn_down.bias"] = 0.1 * w(E)
+        t[f"blk.{i}.layer_output_norm.weight"] = 1.0 + 0.1 * w(E)
+        t[f"blk.{i}.layer_output_norm.bias"] = 0.1 * w(E)
+    tensors = [(k, v, gguf_io.GGML_F32) for k, v in t.items()]
+    path = tmp_path / "jina.gguf"
+    _write_raw_gguf(path, "jina-bert-v2",
+                    dict(embedding_length=E, block_count=NL,
+                         feed_forward_length=I, context_length=128,
+                         vocab_size=V,
+                         **{"attention.head_count": _ARCH_H,
+                            "attention.layer_norm_epsilon": 1e-12,
+                            "pooling_type": 1}),
+                    tensors, small_vocab[:V])
+    from embeddings_tpu.runtime.engine import load_model
+    eng = load_model(path)
+    assert eng.config.position_embedding_type == "alibi"
+    assert eng.config.gated_mlp
+    assert "alibi_slopes" in eng.params
+    emb = eng.encode_batch(["hello world", "water", "hello world"])
+    assert np.allclose(np.linalg.norm(emb, axis=-1), 1.0, atol=1e-5)
+    assert float((emb[0] * emb[2]).sum()) > 0.999999
+    assert np.isfinite(emb).all()
+
+
+def test_unknown_arch_refused(tmp_path, small_vocab):
+    w = _arch_weights(3)
+    path = tmp_path / "t5.gguf"
+    _write_raw_gguf(path, "t5", dict(embedding_length=8, block_count=1,
+                                     feed_forward_length=8),
+                    [("token_embd.weight", w(8, 8), gguf_io.GGML_F32)],
+                    small_vocab[:8])
+    with pytest.raises(ValueError, match="architecture"):
+        gguf_io.read_gguf(path)
