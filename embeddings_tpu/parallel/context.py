@@ -166,6 +166,13 @@ def make_cp_forward(config: BertConfig, mesh: Mesh, *,
         raise ValueError("context parallelism does not support "
                          "attention-logit-bias models (MPNet relative "
                          "bias, jina-bert-v2 ALiBi); use dp/tp instead")
+    if config.norm_style != "post" or config.causal:
+        # the CP layer body is the post-LN BERT block; running a
+        # pre-norm (ModernBERT/Qwen2) or causal model through it would
+        # silently compute a different network — refuse instead
+        raise ValueError("context parallelism supports post-LN "
+                         "bidirectional encoders only (ModernBERT/"
+                         "Qwen2-family models: use dp/tp instead)")
 
     def local_fwd(p, ids, mask):
         B, Lc = ids.shape

@@ -352,3 +352,14 @@ def test_forward_dispatches_window_kernel():
     assert calls["window"] and calls["global"], calls
     cos = (got * ref).sum(-1)
     assert cos.min() > 0.999, cos
+
+
+def test_cp_refused(hf_modernbert_and_params):
+    import jax
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 devices")
+    from embeddings_tpu.parallel.context import make_cp_forward, make_mesh_cp
+    _, _, cfg = hf_modernbert_and_params
+    mesh = make_mesh_cp(dp=1, sp=2, devices=jax.devices()[:2])
+    with pytest.raises(ValueError, match="post-LN"):
+        make_cp_forward(cfg, mesh)

@@ -322,3 +322,14 @@ def test_export_refused(hf_qwen2_and_params):
     _, our, _ = hf_qwen2_and_params
     with pytest.raises(ValueError):
         P.to_hf_state_dict(our)
+
+
+def test_cp_refused(hf_qwen2_and_params):
+    import jax
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 devices")
+    from embeddings_tpu.parallel.context import make_cp_forward, make_mesh_cp
+    _, _, cfg = hf_qwen2_and_params
+    mesh = make_mesh_cp(dp=1, sp=2, devices=jax.devices()[:2])
+    with pytest.raises(ValueError, match="post-LN"):
+        make_cp_forward(cfg, mesh)
