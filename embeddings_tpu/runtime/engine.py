@@ -73,10 +73,11 @@ class Engine:
         self.engine_config = dataclasses.replace(
             engine_config or EngineConfig())
         self.mesh = mesh
-        # fast host-side tokenizer (native C++ ext) when built; the Python
-        # tokenizer remains the API surface (id_to_token, vocab, ...)
+        # fast host-side tokenizer (native C++ ext: WordPiece or
+        # byte-level BPE) when built; the Python tokenizer remains the
+        # API surface (id_to_token, vocab, ...)
         from ..tokenizer import native as _native
-        self._fast_tokenizer = _native.NativeWordPieceTokenizer.wrap(tokenizer)
+        self._fast_tokenizer = _native.wrap_fast(tokenizer)
         cd = self.engine_config.compute_dtype
         if cd is None and jax.default_backend() == "tpu":
             cd = "bfloat16"

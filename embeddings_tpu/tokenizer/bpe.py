@@ -38,6 +38,15 @@ _GPT2_PATTERN = (r"'s|'t|'re|'ve|'m|'ll|'d"
                  r"| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
                  r"|\s+(?!\S)|\s+")
 
+# Qwen2-family pre-tokenization (tokenizer.json Split regex): case-
+# insensitive contractions, optional ANY-non-letter prefix before letter
+# runs, single digits, newline-aware punctuation/whitespace handling.
+# Kept as a canonical literal so the native C++ scanner (native/bpe.cpp)
+# can be matched against it by string equality.
+_QWEN2_PATTERN = (r"(?i:'s|'t|'re|'ve|'m|'ll|'d)|"
+                  r"[^\r\n\p{L}\p{N}]?\p{L}+|\p{N}|"
+                  r" ?[^\s\p{L}\p{N}]+[\r\n]*|\s*[\r\n]+|\s+(?!\S)|\s+")
+
 
 @lru_cache(maxsize=1)
 def bytes_to_unicode() -> dict[int, str]:

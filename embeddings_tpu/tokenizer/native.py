@@ -154,3 +154,121 @@ class NativeWordPieceTokenizer:
                 self._lib.etok_free(self._ctx)
         except Exception:
             pass
+
+
+# ---------------------------------------------------------------------------
+# byte-level BPE fast path (native/bpe.cpp, same .so)
+# ---------------------------------------------------------------------------
+
+def _bind_bpe(lib) -> bool:
+    if getattr(lib, "_ebpe_bound", False):
+        return True
+    try:
+        lib.ebpe_new.restype = ctypes.c_void_p
+        lib.ebpe_new.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32]
+        lib.ebpe_free.argtypes = [ctypes.c_void_p]
+        lib.ebpe_encode.restype = ctypes.c_int32
+        lib.ebpe_encode.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int32]
+    except AttributeError:
+        return False  # old .so without the BPE entry points
+    lib._ebpe_bound = True
+    return True
+
+
+class NativeBPETokenizer:
+    """Fast path for ByteLevelBPETokenizer.encode (same contract:
+    specials wrapped per special_style, same truncation)."""
+
+    def __init__(self, tok):
+        from .bpe import _GPT2_PATTERN, _QWEN2_PATTERN
+        lib = _load_lib()
+        if lib is None or not _bind_bpe(lib):
+            raise RuntimeError("native BPE not built (run `make -C native`)")
+        self._lib = lib
+        pattern = {_GPT2_PATTERN: 0, _QWEN2_PATTERN: 1}[tok.pattern]
+        items = list(tok.token_to_id.items())
+        toks = (ctypes.c_char_p * len(items))(
+            *[t.encode("utf-8") for t, _ in items])
+        ids = (ctypes.c_int32 * len(items))(*[i for _, i in items])
+        merges = sorted(tok.merge_ranks.items(), key=lambda kv: kv[1])
+        marr = (ctypes.c_char_p * len(merges))(
+            *[f"{a}\x01{b}".encode("utf-8") for (a, b), _ in merges])
+        self._ctx = lib.ebpe_new(toks, ids, len(items), marr, len(merges),
+                                 pattern, int(tok.add_prefix_space),
+                                 tok.unk_id)
+        self.cls_id = tok.cls_id
+        self.sep_id = tok.sep_id
+        self.unk_id = tok.unk_id
+        self.pad_id = tok.pad_id
+        self.special_style = tok.special_style
+        self._tls = threading.local()
+
+    @classmethod
+    def wrap(cls, tok) -> "NativeBPETokenizer | None":
+        """Build from a ByteLevelBPETokenizer when the lib is available
+        and the pre-tokenization pattern is one the C++ scanner
+        implements (GPT-2 or Qwen2); otherwise None."""
+        from .bpe import ByteLevelBPETokenizer, _GPT2_PATTERN, \
+            _QWEN2_PATTERN
+        if not isinstance(tok, ByteLevelBPETokenizer):
+            return None
+        lib = _load_lib()
+        if lib is None or not _bind_bpe(lib):
+            return None
+        if tok.pattern not in (_GPT2_PATTERN, _QWEN2_PATTERN):
+            return None  # custom regex: keep the Python engine
+        return cls(tok)
+
+    def _scratch(self):
+        buf = getattr(self._tls, "buf", None)
+        if buf is None:
+            buf = (ctypes.c_int32 * 8192)()
+            self._tls.buf = buf
+        return buf
+
+    def _raw(self, text: str) -> list[int]:
+        data = text.encode("utf-8")
+        buf = self._scratch()
+        n = self._lib.ebpe_encode(self._ctx, data, len(data), buf, len(buf))
+        if n < 0:
+            big = (ctypes.c_int32 * (-n))()
+            n = self._lib.ebpe_encode(self._ctx, data, len(data), big,
+                                      len(big))
+            return list(big[:n])
+        return list(buf[:n])
+
+    def encode(self, text: str, max_len: int | None = None) -> list[int]:
+        n_special = 1 if self.special_style == "eos_only" else 2
+        if max_len is not None and 0 < max_len < n_special:
+            raise ValueError(f"max_len must be >= {n_special}")
+        ids = self._raw(text)
+        if max_len is not None and len(ids) > max_len - n_special:
+            ids = ids[: max_len - n_special]
+        if self.special_style == "eos_only":
+            return ids + [self.sep_id]
+        return [self.cls_id] + ids + [self.sep_id]
+
+    def encode_batch(self, texts, max_len: int | None = None):
+        return [self.encode(t, max_len) for t in texts]
+
+    def __del__(self):
+        try:
+            if getattr(self, "_ctx", None):
+                self._lib.ebpe_free(self._ctx)
+        except Exception:
+            pass
+
+
+def wrap_fast(tok):
+    """The Engine's fast-tokenizer dispatcher: the native WordPiece or
+    native BPE implementation matching `tok`, or None (keep Python)."""
+    fast = NativeWordPieceTokenizer.wrap(tok)
+    if fast is not None:
+        return fast
+    return NativeBPETokenizer.wrap(tok)

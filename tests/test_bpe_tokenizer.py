@@ -149,3 +149,24 @@ def test_unknown_symbol_maps_to_unk():
     vocab = {"<s>": 0, "<pad>": 1, "</s>": 2, "<unk>": 3, "a": 4}
     tok = ByteLevelBPETokenizer(vocab, [])
     assert tok.tokenize_to_ids("ab") == [4, 3]
+
+
+def test_native_matches_rust_oracle(oracle_and_ours):
+    """Direct native-C++ vs rust-oracle conformance on the trained
+    600-token BPE (not just transitively through the Python engine)."""
+    from embeddings_tpu.tokenizer import native as N
+    oracle, ours = oracle_and_ours
+    nt = N.NativeBPETokenizer.wrap(ours)
+    if nt is None:
+        pytest.skip("native tokenizer not built")
+    rng = np.random.default_rng(3)
+    texts = list(PROMPTS)
+    for _ in range(300):
+        n = int(rng.integers(0, 50))
+        cps = rng.integers(1, 0x2FFFF, size=n)
+        texts.append("".join(chr(c) for c in cps
+                             if not (0xD800 <= c <= 0xDFFF)))
+    for s in texts:
+        ref = oracle.encode(s).ids
+        got = nt._raw(s)
+        assert ref == got, repr(s)
