@@ -102,6 +102,32 @@ def cmd_encode(args) -> int:
     return 0
 
 
+def cmd_rerank(args) -> int:
+    """Cross-encoder reranking: score documents against one query."""
+    eng = _load_engine(args)
+    docs = args.document if args.document else [line.rstrip("\n")
+                                                for line in sys.stdin]
+    if not docs:
+        print("no documents: pass positional DOC args or pipe one per "
+              "line on stdin", file=sys.stderr)
+        return 1
+    t0 = time.time()
+    scores = eng.rerank(args.query, docs)
+    t_eval = time.time() - t0
+    order = sorted(range(len(docs)), key=lambda i: -scores[i])
+    if args.format == "json":
+        json.dump({"results": [
+            {"index": i, "relevance_score": float(scores[i]),
+             "document": docs[i]} for i in order]}, sys.stdout)
+        print()
+    else:
+        for i in order:
+            print(f"{scores[i]:+.4f}\t{docs[i]}")
+    print(f"eval: {t_eval*1e3:.0f} ms ({len(docs)} documents)",
+          file=sys.stderr)
+    return 0
+
+
 def cmd_tokenize(args) -> int:
     eng = _load_engine(args)
     for text in args.prompt:
@@ -285,6 +311,15 @@ def build_parser() -> argparse.ArgumentParser:
     _add_model_args(p)
     p.add_argument("-p", "--prompt", action="append", required=True)
     p.set_defaults(fn=cmd_tokenize)
+
+    p = sub.add_parser(
+        "rerank", help="cross-encoder: score documents against a query")
+    _add_model_args(p)
+    p.add_argument("-q", "--query", required=True)
+    p.add_argument("document", nargs="*",
+                   help="documents (or pipe one per line on stdin)")
+    p.add_argument("--format", choices=["text", "json"], default="text")
+    p.set_defaults(fn=cmd_rerank)
 
     p = sub.add_parser("serve", help="run the embedding server")
     _add_model_args(p)

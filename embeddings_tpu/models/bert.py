@@ -515,7 +515,8 @@ def encode_tokens(params: Params, config: BertConfig, token_ids: jax.Array,
                   compute_dtype: str | None = None,
                   prefix_mask: bool = True,
                   tp_axis: str | None = None,
-                  return_hidden: bool = False) -> jax.Array:
+                  return_hidden: bool = False,
+                  type_ids: jax.Array | None = None) -> jax.Array:
     """Full forward: token ids + mask -> pooled, normalized embeddings.
 
     token_ids:       int32 [B, L] (pad positions may hold any id; the mask
@@ -546,7 +547,7 @@ def encode_tokens(params: Params, config: BertConfig, token_ids: jax.Array,
         mask_bias = mask_bias + jnp.where(
             pos[None, :] <= pos[:, None], 0.0, mask_value)[None, None]
 
-    x = embed(params, config, token_ids)
+    x = embed(params, config, token_ids, type_ids=type_ids)
     # Activation dtype: bf16 keeps every matmul on the MXU's native path
     # (LayerNorm/softmax still accumulate in f32); f32 for parity tests.
     if compute_dtype is not None:
@@ -661,6 +662,42 @@ def encode_tokens(params: Params, config: BertConfig, token_ids: jax.Array,
         norm = jnp.linalg.norm(pooled, axis=-1, keepdims=True)
         pooled = pooled / jnp.maximum(norm, 1e-12)
     return pooled
+
+
+def score_pairs(params: Params, config: BertConfig, token_ids: jax.Array,
+                attention_mask: jax.Array,
+                type_ids: jax.Array | None = None, *,
+                mask_value: float = -1e9,
+                compute_dtype: str | None = None,
+                tp_axis: str | None = None) -> jax.Array:
+    """Cross-encoder relevance scoring: (query, document) pair tokens ->
+    logits [B] (single-label heads: bge-reranker, ms-marco
+    cross-encoders) or [B, num_labels].
+
+    The head rides on the CLS position of the SAME encoder forward the
+    embedding path uses: BERT style applies the model pooler
+    (tanh(dense(cls))) then the classifier; RoBERTa style (bge-reranker)
+    applies classifier.dense (tanh) then classifier.out_proj — matching
+    HF BertForSequenceClassification / RobertaClassificationHead.
+    type_ids: [B, L] segment ids (0 = query span, 1 = document span) for
+    BERT-family pair encoding; None for RoBERTa-family (single type).
+    """
+    head = params.get("cls_head")
+    if head is None:
+        raise ValueError("this checkpoint has no classification head "
+                         "(cls_head) — not a cross-encoder/reranker")
+    x = encode_tokens(params, config, token_ids, attention_mask,
+                      mask_value=mask_value, compute_dtype=compute_dtype,
+                      tp_axis=tp_axis, return_hidden=True,
+                      type_ids=type_ids)
+    cls = x[:, 0].astype(jnp.float32)
+    mid = head.get("pooler") or head.get("dense")
+    if mid is not None:
+        cls = jnp.tanh(linear(cls, mid["w"].astype(jnp.float32),
+                              mid["b"].astype(jnp.float32)))
+    logits = linear(cls, head["out"]["w"].astype(jnp.float32),
+                    head["out"]["b"].astype(jnp.float32))
+    return logits[:, 0] if logits.shape[-1] == 1 else logits
 
 
 def encode_packed(params: Params, config: BertConfig, token_ids: jax.Array,

@@ -135,8 +135,13 @@ def _strip_prefix(sd: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
     for prefix in ("bert.", "roberta.", "albert.", "mpnet.", "distilbert.",
                    "roformer.", "model.", "0.auto_model."):
         if any(k.startswith(prefix + "embeddings") for k in sd):
-            sd = {k[len(prefix):]: v for k, v in sd.items()
-                  if k.startswith(prefix)}
+            # cross-encoder rerankers (BertForSequenceClassification /
+            # XLMRobertaForSequenceClassification) keep their scoring
+            # head OUTSIDE the backbone prefix — carry it across
+            sd = {**{k: v for k, v in sd.items()
+                     if k.startswith("classifier.")},
+                  **{k[len(prefix):]: v for k, v in sd.items()
+                     if k.startswith(prefix)}}
             break
     return _translate_qwen2(_translate_modernbert(_translate_jina(
         _translate_nomic(_translate_mpnet(_translate_albert(
@@ -549,6 +554,33 @@ def from_hf_state_dict(sd: dict[str, np.ndarray], config: BertConfig,
     if "final_ln.weight" in sd:
         # ModernBERT post-stack norm
         out["final_ln"] = _ln(g("final_ln.weight"), g("final_ln.bias"))
+    if "classifier.weight" in sd or "classifier.out_proj.weight" in sd:
+        # cross-encoder reranker head (models/bert.score_pairs):
+        # BERT style = pooler(tanh) -> classifier [num_labels, E]
+        # (ms-marco cross-encoders); RoBERTa style = classifier.dense
+        # (tanh) -> classifier.out_proj (bge-reranker family). The
+        # pooler is only kept when a classifier rides on it — embedding
+        # checkpoints drop it, matching the reference's converter
+        # (convert-to-ggml.py:86).
+        head: Params = {}
+        if "classifier.out_proj.weight" in sd:
+            head["dense"] = {"w": jnp.asarray(lin("classifier.dense"),
+                                              dtype),
+                             "b": jnp.asarray(g("classifier.dense.bias"),
+                                              dtype)}
+            head["out"] = {"w": jnp.asarray(lin("classifier.out_proj"),
+                                            dtype),
+                           "b": jnp.asarray(g("classifier.out_proj.bias"),
+                                            dtype)}
+        else:
+            if "pooler.dense.weight" in sd:
+                head["pooler"] = {"w": jnp.asarray(lin("pooler.dense"),
+                                                   dtype),
+                                  "b": jnp.asarray(g("pooler.dense.bias"),
+                                                   dtype)}
+            head["out"] = {"w": jnp.asarray(lin("classifier"), dtype),
+                           "b": jnp.asarray(g("classifier.bias"), dtype)}
+        out["cls_head"] = head
     return out
 
 

@@ -226,6 +226,68 @@ class Engine:
         while pending:
             scatter(*pending.popleft())
 
+    def rerank(self, query: str, documents: Sequence[str],
+               batch_size: int | None = None) -> np.ndarray:
+        """Cross-encoder relevance scores [N] for (query, document)
+        pairs (raw logits — HF convention; apply a sigmoid for [0, 1]
+        scores). Needs a checkpoint with a classification head
+        (bge-reranker family, ms-marco cross-encoders); the loader
+        attaches it as params["cls_head"].
+        """
+        if "cls_head" not in self.params:
+            raise ValueError(
+                "this model has no classification head — load a "
+                "cross-encoder/reranker checkpoint (e.g. bge-reranker, "
+                "ms-marco cross-encoders) to use rerank()")
+        if self.mesh is not None:
+            raise NotImplementedError(
+                "rerank() runs single-device (reranker backbones are "
+                "small); build the Engine without a mesh")
+        enc = getattr(self.tokenizer, "encode_pair", None)
+        if enc is None:
+            raise ValueError(
+                f"{type(self.tokenizer).__name__} has no pair encoding")
+        pairs = [enc(query, d, max_len=self.max_seq_len)
+                 for d in documents]
+        ec = self.engine_config
+        batch_size = batch_size or ec.batch_size
+        out = np.empty(len(pairs), np.float32)
+        bb = extend_buckets(ec.batch_buckets, batch_size)
+        plans = plan_batches([len(p[0]) for p in pairs], batch_size,
+                             self._seq_buckets(), bb)
+        if getattr(self, "_forward_pairs", None) is None:
+            from ..ops.linear import pallas_mode
+            cd, mv = self._compute_dtype, ec.mask_value
+            mode = ec.use_pallas
+            cfg = self.config
+
+            def _fp(p, ids, types, mask):
+                with pallas_mode(mode):
+                    return bert.score_pairs(p, cfg, ids, mask, types,
+                                            compute_dtype=cd,
+                                            mask_value=mv)
+
+            self._forward_pairs = jax.jit(_fp)
+
+        def dispatch():
+            for plan in plans:
+                ids, mask = pad_batch([pairs[i][0] for i in plan.indices],
+                                      plan.batch, plan.seq,
+                                      self.tokenizer.pad_id)
+                types = np.zeros_like(ids)
+                for r, i in enumerate(plan.indices):
+                    t = pairs[i][1]
+                    types[r, : len(t)] = t
+                yield plan, self._forward_pairs(self.params, ids, types,
+                                                mask)
+
+        def scatter(plan, scores):
+            out[list(plan.indices)] = np.asarray(
+                scores)[: len(plan.indices)]
+
+        self._windowed_drain(dispatch(), scatter)
+        return out
+
     def encode_batch_packed(self, texts: Sequence[str],
                             row_len: int | None = None,
                             batch_rows: int | None = None) -> np.ndarray:

@@ -515,9 +515,52 @@ def make_http_app(service: BatchingService):
                       "total_tokens": n_tokens},
         })
 
+    async def rerank(request: web.Request) -> web.Response:
+        """Cross-encoder reranking, Jina/Cohere-style API:
+        POST /rerank {"query": str, "documents": [str], "top_n"?: int,
+        "return_documents"?: bool} -> {"results": [{"index",
+        "relevance_score"(, "document")}]} sorted by score descending.
+        Needs a reranker checkpoint (classification head)."""
+        import asyncio
+        try:
+            body = await request.json()
+            if not isinstance(body, dict):
+                raise ValueError("body must be a JSON object")
+            query = body["query"]
+            docs = body["documents"]
+            if not isinstance(query, str) or not isinstance(docs, list) \
+                    or not all(isinstance(d, str) for d in docs):
+                raise ValueError("query must be a string and documents "
+                                 "a list of strings")
+            top_n = body.get("top_n")
+            top_n = len(docs) if top_n is None else int(top_n)
+            return_docs = bool(body.get("return_documents", False))
+        except (json.JSONDecodeError, KeyError, ValueError,
+                TypeError) as e:
+            return web.json_response({"error": str(e) or "bad request"},
+                                     status=400)
+        if "cls_head" not in service.engine.params:
+            return web.json_response(
+                {"error": "this model has no classification head — load "
+                          "a cross-encoder/reranker checkpoint"},
+                status=400)
+        try:
+            scores = await asyncio.to_thread(service.engine.rerank,
+                                             query, docs)
+        except Exception as e:
+            log.exception("rerank failed")
+            return web.json_response(
+                {"error": f"{type(e).__name__}: {e}"}, status=500)
+        order = sorted(range(len(docs)), key=lambda i: -scores[i])[:top_n]
+        return web.json_response({"results": [
+            {"index": i, "relevance_score": float(scores[i]),
+             **({"document": docs[i]} if return_docs else {})}
+            for i in order]})
+
     app = web.Application()
     app.router.add_post("/embed", embed)
     app.router.add_post("/v1/embeddings", openai_embeddings)
+    app.router.add_post("/rerank", rerank)
     app.router.add_get("/healthz", healthz)
     app.router.add_get("/stats", stats)
     return app

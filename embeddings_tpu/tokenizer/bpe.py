@@ -280,6 +280,23 @@ class ByteLevelBPETokenizer:
                      max_len: int | None = None) -> list[list[int]]:
         return [self.encode(t, max_len) for t in texts]
 
+    def encode_pair(self, a: str, b: str, max_len: int | None = None
+                    ) -> tuple[list[int], list[int]]:
+        """Cross-encoder pair encoding, RoBERTa convention:
+        ``<s> a </s></s> b </s>`` with a single token type (zeros) —
+        what bge-reranker-family checkpoints were trained on. HF
+        longest_first truncation."""
+        from .wordpiece import truncate_pair
+        ia, ib = self.tokenize_to_ids(a), self.tokenize_to_ids(b)
+        if not ib:  # HF collapses an empty second segment entirely
+            ids = self.encode(a, max_len)
+            return ids, [0] * len(ids)
+        if max_len is not None:
+            ia, ib = truncate_pair(ia, ib, max_len - 4)
+        ids = ([self.cls_id] + ia + [self.sep_id, self.sep_id]
+               + ib + [self.sep_id])
+        return ids, [0] * len(ids)
+
     def id_to_token(self, idx: int) -> str:
         return self._id_to_token[idx]
 

@@ -217,6 +217,20 @@ class WordPieceVocab:
         return cls({t: i for i, t in enumerate(tokens)})
 
 
+def truncate_pair(a: list[int], b: list[int], budget: int
+                  ) -> tuple[list[int], list[int]]:
+    """HF longest_first pair truncation: drop one token at a time from
+    the end of the LONGER sequence (ties trim the first) until the two
+    fit the budget. Shared by every tokenizer's encode_pair."""
+    a, b = list(a), list(b)
+    while len(a) + len(b) > budget:
+        if len(a) >= len(b):
+            a.pop()
+        else:
+            b.pop()
+    return a, b
+
+
 class WordPieceTokenizer:
     """The full tokenizer: normalize -> pre-tokenize -> greedy WordPiece.
 
@@ -332,6 +346,22 @@ class WordPieceTokenizer:
 
     def encode_batch(self, texts: Iterable[str], max_len: int | None = None) -> list[list[int]]:
         return [self.encode(t, max_len) for t in texts]
+
+    def encode_pair(self, a: str, b: str, max_len: int | None = None
+                    ) -> tuple[list[int], list[int]]:
+        """Cross-encoder pair encoding: ``[CLS] a [SEP] b [SEP]`` plus
+        token-type ids (0 over the query span incl. its [SEP], 1 over
+        the document span) — HF BertTokenizer pair semantics with
+        longest_first truncation."""
+        ia, ib = self.tokenize_to_ids(a), self.tokenize_to_ids(b)
+        if not ib:  # HF collapses an empty second segment entirely
+            ids = self.encode(a, max_len)
+            return ids, [0] * len(ids)
+        if max_len is not None:
+            ia, ib = truncate_pair(ia, ib, max_len - 3)
+        ids = [self.cls_id] + ia + [self.sep_id] + ib + [self.sep_id]
+        types = [0] * (len(ia) + 2) + [1] * (len(ib) + 1)
+        return ids, types
 
     def id_to_token(self, idx: int) -> str:
         return self.vocab.id_to_token[idx]

@@ -714,3 +714,94 @@ def test_openai_base64_and_dimensions(engine):
     want = ref[:16] / np.linalg.norm(ref[:16])
     np.testing.assert_allclose(got, want, atol=1e-5)
     assert r["bad_dims"][0] == 400 and r["bad_fmt"][0] == 400
+
+
+@pytest.fixture(scope="module")
+def reranker_engine(small_vocab):
+    """Engine with a random classification head (rerank surface)."""
+    import jax.numpy as jnp
+    tok = WordPieceTokenizer(WordPieceVocab.from_tokens(small_vocab))
+    cfg = BertConfig(vocab_size=len(small_vocab), hidden_size=64,
+                     num_hidden_layers=2, num_attention_heads=4,
+                     intermediate_size=128, max_position_embeddings=64)
+    params = P.init_params(cfg, rng=0)
+    rng = np.random.default_rng(0)
+    params["cls_head"] = {
+        "pooler": {"w": jnp.asarray(rng.standard_normal((64, 64)) * 0.05,
+                                    jnp.float32),
+                   "b": jnp.zeros(64, jnp.float32)},
+        "out": {"w": jnp.asarray(rng.standard_normal((64, 1)) * 0.05,
+                                 jnp.float32),
+                "b": jnp.zeros(1, jnp.float32)},
+    }
+    ec = EngineConfig(seq_buckets=(16, 32), max_seq_len=32, batch_size=8,
+                      batch_buckets=(1, 2, 4, 8))
+    return Engine(params, cfg, tok, ec)
+
+
+def test_http_rerank(reranker_engine, engine):
+    pytest.importorskip("aiohttp")
+    import urllib.request
+    import urllib.error
+    import json as j
+
+    def post(port, payload):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/rerank",
+            data=j.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"})
+        try:
+            with urllib.request.urlopen(req) as r:
+                return r.status, j.loads(r.read())
+        except urllib.error.HTTPError as e:
+            return e.code, j.loads(e.read())
+
+    async def go():
+        runner, svc = await serve_http(reranker_engine, host="127.0.0.1",
+                                       port=0)
+        port = runner.addresses[0][1]
+        results = {}
+
+        def client():
+            results["ok"] = post(port, {
+                "query": "hello world",
+                "documents": ["hello world", "water fire", "hello"],
+                "return_documents": True})
+            results["topn"] = post(port, {
+                "query": "hello", "documents": ["a", "b", "c"],
+                "top_n": 2})
+            results["bad"] = post(port, {"query": "x"})
+
+        await asyncio.to_thread(client)
+        await runner.cleanup()
+        await svc.stop()
+        return results
+
+    r = run_async(go())
+    code, body = r["ok"]
+    assert code == 200 and len(body["results"]) == 3
+    scores = [x["relevance_score"] for x in body["results"]]
+    assert scores == sorted(scores, reverse=True)
+    assert body["results"][0]["document"] in ("hello world", "water fire",
+                                              "hello")
+    ref = reranker_engine.rerank("hello world",
+                                 ["hello world", "water fire", "hello"])
+    by_index = {x["index"]: x["relevance_score"] for x in body["results"]}
+    for i, s in enumerate(ref):
+        assert abs(by_index[i] - float(s)) < 1e-4
+    code2, body2 = r["topn"]
+    assert code2 == 200 and len(body2["results"]) == 2
+    assert "document" not in body2["results"][0]
+    assert r["bad"][0] == 400
+
+    # an embedding-only engine refuses politely
+    async def go2():
+        runner, svc = await serve_http(engine, host="127.0.0.1", port=0)
+        port = runner.addresses[0][1]
+        out = await asyncio.to_thread(
+            post, port, {"query": "x", "documents": ["y"]})
+        await runner.cleanup()
+        await svc.stop()
+        return out
+    code3, body3 = run_async(go2())
+    assert code3 == 400 and "classification head" in body3["error"]
