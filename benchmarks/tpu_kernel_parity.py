@@ -268,6 +268,33 @@ def check_attention(results, rng):
                     "ok": bool(err < 3e-2)})
     print(json.dumps(results[-1]), flush=True)
 
+    # CP streaming kernel at a past-the-whole-row-ceiling shape (the
+    # per-shard shape an sp-mesh dispatches at long L)
+    Bc2, Lc2, Lf2 = 1, 256, 2048
+    q3 = jnp.asarray(rng.standard_normal((Bc2 * Lc2, E)) * 0.3,
+                     jnp.bfloat16)
+    kv3 = jnp.asarray(rng.standard_normal((Bc2 * Lf2, 2 * E)) * 0.3,
+                      jnp.bfloat16)
+    lens3 = jnp.asarray([Lf2 - 301], jnp.int32)
+    got_cps = np.asarray(A.fused_attention_cp_stream(
+        q3, kv3, lens3, B=Bc2, Lc=Lc2, L=Lf2, H=H, D=D, BK=512),
+        np.float32)
+    qf3 = np.asarray(q3, np.float32).reshape(Bc2, Lc2, H, D)
+    kf3 = np.asarray(kv3, np.float32).reshape(Bc2, Lf2, 2 * E)
+    kh3 = kf3[..., :E].reshape(Bc2, Lf2, H, D)
+    vh3 = kf3[..., E:].reshape(Bc2, Lf2, H, D)
+    s = np.einsum("blhd,bmhd->bhlm", qf3, kh3) / np.sqrt(D)
+    km3 = np.arange(Lf2)[None, :] < np.asarray(lens3)[:, None]
+    s = np.where(km3[:, None, None, :], s, -1e9)
+    p = np.exp(s - s.max(-1, keepdims=True))
+    p /= p.sum(-1, keepdims=True)
+    ref_cps = np.einsum("bhlm,bmhd->blhd", p, vh3).reshape(Bc2 * Lc2, E)
+    err = float(np.abs(got_cps - ref_cps).max())
+    results.append({"op": "fused_attention_cp_stream", "kind": "bf16",
+                    "K": Lf2, "N": E, "max_abs_err": err,
+                    "ok": bool(err < 3e-2)})
+    print(json.dumps(results[-1]), flush=True)
+
 
 def main() -> int:
     only = sys.argv[1] if len(sys.argv) > 1 else "all"

@@ -76,6 +76,14 @@ _STATIC_NAMES = {
     "position_embd.weight": "embeddings.position_embeddings.weight",
     "token_embd_norm.weight": "embeddings.LayerNorm.weight",
     "token_embd_norm.bias": "embeddings.LayerNorm.bias",
+    # reranker classification head (llama.cpp CLS / CLS_OUT — the
+    # bge-reranker GGUF convention: cls = tanh'd dense, cls.output =
+    # the scoring projection). A lone cls without cls.output is left
+    # unattached (the loader only builds a head it can run faithfully).
+    "cls.weight": "classifier.dense.weight",
+    "cls.bias": "classifier.dense.bias",
+    "cls.output.weight": "classifier.out_proj.weight",
+    "cls.output.bias": "classifier.out_proj.bias",
 }
 _BLOCK_NAMES = {
     "attn_q": "attention.self.query",
@@ -729,9 +737,12 @@ def read_gguf(path: str | Path, *, dequant: bool = False):
                     codes, d, m = q4_1_from_bytes(raw, R, K)
                     qt = Q.QuantizedTensor(_j(codes.T), _j(d.T), _j(m.T),
                                            "q4_1", -2)
-                if dequant or ".qkv." in hf_name:
-                    # fused nomic Wqkv must split into q/k/v below —
-                    # dense f32 (load_model(dtype=...) re-quantizes)
+                if (dequant or ".qkv." in hf_name
+                        or hf_name.startswith("classifier.")):
+                    # fused nomic Wqkv must split into q/k/v below, and
+                    # classifier-head tensors stay dense (tiny; the
+                    # stacked-quant installer only covers layer weights)
+                    # — f32 (load_model(dtype=...) re-quantizes)
                     sd[hf_name] = np.asarray(
                         Q.dequantize(qt)).T.reshape(shape)
                 else:

@@ -750,6 +750,105 @@ def fused_attention_window(qkv: jax.Array, lengths: jax.Array, *, B: int,
                         interpret=interpret)
 
 
+def _attn_kernel_cp_stream(lengths_ref, q_ref, k_ref, v_ref, o_ref,
+                           acc_ref, *, BK: int, L: int, D: int, H: int,
+                           scale: float):
+    """Streaming variant of _attn_kernel_cp: the gathered K/V arrive in
+    [BK, E] blocks over the innermost grid dimension (context
+    parallelism exists FOR long sequences, where whole-row K/V no
+    longer fits VMEM). Same overflow-safe no-max accumulation as
+    _attn_kernel_stream."""
+    b = pl.program_id(0)
+    kb = pl.program_id(2)
+    W = pl.num_programs(2)
+
+    @pl.when(kb == 0)
+    def _zero():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    n = lengths_ref[b]
+    Lq = acc_ref.shape[0]
+    kpos = kb * BK + jax.lax.broadcasted_iota(jnp.int32, (Lq, BK), 1)
+    ok = kpos < n
+    s2 = scale * LOG2E
+    clamp_hi = _clamp_hi(L)
+    aug_col = jax.lax.broadcasted_iota(jnp.int32, (BK, 2 * D), 1)
+    for h in range(H):
+        sl = slice(h * D, (h + 1) * D)
+        q = q_ref[:, sl]
+        k = k_ref[:, sl]
+        vaug = jnp.where(aug_col == D, jnp.ones((), v_ref.dtype),
+                         jnp.pad(v_ref[:, sl], ((0, 0), (0, D))))
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * s2
+        s = jnp.clip(s, _CLAMP_LO, clamp_hi)
+        p = jnp.where(ok, jnp.exp2(s), 0.0).astype(q.dtype)
+        acc_ref[:, 2 * D * h:2 * D * (h + 1)] += jax.lax.dot(
+            p, vaug, preferred_element_type=jnp.float32)
+
+    @pl.when(kb == W - 1)
+    def _finalize():
+        for h in range(H):
+            acc = acc_ref[:, 2 * D * h:2 * D * (h + 1)]
+            denom = jnp.maximum(acc[:, D:D + 1], 1e-30)
+            o_ref[:, h * D:(h + 1) * D] = (
+                acc[:, :D] * (1.0 / denom)).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("B", "Lc", "L", "H", "D",
+                                             "BK", "mask_value",
+                                             "interpret"))
+def fused_attention_cp_stream(q: jax.Array, kv: jax.Array,
+                              lengths: jax.Array, *, B: int, Lc: int,
+                              L: int, H: int, D: int, BK: int = 512,
+                              mask_value: float = -1e9,
+                              interpret: bool = False) -> jax.Array:
+    """fused_attention_cp past the whole-row VMEM ceiling: same contract
+    (q [B*Lc, E] local chunk, kv [B*L, 2E] gathered [k | v], prefix
+    lengths) but K/V stream through VMEM in [BK, E] blocks — context
+    parallelism at L = 8192+ (exactly where CP matters)."""
+    E = H * D
+    assert q.shape == (B * Lc, E), (q.shape, (B * Lc, E))
+    assert kv.shape == (B * L, 2 * E), (kv.shape, (B * L, 2 * E))
+    assert stream_supported(L, H, D, BK) and Lc % BQ == 0, (Lc, L, H, D)
+    nQ = Lc // BQ
+    nKB = L // BK
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, nQ, nKB),
+        in_specs=[
+            pl.BlockSpec((BQ, E), lambda b, qb, kb, *_: (b * nQ + qb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BK, E), lambda b, qb, kb, *_: (b * nKB + kb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BK, E), lambda b, qb, kb, *_: (b * nKB + kb, 1),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((BQ, E),
+                               lambda b, qb, kb, *_: (b * nQ + qb, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((BQ, 2 * E), jnp.float32)],
+    )
+    kernel = functools.partial(_attn_kernel_cp_stream, BK=BK, L=L, D=D,
+                               H=H, scale=1.0 / (D ** 0.5))
+    flops = 2 * 2 * B * H * Lc * L * D
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B * Lc, E), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=(B * Lc * E * 2 + B * L * 2 * E)
+            * q.dtype.itemsize,
+            transcendentals=B * H * Lc * L),
+        interpret=interpret,
+    )(lengths, q, kv, kv)
+
+
 @functools.partial(jax.jit, static_argnames=("B", "L", "H", "D",
                                              "mask_value", "interpret"))
 def fused_attention(qkv: jax.Array, lengths: jax.Array, *, B: int, L: int,

@@ -100,12 +100,22 @@ def _cp_attention(layer: Params, config: BertConfig, x: jax.Array,
     kv = lax.all_gather(jnp.concatenate([k, v], axis=-1), SEQ_AXIS,
                         axis=1, tiled=True)
     L = kv.shape[1]
-    if (lengths is not None and _use_pallas()
-            and attn_ops.supported(L, H, D) and Lc % 8 == 0):
-        ctx = attn_ops.fused_attention_cp(
-            q.reshape(B * Lc, H * D), kv.reshape(B * L, 2 * H * D),
-            lengths, B=B, Lc=Lc, L=L, H=H, D=D)
-        return ctx.reshape(B, Lc, H * D)
+    if lengths is not None and _use_pallas():
+        if (attn_ops.whole_row_fits(L, H * D)
+                and attn_ops.supported(L, H, D) and Lc % 8 == 0):
+            ctx = attn_ops.fused_attention_cp(
+                q.reshape(B * Lc, H * D), kv.reshape(B * L, 2 * H * D),
+                lengths, B=B, Lc=Lc, L=L, H=H, D=D)
+            return ctx.reshape(B, Lc, H * D)
+        bk = attn_ops.pick_bk(L)
+        if (attn_ops.stream_supported(L, H, D, bk)
+                and Lc % attn_ops.BQ == 0):
+            # past the whole-row VMEM ceiling: stream gathered K/V
+            # blocks (CP's raison d'etre is long L)
+            ctx = attn_ops.fused_attention_cp_stream(
+                q.reshape(B * Lc, H * D), kv.reshape(B * L, 2 * H * D),
+                lengths, B=B, Lc=Lc, L=L, H=H, D=D, BK=bk)
+            return ctx.reshape(B, Lc, H * D)
     k_full, v_full = jnp.split(kv, 2, axis=-1)
     qh = q.reshape(B, Lc, H, D)
     kh = k_full.reshape(B, L, H, D)

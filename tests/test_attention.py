@@ -348,3 +348,68 @@ def test_fused_attention_window_matches_ref(L, window, rng):
         np.float32)
     ref = _stream_ref(qkv, lengths, B, L, H, D, window=window)
     _check_valid_rows(got, ref, lengths, L)
+
+
+@pytest.mark.parametrize("Lc,L,BK", [(128, 256, 128), (128, 512, 256),
+                                     (256, 256, 128)])
+def test_fused_attention_cp_stream_matches_cp(Lc, L, BK, rng):
+    """Streaming CP kernel == whole-row CP kernel (interpret mode)."""
+    from embeddings_tpu.ops.attention import (fused_attention_cp,
+                                              fused_attention_cp_stream)
+    B, H, D = 2, 2, 64
+    E = H * D
+    q = jnp.asarray(rng.standard_normal((B * Lc, E)) * 0.5, jnp.float32)
+    kv = jnp.asarray(rng.standard_normal((B * L, 2 * E)) * 0.5,
+                     jnp.float32)
+    lengths = jnp.asarray([L, L - 77], jnp.int32)
+    ref = np.asarray(fused_attention_cp(q, kv, lengths, B=B, Lc=Lc, L=L,
+                                        H=H, D=D, interpret=True),
+                     np.float32)
+    got = np.asarray(fused_attention_cp_stream(
+        q, kv, lengths, B=B, Lc=Lc, L=L, H=H, D=D, BK=BK,
+        interpret=True), np.float32)
+    np.testing.assert_allclose(got, ref, atol=2e-3, rtol=1e-2)
+
+
+def test_cp_forward_streams_past_whole_row(rng, tiny_config):
+    """make_cp_forward must route to the streaming CP kernel when
+    whole-row K/V would overflow VMEM (patched threshold; the math must
+    stay identical)."""
+    import dataclasses
+    from unittest import mock
+    import jax
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 devices")
+    import importlib
+    import embeddings_tpu.ops.attention as attn_ops
+    from embeddings_tpu.models import params as P2
+    from embeddings_tpu.parallel.context import (make_cp_forward,
+                                                 make_mesh_cp)
+    linear_mod = importlib.import_module("embeddings_tpu.ops.linear")
+    cfg = dataclasses.replace(tiny_config, num_attention_heads=2,
+                              hidden_size=128,
+                              max_position_embeddings=512)
+    params = P2.init_params(cfg, rng=0)
+    ids = jnp.asarray(rng.integers(5, cfg.vocab_size, (2, 256)), jnp.int32)
+    mask = np.ones((2, 256), np.int32)
+    mask[1, 130:] = 0
+    mask = jnp.asarray(mask)
+    from embeddings_tpu.models import bert as B2
+    ref = np.asarray(B2.encode_tokens(params, cfg, ids, mask))
+    mesh = make_mesh_cp(dp=1, sp=2, devices=jax.devices()[:2])
+    calls = []
+    orig = attn_ops.fused_attention_cp_stream
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw, interpret=True)
+
+    with mock.patch.object(linear_mod, "_use_pallas", lambda: True), \
+         mock.patch.object(attn_ops, "whole_row_fits",
+                           lambda L, E, itemsize=2: False), \
+         mock.patch.object(attn_ops, "fused_attention_cp_stream", spy):
+        fwd = make_cp_forward(cfg, mesh)
+        got = np.asarray(fwd(params, ids, mask))
+    assert calls, "CP streaming kernel was not dispatched"
+    cos = (got * ref).sum(-1)
+    assert cos.min() > 0.999, cos

@@ -735,3 +735,69 @@ def test_unknown_arch_refused(tmp_path, small_vocab):
                     small_vocab[:8])
     with pytest.raises(ValueError, match="architecture"):
         gguf_io.read_gguf(path)
+
+
+def test_reranker_gguf_head_loads(tmp_path, small_vocab):
+    """bert-arch GGUF with llama.cpp cls/cls.output head tensors
+    (bge-reranker convention) loads into a rerank-capable Engine."""
+    w = _arch_weights(7)
+    V, E, I, NL = _ARCH_V, _ARCH_E, _ARCH_I, 1
+    t = {"token_embd.weight": w(V, E),
+         "token_types.weight": w(2, E),
+         "position_embd.weight": w(64, E),
+         "token_embd_norm.weight": 1.0 + 0.1 * w(E),
+         "token_embd_norm.bias": 0.1 * w(E),
+         "cls.weight": w(E, E), "cls.bias": 0.1 * w(E),
+         "cls.output.weight": w(1, E), "cls.output.bias": 0.1 * w(1)}
+    for i in range(NL):
+        for nm in ("attn_q", "attn_k", "attn_v", "attn_output"):
+            t[f"blk.{i}.{nm}.weight"] = w(E, E)
+            t[f"blk.{i}.{nm}.bias"] = 0.1 * w(E)
+        t[f"blk.{i}.attn_output_norm.weight"] = 1.0 + 0.1 * w(E)
+        t[f"blk.{i}.attn_output_norm.bias"] = 0.1 * w(E)
+        t[f"blk.{i}.ffn_up.weight"] = w(I, E)
+        t[f"blk.{i}.ffn_up.bias"] = 0.1 * w(I)
+        t[f"blk.{i}.ffn_down.weight"] = w(E, I)
+        t[f"blk.{i}.ffn_down.bias"] = 0.1 * w(E)
+        t[f"blk.{i}.layer_output_norm.weight"] = 1.0 + 0.1 * w(E)
+        t[f"blk.{i}.layer_output_norm.bias"] = 0.1 * w(E)
+    tensors = [(k, v, gguf_io.GGML_F32) for k, v in t.items()]
+    path = tmp_path / "reranker.gguf"
+    _write_raw_gguf(path, "bert",
+                    dict(embedding_length=E, block_count=NL,
+                         feed_forward_length=I, context_length=64,
+                         vocab_size=V,
+                         **{"attention.head_count": _ARCH_H,
+                            "attention.layer_norm_epsilon": 1e-12}),
+                    tensors, small_vocab[:V])
+    from embeddings_tpu.runtime.engine import load_model
+    eng = load_model(path)
+    assert "cls_head" in eng.params
+    assert "dense" in eng.params["cls_head"]
+    scores = eng.rerank("hello world", ["hello world", "water", "fire"])
+    assert scores.shape == (3,) and np.isfinite(scores).all()
+
+    # head math == score_pairs on the same HF-named weights
+    from embeddings_tpu.models import bert as B
+    hf_sd = {gguf_io.gguf_to_hf_name(k): v for k, v in t.items()}
+    ref_params = P.from_hf_state_dict(hf_sd, eng.config)
+    ids, types = eng.tokenizer.encode_pair("hello world", "water")
+    idsa = np.asarray([ids], np.int32)
+    ref = np.asarray(B.score_pairs(
+        ref_params, eng.config, jnp.asarray(idsa),
+        jnp.ones_like(jnp.asarray(idsa)),
+        jnp.asarray([types], np.int32)))[0]
+    np.testing.assert_allclose(scores[1], ref, atol=1e-4)
+
+    # a lone cls (no cls.output) must NOT build a half-head
+    t2 = {k: v for k, v in t.items() if not k.startswith("cls.output")}
+    path2 = tmp_path / "halfhead.gguf"
+    _write_raw_gguf(path2, "bert",
+                    dict(embedding_length=E, block_count=NL,
+                         feed_forward_length=I, context_length=64,
+                         vocab_size=V,
+                         **{"attention.head_count": _ARCH_H}),
+                    [(k, v, gguf_io.GGML_F32) for k, v in t2.items()],
+                    small_vocab[:V])
+    eng2 = load_model(path2)
+    assert "cls_head" not in eng2.params
