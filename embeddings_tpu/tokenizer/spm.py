@@ -72,7 +72,7 @@ class SpmModel:
     pad_piece: str = "<pad>"
     # NormalizerSpec
     normalizer_name: str = ""
-    has_precompiled_charsmap: bool = False
+    precompiled_charsmap: bytes = b""
     add_dummy_prefix: bool = True
     remove_extra_whitespaces: bool = True
 
@@ -160,7 +160,7 @@ def _parse_normalizer(data: bytes, m: SpmModel) -> None:
         if fno == 1 and wt == 2:
             m.normalizer_name = v.decode("utf-8")
         elif fno == 2 and wt == 2:
-            m.has_precompiled_charsmap = len(v) > 0
+            m.precompiled_charsmap = v
         elif fno == 3 and wt == 0:
             m.add_dummy_prefix = bool(v)
         elif fno == 4 and wt == 0:

@@ -24,11 +24,12 @@ pure-Python ModelProto reader in ``spm.py`` — including the
 XLM-RoBERTa fairseq id remap and the ALBERT casing/accents
 preprocessing, matching what HF's slow->fast converter would produce.
 
-Note on real XLM-R checkpoints: their tokenizer.json carries a
-"Precompiled" normalizer (sentencepiece's frozen nmt_nfkc charsmap).
-That table differs from pure NFKC on a small set of codepoints; loading
-such a file logs a warning and uses NFKC. Pass normalizer="nfkc" (or
-"none"/"nfc"/"nfkd"/"nfd") to silence it.
+Real XLM-R checkpoints carry a "Precompiled" normalizer (sentencepiece's
+frozen nmt_nfkc charsmap, a double-array trie over UTF-8) in their
+tokenizer.json / .model; it is applied exactly via ``charsmap.py``,
+conformance-tested against the rust ``tokenizers`` Precompiled
+normalizer itself. A malformed charsmap falls back to NFKC with a
+warning; pass normalizer= explicitly to override either way.
 """
 
 from __future__ import annotations
@@ -44,6 +45,20 @@ from typing import Iterable, Sequence
 logger = logging.getLogger("embeddings_tpu.tokenizer")
 
 SPIECE = "▁"  # the Metaspace marker "▁"
+
+
+def _parse_charsmap(blob: bytes, origin: str):
+    """("precompiled", PrecompiledCharsmap) op, or None (with a warning)
+    when the blob is empty/malformed — callers then fall back to NFKC."""
+    if not blob:
+        return None
+    try:
+        from .charsmap import PrecompiledCharsmap
+        return ("precompiled", PrecompiledCharsmap(blob))
+    except ValueError as e:
+        logger.warning("malformed precompiled charsmap in %s (%s); "
+                       "approximating with NFKC", origin, e)
+        return None
 
 # sentencepiece's penalty for characters no vocab piece covers
 # (rust tokenizers model/unigram/model.rs K_UNK_PENALTY)
@@ -185,25 +200,23 @@ class UnigramTokenizer:
         if do_lower_case:
             ops.append("lowercase")
         name = m.normalizer_name
-        if name in ("nmt_nfkc", "nfkc"):
-            if m.has_precompiled_charsmap:
-                logger.warning(
-                    "sentencepiece model uses the %s precompiled "
-                    "charsmap; approximating with NFKC — identical for "
-                    "all but a handful of rare codepoints. Pass "
-                    "normalizer= explicitly to silence this.", name)
+        charsmap_op = None
+        if m.precompiled_charsmap:
+            charsmap_op = _parse_charsmap(m.precompiled_charsmap, name)
+        if charsmap_op is not None:
+            # HF SpmConverter installs ONLY the Precompiled normalizer —
+            # the charsmap already encodes the full nmt_nfkc(-cf) rules,
+            # casefolding included
+            ops.append(charsmap_op)
+        elif name in ("nmt_nfkc", "nfkc"):
             ops.append("nfkc")
         elif name in ("nmt_nfkc_cf", "nfkc_cf"):
-            if m.has_precompiled_charsmap:
-                logger.warning(
-                    "sentencepiece model uses the %s precompiled "
-                    "charsmap; approximating with NFKC+Lowercase.", name)
             ops += ["nfkc", "lowercase"]
         elif name in ("identity", ""):
             pass
         else:
-            logger.warning("unknown sentencepiece normalizer %r; "
-                           "approximating with NFKC", name)
+            logger.warning("unknown sentencepiece normalizer %r with no "
+                           "charsmap; approximating with NFKC", name)
             ops.append("nfkc")
         if m.remove_extra_whitespaces:
             # HF SpmConverter appends Replace(Regex(" {2,}"), " ")
@@ -269,12 +282,11 @@ class UnigramTokenizer:
                     logger.warning("ignoring unsupported Replace pattern "
                                    "%r in tokenizer.json", pat)
             elif k == "Precompiled":
-                logger.warning(
-                    "tokenizer.json uses a Precompiled (sentencepiece "
-                    "charsmap) normalizer; approximating with NFKC — "
-                    "identical for all but a handful of rare codepoints. "
-                    "Pass normalizer= explicitly to silence this.")
-                ops.append("nfkc")
+                import base64
+                blob = base64.b64decode(n.get("precompiled_charsmap")
+                                        or "")
+                op = _parse_charsmap(blob, "tokenizer.json")
+                ops.append("nfkc" if op is None else op)
             elif k is not None:
                 logger.warning("ignoring unsupported normalizer %r in "
                                "tokenizer.json", k)
@@ -286,7 +298,9 @@ class UnigramTokenizer:
         if isinstance(ops, str):
             ops = [] if ops == "none" else [ops]
         for op in ops:
-            if isinstance(op, tuple):  # ("replace", pattern, content)
+            if isinstance(op, tuple) and op[0] == "precompiled":
+                text = op[1].normalize(text)
+            elif isinstance(op, tuple):  # ("replace", pattern, content)
                 text = text.replace(op[1], op[2])
             elif op == "lowercase":
                 # per-char like rust's Lowercase (no Final_Sigma context)

@@ -101,7 +101,7 @@ def test_parse_roundtrip_fields(tmp_path):
     assert m.model_type == MODEL_UNIGRAM
     assert m.unk_id == 0 and m.pad_id == -1  # negative varint decodes
     assert m.normalizer_name == "nmt_nfkc"
-    assert m.has_precompiled_charsmap
+    assert m.precompiled_charsmap == b"\x01\x02"
     assert m.add_dummy_prefix and m.remove_extra_whitespaces
 
 
