@@ -74,6 +74,21 @@ class BertConfig:
     num_key_value_heads: int | None = None  # None = num_attention_heads
     causal: bool = False
     first_attn_norm_identity: bool = False
+    # Mixture-of-experts FFN (nomic-embed-text-v2-moe / the
+    # nomic-bert-moe GGUF arch): every moe_every_n_layers-th layer
+    # (i % n == n-1, the HF NomicBertBlock placement for n=2) replaces
+    # its FFN with num_experts experts routed top-moe_top_k
+    # (softmax-before-top-k, unnormalized unless moe_normalize_topk —
+    # ops/moe.py). 0 experts = dense model.
+    num_experts: int = 0
+    moe_top_k: int = 2
+    moe_every_n_layers: int = 0
+    moe_normalize_topk: bool = False
+    # "dense" = every expert on every token, router weights mask the
+    # combine (static shapes, no gather); "ragged" = grouped matmuls
+    # over sorted (token, expert) pairs via lax.ragged_dot (k/E of the
+    # dense FLOPs); "auto" = ragged on a single device, dense under EP
+    moe_dispatch: str = "auto"
     # ModernBERT alternating attention: layer i attends globally iff
     # i % global_attn_every_n_layers == 0, otherwise only within
     # |i-j| <= local_attention_window//2; local layers use
@@ -168,6 +183,25 @@ class BertConfig:
                                  "supported")
             act = d.get("activation_function", "swiglu")
             gated = act in ("swiglu", "geglu")
+            if int(d.get("num_experts") or 0) > 0:
+                # nomic-embed-text-v2-moe: MoE FFN every 2nd layer with
+                # plain-GELU experts AND plain-GELU dense layers
+                # (llama.cpp build_bert treats NOMIC_BERT_MOE FFNs as
+                # non-gated GELU)
+                every = int(d.get("moe_every_n_layers") or 2)
+                if every != 2:
+                    raise ValueError(
+                        f"moe_every_n_layers={every} is not supported "
+                        f"(only the published every-2nd-layer layout)")
+                overrides.setdefault("num_experts",
+                                     int(d["num_experts"]))
+                overrides.setdefault("moe_top_k",
+                                     int(d.get("moe_top_k", 2)))
+                overrides.setdefault("moe_every_n_layers", every)
+                overrides.setdefault(
+                    "moe_normalize_topk",
+                    bool(d.get("moe_normalize_expert_weights")))
+                act, gated = "gelu", False
             d = {**d,
                  "hidden_size": d["n_embd"],
                  "num_hidden_layers": d["n_layer"],
@@ -413,6 +447,9 @@ KNOWN_MODELS: dict[str, dict[str, Any]] = {
     # (interleaved rotary)
     "nomic-embed-text-v1": dict(vocab_size=30528, hidden_size=768, num_hidden_layers=12, num_attention_heads=12, intermediate_size=3072, max_position_embeddings=2048, type_vocab_size=2, position_embedding_type="rotary", rotary_base=1000.0, gated_mlp=True, hidden_act="silu"),
     "nomic-embed-text-v1.5": dict(vocab_size=30528, hidden_size=768, num_hidden_layers=12, num_attention_heads=12, intermediate_size=3072, max_position_embeddings=2048, type_vocab_size=2, position_embedding_type="rotary", rotary_base=1000.0, gated_mlp=True, hidden_act="silu"),
+    # nomic-embed-text-v2-moe: multilingual (XLM-R sentencepiece vocab),
+    # ungated GELU FFNs, MoE FFN every 2nd layer (8 experts, top-2)
+    "nomic-embed-text-v2-moe": dict(vocab_size=250048, hidden_size=768, num_hidden_layers=12, num_attention_heads=12, intermediate_size=3072, max_position_embeddings=2048, type_vocab_size=2, position_embedding_type="rotary", rotary_base=1000.0, hidden_act="gelu", num_experts=8, moe_top_k=2, moe_every_n_layers=2),
     "roformer_chinese_base": dict(vocab_size=50000, hidden_size=768, num_hidden_layers=12, num_attention_heads=12, intermediate_size=3072, max_position_embeddings=1536, position_embedding_type="rotary", rotary_interleaved=True),
     # ModernBERT family (beyond the reference): pre-norm biasless blocks,
     # alternating global/sliding-window RoPE attention, GeGLU, 8192 ctx

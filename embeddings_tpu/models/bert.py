@@ -121,6 +121,17 @@ def _scan_layers(params: Params, config: BertConfig, x: jax.Array,
             return apply_layer(shared, h), None
 
         x, _ = lax.scan(body, x, None, length=config.num_hidden_layers)
+    elif "dense" in params["layers"]:
+        # MoE interleave: scan over (dense, moe) layer pairs — the two
+        # phases have different param SHAPES (expert stacks), so each
+        # gets its own stacked half and the pair is one scan step
+        assert aux is None, "per-layer aux with MoE interleave"
+
+        def body(h, pair):
+            h = apply_layer(pair["dense"], h)
+            return apply_layer(pair["moe"], h), None
+
+        x, _ = lax.scan(body, x, params["layers"])
     elif aux is not None:
         def body(h, t):
             layer, aux_i = t
@@ -378,7 +389,8 @@ def encoder_layer(layer: Params, config: BertConfig, x: jax.Array,
                   attn_window: int = 0,
                   bias4: jax.Array | None = None,
                   rope: tuple[jax.Array, jax.Array] | None = None,
-                  alibi: tuple[float, ...] | None = None
+                  alibi: tuple[float, ...] | None = None,
+                  ep_axis: str | None = None
                   ) -> jax.Array:
     """One transformer encoder block (post-LN, bert.cpp:987-1084).
 
@@ -397,14 +409,50 @@ def encoder_layer(layer: Params, config: BertConfig, x: jax.Array,
     if tp_axis is not None:
         x = _row_parallel_residual_ln(ctx, a["o"]["w"], a["o"]["b"], x,
                                       a["ln"], eps, tp_axis)
+        if "router" in m:
+            # EP rides the SAME mesh axis as Megatron TP: activations
+            # are replicated here (post-psum), each shard holds
+            # num_experts/tp experts, one psum combines — the same
+            # collective budget as the dense row-parallel FFN
+            return _moe_half(m, config, x, eps, tp_axis, "replicated")
         h = _ffn_hidden(m, x, config)
         return _row_parallel_residual_ln(h, m["down"]["w"], m["down"]["b"],
                                          x, m["ln"], eps, tp_axis)
     x = linear_residual_ln(ctx, a["o"]["w"], a["o"]["b"], x,
                            a["ln"]["scale"], a["ln"]["bias"], eps)
+    if "router" in m:  # MoE FFN half (nomic-v2-moe layers)
+        return _moe_half(m, config, x, eps, ep_axis)
     h = _ffn_hidden(m, x, config)  # activation fused in-kernel
     return linear_residual_ln(h, m["down"]["w"], m["down"]["b"], x,
                               m["ln"]["scale"], m["ln"]["bias"], eps)
+
+
+def _moe_half(m: Params, config: BertConfig, x: jax.Array, eps: float,
+              ep_axis: str | None, ep_tokens: str = "sharded"
+              ) -> jax.Array:
+    """Post-LN MoE FFN half: LN(x + moe_ffn(x)). Expert weights are
+    dense (never quantized). Expert parallelism is detected by SHAPE:
+    when the local expert stack already holds all num_experts experts
+    (single device, or a replication fallback for non-divisible expert
+    counts), no collective is emitted; a sharded stack gets the EP
+    schedule over ep_axis (ops/moe.py)."""
+    from ..ops.moe import moe_ffn, moe_ffn_ragged
+    if m["up"]["w"].shape[0] == config.num_experts:
+        ep_axis = None  # all experts local: replicated compute, no psum
+    B, L, E = x.shape
+    act = {"gelu_tanh": "gelu_tanh", "silu": "silu", "relu": "relu"}.get(
+        config.hidden_act, "gelu")
+    xt = x.reshape(B * L, E)
+    if (config.moe_dispatch == "ragged"
+            or (config.moe_dispatch == "auto" and ep_axis is None)):
+        y = moe_ffn_ragged(xt, m, top_k=config.moe_top_k, act=act,
+                           normalize_topk=config.moe_normalize_topk)
+    else:
+        y = moe_ffn(xt, m, top_k=config.moe_top_k, act=act,
+                    normalize_topk=config.moe_normalize_topk,
+                    ep_axis=ep_axis, ep_tokens=ep_tokens)
+    return layer_norm(x + y.reshape(B, L, E),
+                      m["ln"]["scale"], m["ln"]["bias"], eps)
 
 
 def _ffn_hidden(m: Params, x: jax.Array, config: BertConfig) -> jax.Array:

@@ -191,6 +191,14 @@ def build_params_from_sd(sd: dict, config: BertConfig) -> dict:
     quants: dict[str, Q.QuantizedTensor] = {}
     for name, v in sd.items():
         if isinstance(v, Q.QuantizedTensor):
+            if config.num_experts:
+                # MoE interleave restructures the layer tree into
+                # (dense, moe) half-stacks that the quantized installer
+                # below doesn't model — load dense; the engine's
+                # load_model(dtype=...) re-quantizes the 2-D linears
+                dense_sd[name] = np.asarray(
+                    Q.dequantize(v), np.float32).T
+                continue
             quants[name] = v
             # placeholder so from_hf_state_dict sees a complete dict
             K, N = v.shape[-2], v.shape[-1]

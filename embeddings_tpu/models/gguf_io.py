@@ -98,6 +98,12 @@ _BLOCK_NAMES = {
     # gated-MLP gate half, and nomic's fused Wqkv (split on read)
     "ffn_gate": "intermediate.gate",
     "attn_qkv": "attention.self.qkv",
+    # nomic-bert-moe (nomic-embed-text-v2-moe) expert tensors: router
+    # [n_embd, n_expert] and per-expert up/down stacks; re-laid into
+    # the HF NomicExpertMLP w1/w2 form after the read loop
+    "ffn_gate_inp": "moe.router",
+    "ffn_up_exps": "moe.up_exps",
+    "ffn_down_exps": "moe.down_exps",
 }
 
 
@@ -681,12 +687,14 @@ def read_gguf(path: str | Path, *, dequant: bool = False):
             (vtype,) = struct.unpack("<I", f.read(4))
             meta[key] = _r_value(f, vtype)
         arch = meta.get("general.architecture", "bert")
-        if arch not in ("bert", "nomic-bert", "jina-bert-v2"):
+        if arch not in ("bert", "nomic-bert", "nomic-bert-moe",
+                        "jina-bert-v2"):
             # other encoder arches would silently produce wrong
             # embeddings through this forward — refuse instead
             raise ValueError(
                 f"unsupported GGUF architecture {arch!r} (supported: "
-                f"bert, nomic-bert (RoPE), jina-bert-v2 (ALiBi))")
+                f"bert, nomic-bert (RoPE), nomic-bert-moe (RoPE+MoE), "
+                f"jina-bert-v2 (ALiBi))")
         infos = []
         for _ in range(n_tensors):
             tname = _r_str(f)
@@ -737,10 +745,12 @@ def read_gguf(path: str | Path, *, dequant: bool = False):
                     codes, d, m = q4_1_from_bytes(raw, R, K)
                     qt = Q.QuantizedTensor(_j(codes.T), _j(d.T), _j(m.T),
                                            "q4_1", -2)
-                if (dequant or ".qkv." in hf_name
+                if (dequant or ".qkv." in hf_name or ".moe." in hf_name
                         or hf_name.startswith("classifier.")):
-                    # fused nomic Wqkv must split into q/k/v below, and
-                    # classifier-head tensors stay dense (tiny; the
+                    # fused nomic Wqkv must split into q/k/v below,
+                    # MoE router/expert stacks load dense (experts are
+                    # never run quantized, models/params.quantize_params),
+                    # and classifier-head tensors stay dense (tiny; the
                     # stacked-quant installer only covers layer weights)
                     # — f32 (load_model(dtype=...) re-quantizes)
                     sd[hf_name] = np.asarray(
@@ -760,6 +770,24 @@ def read_gguf(path: str | Path, *, dequant: bool = False):
         for j, nm in enumerate(("query", "key", "value")):
             sd[k.replace(".qkv.", f".{nm}.")] = v[j * third:(j + 1) * third]
         del sd[k]
+    # nomic-bert-moe expert stacks -> HF NomicExpertMLP w1/w2 layout
+    # (what params._build_moe_layers consumes). ggml ne for ffn_up_exps
+    # is {n_embd, n_ff, n_expert} -> numpy [E, I, D] (rows are expert
+    # output neurons, applied as x @ w1_e.T — identical to HF w1);
+    # ffn_down_exps is {n_ff, n_embd, n_expert} -> numpy [E, D, I],
+    # the per-expert transpose of HF w2 (h @ w2_e).
+    for k in [k for k in sd if ".moe.up_exps." in k
+              or ".moe.down_exps." in k]:
+        v = np.asarray(sd[k])
+        del sd[k]
+        if ".up_exps." in k:
+            Ex, I, D = v.shape
+            sd[k.replace(".up_exps.weight", ".w1")] = v.reshape(Ex * I, D)
+        else:
+            Ex, D, I = v.shape
+            sd[k.replace(".down_exps.weight", ".w2")] = \
+                np.ascontiguousarray(v.transpose(0, 2, 1)).reshape(
+                    Ex * I, D)
     if arch != "bert":
         # biasless tensors (jina gated_layers, nomic variants):
         # synthesize zeros so the shared stacking code stays uniform
@@ -780,6 +808,18 @@ def read_gguf(path: str | Path, *, dequant: bool = False):
             position_embedding_type="rotary",
             rotary_base=float(meta.get(f"{p}.rope.freq_base", 1000.0)),
             hidden_act="silu")
+    elif arch == "nomic-bert-moe":
+        # nomic-embed-text-v2-moe: rotary like nomic-bert, ungated GELU
+        # FFNs, MoE every 2nd layer (llama.cpp LLM_ARCH_NOMIC_BERT_MOE:
+        # il % moe_every_n_layers == 1 -> build_moe_ffn, GELU)
+        arch_over = dict(
+            position_embedding_type="rotary",
+            rotary_base=float(meta.get(f"{p}.rope.freq_base", 1000.0)),
+            hidden_act="gelu",
+            num_experts=int(meta.get(f"{p}.expert_count", 8)),
+            moe_top_k=int(meta.get(f"{p}.expert_used_count", 2)),
+            moe_every_n_layers=int(
+                meta.get(f"{p}.moe_every_n_layers", 2)))
     elif arch == "jina-bert-v2":
         arch_over = dict(position_embedding_type="alibi",
                          hidden_act="gelu")

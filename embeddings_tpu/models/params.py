@@ -107,6 +107,36 @@ def init_params(config: BertConfig, rng: jax.Array | int = 0,
         del emb["position"]  # ALiBi: no learned position table
     if config.norm_type == "rmsnorm":
         del emb["ln"]  # Qwen2-family: bare token embedding, no norm
+    if config.num_experts:
+        # MoE interleave (nomic-v2-moe layout): odd layers swap their
+        # FFN for num_experts routed experts; layers split into two
+        # half-stacks scanned as (dense, moe) pairs (bert._scan_layers)
+        if NL % 2 or config.moe_every_n_layers != 2:
+            raise ValueError("MoE models need an even layer count with "
+                             "moe_every_n_layers=2")
+        NLh, Ex = NL // 2, config.num_experts
+
+        def take(t, s):
+            return jax.tree_util.tree_map(lambda a: a[s], t)
+
+        ek = jax.random.split(next(keys), 3 * NLh).reshape(NLh, 3, 2)
+        estack = jnp.stack  # [NLh, Ex, ...]
+        moe_mlp = {
+            "router": {"w": estack([mat(ek[i, 0], (E, Ex))
+                                    for i in range(NLh)])},
+            "up": {"w": estack([mat(ek[i, 1], (Ex, E, F))
+                                for i in range(NLh)]),
+                   "b": jnp.zeros((NLh, Ex, F), dtype)},
+            "down": {"w": estack([mat(ek[i, 2], (Ex, F, E))
+                                  for i in range(NLh)]),
+                     "b": jnp.zeros((NLh, Ex, E), dtype)},
+            "bias": jnp.zeros((NLh, E), dtype),  # shared output bias
+            "ln": {"scale": jnp.ones((NLh, E), jnp.float32),
+                   "bias": jnp.zeros((NLh, E), jnp.float32)},
+        }
+        layers = {"dense": take(layers, slice(0, None, 2)),
+                  "moe": {"attn": take(layers["attn"], slice(1, None, 2)),
+                          "mlp": moe_mlp}}
     out: Params = {"embeddings": emb, "layers": layers}
     if config.relative_attention_num_buckets:
         out["rel_bias"] = (jax.random.normal(
@@ -299,6 +329,16 @@ def _translate_nomic(sd: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
                     out[f"encoder.layer.{i}.attention.self.{name}.{leaf}"] \
                         = v[j * E3 // 3:(j + 1) * E3 // 3]
                 continue
+            if stem == "mlp.router.layer":
+                # nomic-v2-moe router (NomicRouter.layer, bias-free)
+                out[f"encoder.layer.{i}.moe.router.{leaf}"] = v
+                continue
+            if stem in ("mlp.experts.mlp", "mlp.experts"):
+                # NomicExpertMLP w1/w2 [E*I, D] and the shared output
+                # bias (NomicExperts.bias) — kept in HF layout; the
+                # restructure happens in _build_moe_layers
+                out[f"encoder.layer.{i}.moe.{leaf}"] = v
+                continue
             mapped = _NOMIC_LAYER_MAP.get(stem)
             if mapped is not None:
                 out[f"encoder.layer.{i}.{mapped}.{leaf}"] = v
@@ -468,6 +508,57 @@ def _translate_jina(sd: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
     return out
 
 
+def _build_moe_layers(sd: dict, config: BertConfig, layers: Params,
+                      stack_ln, dtype) -> Params:
+    """Split an HF-named layer stack into the (dense, moe) half-stacks
+    of the nomic-v2-moe interleave (init_params' MoE layout).
+
+    Expert tensors arrive in the HF NomicExpertMLP layout (translated
+    by _translate_nomic / gguf_io.read_gguf): per odd layer i,
+    ``encoder.layer.{i}.moe.router.weight`` [E, D],
+    ``encoder.layer.{i}.moe.w1`` / ``.w2`` [E*I, D] (w1 applied as
+    x @ w1_e.T, w2 as h @ w2_e — modeling_hf_nomic_bert NomicExpertMLP),
+    and optional shared ``encoder.layer.{i}.moe.bias`` [D].
+    """
+    NL = config.num_hidden_layers
+    if config.shared_layers or NL % 2 or config.moe_every_n_layers != 2:
+        raise ValueError("MoE models need an even, non-shared layer "
+                         "count with moe_every_n_layers=2")
+    moe_idx = list(range(1, NL, 2))
+    NLh, Ex = len(moe_idx), config.num_experts
+    router_w = jnp.asarray(np.stack([np.ascontiguousarray(
+        np.asarray(sd[f"encoder.layer.{i}.moe.router.weight"]).T)
+        for i in moe_idx]), jnp.float32)                    # [NLh, D, Ex]
+    w1 = np.stack([np.asarray(sd[f"encoder.layer.{i}.moe.w1"])
+                   for i in moe_idx])                       # [NLh, Ex*I, D]
+    w2 = np.stack([np.asarray(sd[f"encoder.layer.{i}.moe.w2"])
+                   for i in moe_idx])
+    D = w1.shape[-1]
+    I = w1.shape[1] // Ex
+    moe_mlp: Params = {
+        "router": {"w": router_w},
+        # our linear convention is [in, out]: up = w1_e.T, down = w2_e
+        "up": {"w": jnp.asarray(np.swapaxes(
+                   w1.reshape(NLh, Ex, I, D), -1, -2), dtype),
+               "b": jnp.zeros((NLh, Ex, I), dtype)},
+        "down": {"w": jnp.asarray(w2.reshape(NLh, Ex, I, D), dtype),
+                 "b": jnp.zeros((NLh, Ex, D), dtype)},
+        "ln": stack_ln("encoder.layer.{}.output.LayerNorm", moe_idx),
+    }
+    if f"encoder.layer.{moe_idx[0]}.moe.bias" in sd:
+        moe_mlp["bias"] = jnp.asarray(np.stack(
+            [np.asarray(sd[f"encoder.layer.{i}.moe.bias"])
+             for i in moe_idx]), dtype)
+
+    def take(t, s):
+        return jax.tree_util.tree_map(lambda a: a[s], t)
+
+    return {"dense": {"attn": take(layers["attn"], slice(0, None, 2)),
+                      "mlp": layers["mlp"]},
+            "moe": {"attn": take(layers["attn"], slice(1, None, 2)),
+                    "mlp": moe_mlp}}
+
+
 def from_hf_state_dict(sd: dict[str, np.ndarray], config: BertConfig,
                        dtype=jnp.float32) -> Params:
     """Map a HF BERT state dict to our pytree.
@@ -508,19 +599,24 @@ def from_hf_state_dict(sd: dict[str, np.ndarray], config: BertConfig,
         emb["proj"] = {"w": jnp.asarray(lin("embeddings.proj"), dtype),
                        "b": jnp.asarray(g("embeddings.proj.bias"), dtype)}
 
-    def stack_lin(fmt: str):
+    def stack_lin(fmt: str, idx=None):
+        idx = range(NL) if idx is None else idx
         w = jnp.asarray(np.stack([np.ascontiguousarray(
-            g(fmt.format(i) + ".weight").T) for i in range(NL)]), dtype)
+            g(fmt.format(i) + ".weight").T) for i in idx]), dtype)
         b = jnp.asarray(np.stack([g(fmt.format(i) + ".bias")
-                                  for i in range(NL)]), dtype)
+                                  for i in idx]), dtype)
         return {"w": w, "b": b}
 
-    def stack_ln(fmt: str):
+    def stack_ln(fmt: str, idx=None):
+        idx = range(NL) if idx is None else idx
         return {"scale": jnp.asarray(np.stack([g(fmt.format(i) + ".weight")
-                                               for i in range(NL)]), jnp.float32),
+                                               for i in idx]), jnp.float32),
                 "bias": jnp.asarray(np.stack([g(fmt.format(i) + ".bias")
-                                              for i in range(NL)]), jnp.float32)}
+                                              for i in idx]), jnp.float32)}
 
+    # MoE interleave (nomic-v2-moe): dense FFN tensors exist only at
+    # even layers; odd layers carry router/expert tensors instead
+    dense_idx = list(range(0, NL, 2)) if config.num_experts else None
     layers = {
         "attn": {
             "q": stack_lin("encoder.layer.{}.attention.self.query"),
@@ -530,15 +626,17 @@ def from_hf_state_dict(sd: dict[str, np.ndarray], config: BertConfig,
             "ln": stack_ln("encoder.layer.{}.attention.output.LayerNorm"),
         },
         "mlp": {
-            "up": stack_lin("encoder.layer.{}.intermediate.dense"),
-            "down": stack_lin("encoder.layer.{}.output.dense"),
-            "ln": stack_ln("encoder.layer.{}.output.LayerNorm"),
+            "up": stack_lin("encoder.layer.{}.intermediate.dense", dense_idx),
+            "down": stack_lin("encoder.layer.{}.output.dense", dense_idx),
+            "ln": stack_ln("encoder.layer.{}.output.LayerNorm", dense_idx),
         },
     }
     if "encoder.layer.0.intermediate.gate.weight" in sd:
         # nomic-bert gated MLP: down(act(gate(x)) * up(x))
         layers["mlp"]["gate"] = stack_lin(
-            "encoder.layer.{}.intermediate.gate")
+            "encoder.layer.{}.intermediate.gate", dense_idx)
+    if config.num_experts:
+        layers = _build_moe_layers(sd, config, layers, stack_ln, dtype)
     out: Params = {"embeddings": emb, "layers": layers}
     if "rel_bias" in sd:
         # MPNet shared relative-attention-bias table [buckets, heads];
@@ -738,6 +836,22 @@ def quantize_params(params: Params, kind: str, *,
                     if isinstance(v, dict) and "w" in v else v)
                 for k, v in d.items()}
 
+    if "dense" in params["layers"]:
+        # MoE interleave: attention + dense-half FFN quantize as usual;
+        # the router stays f32 (routing decisions are precision-
+        # sensitive and the weight is tiny) and the expert stacks stay
+        # dense in their load dtype (per-(layer, expert) 3-D stacks
+        # don't fit the stacked-2-D quantized-matmul kernel layout)
+        out["layers"] = {
+            "dense": {"attn": quantize_linears(
+                          params["layers"]["dense"]["attn"]),
+                      "mlp": quantize_linears(
+                          params["layers"]["dense"]["mlp"])},
+            "moe": {"attn": quantize_linears(
+                        params["layers"]["moe"]["attn"]),
+                    "mlp": params["layers"]["moe"]["mlp"]},
+        }
+        return out
     out["layers"] = {
         "attn": quantize_linears(params["layers"]["attn"]),
         "mlp": quantize_linears(params["layers"]["mlp"]),
@@ -759,7 +873,10 @@ def cast_params(params: Params, kind: str) -> Params:
             # dense weights (re-quantization path), not a silently
             # still-quantized tensor labeled f32
             x = dequantize(x)
-        if x.ndim >= 2 and "ln" not in name and "rel_bias" not in name:
+        if (x.ndim >= 2 and "ln" not in name and "rel_bias" not in name
+                and "router" not in name):
+            # router weights stay f32: routing decisions are precision-
+            # sensitive and route_topk computes logits in f32 anyway
             return x.astype(target)
         return x
 
@@ -773,6 +890,15 @@ def fuse_qkv(params: Params) -> Params:
     columns are laid out [q | k | v] (each E wide, heads contiguous) so
     the forward splits by contiguous column slice. Not used with tensor
     parallelism (the concat axis would shard across the q/k/v boundary)."""
+    if "dense" in params["layers"]:
+        # MoE interleave: fuse each half-stack's attention independently
+        out = dict(params)
+        out["layers"] = {
+            h: {**params["layers"][h],
+                "attn": fuse_qkv({"layers": params["layers"][h]}
+                                 )["layers"]["attn"]}
+            for h in ("dense", "moe")}
+        return out
     attn = params["layers"]["attn"]
     if "qkv" in attn:
         return params

@@ -110,28 +110,67 @@ def param_pspecs(params: Params, mesh: Mesh) -> Params:
     if "proj" in params["embeddings"]:
         # ALBERT factorized-embedding projection: small, replicated
         emb_specs["proj"] = {"w": rep2, "b": P(None)}
+    def stack_specs(lyr: Params) -> Params:
+        """Specs for one {attn, mlp} layer stack (the whole model, or
+        one half of the MoE (dense, moe) interleave)."""
+        s = {
+            "attn": {
+                "q": for_linear(lyr["attn"]["q"], col, P(None, MODEL_AXIS)),
+                "k": for_linear(lyr["attn"]["k"], col, P(None, MODEL_AXIS)),
+                "v": for_linear(lyr["attn"]["v"], col, P(None, MODEL_AXIS)),
+                "o": for_linear(lyr["attn"]["o"], row, rep1),
+                "ln": ln2,
+            },
+        }
+        if "router" in lyr["mlp"]:
+            # MoE FFN half: expert parallelism over MODEL_AXIS — the
+            # [NLh, Ex, ...] expert stacks shard on the EXPERT axis
+            # (each chip holds Ex/tp experts and computes their
+            # contributions for all tokens; one psum combines,
+            # bert._moe_half). Router/shared-bias/LN replicate. Falls
+            # back to replicated experts when Ex % tp != 0 — safe: the
+            # forward detects all-experts-local by shape and skips the
+            # psum.
+            m = lyr["mlp"]
+            # all-or-nothing across up/down (+biases): the forward
+            # infers the local expert count from up.w's shape, so a
+            # partially sharded expert stack would desync the scan
+            exp = P(None, MODEL_AXIS)
+            exp_ok = all(_divisible(a.shape, exp, mesh)
+                         for a in (m["up"]["w"], m["up"]["b"],
+                                   m["down"]["w"], m["down"]["b"]))
+            espec = exp if exp_ok else P()
+            s["mlp"] = {
+                "router": {"w": P(None, None, None)},
+                "up": {"w": espec, "b": espec},
+                "down": {"w": espec, "b": espec},
+                "ln": ln2,
+            }
+            if "bias" in m:
+                s["mlp"]["bias"] = rep1
+            return s
+        s["mlp"] = {
+            "up": for_linear(lyr["mlp"]["up"], col, P(None, MODEL_AXIS)),
+            "down": for_linear(lyr["mlp"]["down"], row, rep1),
+            "ln": ln2,
+        }
+        if "gate" in lyr["mlp"]:
+            # gated MLP (nomic-bert): gate is column-parallel like up —
+            # the elementwise act(gate)*up then happens shard-locally
+            s["mlp"]["gate"] = for_linear(lyr["mlp"]["gate"], col,
+                                          P(None, MODEL_AXIS))
+        return s
+
+    if "dense" in params["layers"]:
+        layer_specs: Params = {
+            "dense": stack_specs(params["layers"]["dense"]),
+            "moe": stack_specs(params["layers"]["moe"])}
+    else:
+        layer_specs = stack_specs(params["layers"])
     specs: Params = {
         "embeddings": emb_specs,
-        "layers": {
-            "attn": {
-                "q": for_linear(params["layers"]["attn"]["q"], col, P(None, MODEL_AXIS)),
-                "k": for_linear(params["layers"]["attn"]["k"], col, P(None, MODEL_AXIS)),
-                "v": for_linear(params["layers"]["attn"]["v"], col, P(None, MODEL_AXIS)),
-                "o": for_linear(params["layers"]["attn"]["o"], row, rep1),
-                "ln": ln2,
-            },
-            "mlp": {
-                "up": for_linear(params["layers"]["mlp"]["up"], col, P(None, MODEL_AXIS)),
-                "down": for_linear(params["layers"]["mlp"]["down"], row, rep1),
-                "ln": ln2,
-            },
-        },
+        "layers": layer_specs,
     }
-    if "gate" in params["layers"]["mlp"]:
-        # gated MLP (nomic-bert): gate is column-parallel like up — the
-        # elementwise act(gate)*up then happens shard-locally
-        specs["layers"]["mlp"]["gate"] = for_linear(
-            params["layers"]["mlp"]["gate"], col, P(None, MODEL_AXIS))
     if "rel_bias" in params:
         # MPNet relative-bias table [buckets, H]: head axis follows the
         # column-parallel q/k/v head split so each shard biases exactly
@@ -177,17 +216,28 @@ def adapt_packed_params(params: Params, mesh: Mesh) -> Params:
 
     if tp <= 1:
         return params
+
+    def adapt_stack(layers: Params) -> Params:
+        out = dict(layers)
+        for grp, name in (("attn", "o"), ("mlp", "down")):
+            if name not in out.get(grp, {}):
+                continue  # MoE half: mlp has router/experts, no "down"
+            node = dict(out[grp])
+            lin = dict(node[name])
+            w = lin["w"]
+            if (isinstance(w, QuantizedTensor) and w.packed
+                    and w.block_axis == -2 and not shardable_packed(w)):
+                lin["w"] = unpack_one(w)
+                node[name] = lin
+                out[grp] = node
+        return out
+
     out = dict(params)
-    out["layers"] = dict(params["layers"])
-    for grp, name in (("attn", "o"), ("mlp", "down")):
-        node = dict(out["layers"][grp])
-        lin = dict(node[name])
-        w = lin["w"]
-        if (isinstance(w, QuantizedTensor) and w.packed
-                and w.block_axis == -2 and not shardable_packed(w)):
-            lin["w"] = unpack_one(w)
-            node[name] = lin
-            out["layers"][grp] = node
+    if "dense" in params["layers"]:
+        out["layers"] = {h: adapt_stack(params["layers"][h])
+                         for h in ("dense", "moe")}
+    else:
+        out["layers"] = adapt_stack(params["layers"])
     return out
 
 
@@ -210,28 +260,36 @@ def shard_params(params: Params, config: BertConfig, mesh: Mesh) -> Params:
 def _check_tp_shardable(pspecs: Params, tp: int) -> None:
     """Every matmul weight must really be TP-sharded: a replication
     fallback (non-divisible dim) would make the shard_map psum
-    over-count by tp. Fail loudly instead."""
+    over-count by tp. Fail loudly instead. (MoE expert stacks are
+    exempt: their replication fallback is SAFE — the forward detects
+    all-experts-local by shape and emits no psum.)"""
     def _has_model_axis(spec) -> bool:
         return any(ax == MODEL_AXIS for ax in spec if ax)
-    checks = [(("attn", "q"), "attn.q"),
-              (("attn", "k"), "attn.k"),
-              (("attn", "v"), "attn.v"),
-              (("attn", "o"), "attn.o"),
-              (("mlp", "up"), "mlp.up"),
-              (("mlp", "down"), "mlp.down")]
-    if "gate" in pspecs["layers"]["mlp"]:
-        checks.append((("mlp", "gate"), "mlp.gate"))
-    for path, name in checks:
-        node = pspecs["layers"]
-        for k in path:
-            node = node[k]
-        w = node["w"]
-        spec = w.codes if isinstance(w, QuantizedTensor) else w
-        if not _has_model_axis(spec):
-            raise ValueError(
-                f"tp={tp} cannot shard {name} for this model "
-                f"(dimension not divisible); lower tp or use "
-                f"spmd='gspmd'")
+
+    stacks = ([("", pspecs["layers"])] if "attn" in pspecs["layers"]
+              else [("dense.", pspecs["layers"]["dense"]),
+                    ("moe.", pspecs["layers"]["moe"])])
+    for prefix, node in stacks:
+        checks = [(("attn", "q"), "attn.q"),
+                  (("attn", "k"), "attn.k"),
+                  (("attn", "v"), "attn.v"),
+                  (("attn", "o"), "attn.o")]
+        if "router" not in node["mlp"]:
+            checks += [(("mlp", "up"), "mlp.up"),
+                       (("mlp", "down"), "mlp.down")]
+            if "gate" in node["mlp"]:
+                checks.append((("mlp", "gate"), "mlp.gate"))
+        for path, name in checks:
+            w = node
+            for k in path:
+                w = w[k]
+            w = w["w"]
+            spec = w.codes if isinstance(w, QuantizedTensor) else w
+            if not _has_model_axis(spec):
+                raise ValueError(
+                    f"tp={tp} cannot shard {prefix}{name} for this "
+                    f"model (dimension not divisible); lower tp or "
+                    f"use spmd='gspmd'")
 
 
 def make_sharded_forward(config: BertConfig, mesh: Mesh, *,

@@ -485,8 +485,8 @@ def load_model(path: str | Path, *, dtype: str = "f32",
         # not a [CLS]/<s> wrap
         tokenizer.special_style = "eos_only"
     from ..ops.quant import QuantizedTensor
-    already_quant = isinstance(params["layers"]["mlp"]["up"]["w"],
-                               QuantizedTensor)
+    _mlp = params["layers"].get("dense", params["layers"])["mlp"]
+    already_quant = isinstance(_mlp["up"]["w"], QuantizedTensor)
     if dtype != "f32" and not already_quant:
         params = P.quantize_params(params, dtype)
     from ..ops.quant import PACK4_KINDS
