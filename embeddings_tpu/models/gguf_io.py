@@ -857,25 +857,68 @@ def _j(x: np.ndarray):
     return jnp.asarray(np.ascontiguousarray(x))
 
 
-def load_gguf_model(path: str | Path):
-    """.gguf -> (params pytree, BertConfig, WordPieceTokenizer)."""
-    import dataclasses
-    from ..tokenizer import WordPieceTokenizer, WordPieceVocab
-    from .ggml_io import build_params_from_sd
-    sd, config, meta = read_gguf(path, dequant=False)
+def _tokenizer_from_gguf(meta: dict):
+    """Build the right tokenizer for a GGUF's tokenizer.ggml.model:
+
+    - "bert" (or absent): WordPiece — BERT/MiniLM/BGE files
+    - "t5": sentencepiece Unigram — XLM-R-voc files (multilingual-e5,
+      bge-m3, nomic-embed-text-v2-moe); the exact Precompiled charsmap
+      normalizer is applied when the file carries one
+    - "gpt2": byte-level BPE — RoBERTa/jina/Qwen2-voc files, with the
+      pre-tokenizer regex picked from tokenizer.ggml.pre
+    """
+    model = meta.get("tokenizer.ggml.model", "bert")
     tokens = meta.get("tokenizer.ggml.tokens")
     if not tokens:
         raise ValueError("GGUF file has no tokenizer.ggml.tokens")
-    tok = WordPieceTokenizer(WordPieceVocab.from_tokens(tokens))
+    if model in ("t5", "unigram"):
+        from ..tokenizer.unigram import UnigramTokenizer, _parse_charsmap
+        scores = meta.get("tokenizer.ggml.scores") or [0.0] * len(tokens)
+        unk = int(meta.get("tokenizer.ggml.unknown_token_id", 0))
+        norm = "nfkc"
+        blob = meta.get("tokenizer.ggml.precompiled_charsmap")
+        if blob:
+            if not isinstance(blob, (bytes, bytearray)):
+                blob = bytes(int(b) & 0xFF for b in blob)
+            op = _parse_charsmap(bytes(blob), "gguf")
+            if op is not None:
+                norm = [op]
+        return UnigramTokenizer(
+            list(zip(tokens, (float(s) for s in scores))), unk_id=unk,
+            normalizer=norm)
+    if model == "gpt2":
+        from ..tokenizer.bpe import (_GPT2_PATTERN, _QWEN2_PATTERN,
+                                     ByteLevelBPETokenizer)
+        merges = [tuple(m.split(" ", 1))
+                  for m in meta.get("tokenizer.ggml.merges", [])]
+        pre = meta.get("tokenizer.ggml.pre", "gpt-2")
+        pattern = _QWEN2_PATTERN if "qwen" in pre else _GPT2_PATTERN
+        return ByteLevelBPETokenizer(
+            {t: i for i, t in enumerate(tokens)}, merges, pattern=pattern)
+    if model not in ("bert", "wordpiece"):
+        raise ValueError(f"unsupported tokenizer.ggml.model {model!r} "
+                         f"(supported: bert, t5, gpt2)")
+    from ..tokenizer import WordPieceTokenizer, WordPieceVocab
+    return WordPieceTokenizer(WordPieceVocab.from_tokens(tokens))
+
+
+def load_gguf_model(path: str | Path):
+    """.gguf -> (params pytree, BertConfig, tokenizer)."""
+    import dataclasses
+    from .ggml_io import build_params_from_sd
+    sd, config, meta = read_gguf(path, dequant=False)
+    tok = _tokenizer_from_gguf(meta)
     ids = {}
     for key, field in (("unknown_token_id", "unk_token_id"),
                        ("padding_token_id", "pad_token_id"),
                        ("cls_token_id", "cls_token_id"),
+                       ("bos_token_id", "cls_token_id"),
                        ("seperator_token_id", "sep_token_id"),
-                       ("separator_token_id", "sep_token_id")):
+                       ("separator_token_id", "sep_token_id"),
+                       ("eos_token_id", "sep_token_id")):
         v = meta.get(f"tokenizer.ggml.{key}")
         if v is not None:
-            ids[field] = int(v)
+            ids.setdefault(field, int(v))
     config = dataclasses.replace(config, **ids)
     params = build_params_from_sd(sd, config)
     return params, config, tok

@@ -156,6 +156,9 @@ def moe_ffn_ragged(x: jax.Array, moe: Params, *, top_k: int, act: str,
     to f32 summation order.
     """
     T, D = x.shape
+    # jnp-coerce once: raw-numpy params indexed by traced gather indices
+    # (up_b[es] under lax.map / jit) would hit TracerArrayConversionError
+    moe = jax.tree_util.tree_map(jnp.asarray, moe)
     E = moe["router"]["w"].shape[-1]
     probs = _route_probs(x, moe["router"]["w"], moe["router"].get("b"))
     top_w, top_e = lax.top_k(probs, top_k)              # [T, k]
@@ -168,18 +171,9 @@ def moe_ffn_ragged(x: jax.Array, moe: Params, *, top_k: int, act: str,
     order = jnp.argsort(flat_e, stable=True)            # group by expert
     e_sorted = flat_e[order]
     t_sorted = flat_t[order]
-    group_sizes = jnp.bincount(e_sorted, length=E).astype(jnp.int32)
 
     xs = x[t_sorted]                                    # [T*k, D]
-    h = lax.ragged_dot(xs, moe["up"]["w"].astype(x.dtype), group_sizes)
-    h = h + moe["up"]["b"].astype(h.dtype)[e_sorted]
-    if act == "silu":
-        h = jax.nn.silu(h)
-    elif act == "relu":
-        h = jax.nn.relu(h)
-    else:
-        h = jax.nn.gelu(h, approximate=(act == "gelu_tanh"))
-    y = lax.ragged_dot(h, moe["down"]["w"].astype(x.dtype), group_sizes)
+    y = _ragged_mlp(xs, e_sorted, moe, act, x.dtype)
     y = y.astype(jnp.float32) + moe["down"]["b"].astype(jnp.float32)[
         e_sorted]
     y = y * flat_w[order][:, None]
@@ -187,3 +181,48 @@ def moe_ffn_ragged(x: jax.Array, moe: Params, *, top_k: int, act: str,
     if "bias" in moe:
         out = out + moe["bias"].astype(jnp.float32)
     return out.astype(x.dtype)
+
+
+# Max rows per ragged_dot call: Mosaic's ragged-dot tiling heuristic
+# scales the row tile with the operand and blows the v5e scoped-VMEM
+# budget past ~64k rows (tile 4096x768 lhs + 4096x512 out, double-
+# buffered > 16 MB). Chunking keeps every call inside the envelope; the
+# rows stay globally expert-sorted, so per-chunk group_sizes are just
+# the chunk's expert histogram.
+_RAGGED_CHUNK_ROWS = 16384
+
+
+def _ragged_mlp(xs: jax.Array, e_sorted: jax.Array, moe: Params,
+                act: str, dtype) -> jax.Array:
+    """act(ragged_dot(xs, up) + up_b[e]) -> ragged_dot(., down) over
+    expert-sorted rows, chunked to _RAGGED_CHUNK_ROWS per call."""
+    E = moe["router"]["w"].shape[-1]
+    up_w = moe["up"]["w"].astype(dtype)
+    up_b = moe["up"]["b"]
+    down_w = moe["down"]["w"].astype(dtype)
+
+    def run(rows, es):
+        gs = jnp.bincount(es, length=E).astype(jnp.int32)
+        h = lax.ragged_dot(rows, up_w, gs)
+        h = h + up_b.astype(h.dtype)[es]
+        if act == "silu":
+            h = jax.nn.silu(h)
+        elif act == "relu":
+            h = jax.nn.relu(h)
+        else:
+            h = jax.nn.gelu(h, approximate=(act == "gelu_tanh"))
+        return lax.ragged_dot(h, down_w, gs)
+
+    rows = xs.shape[0]
+    if rows <= _RAGGED_CHUNK_ROWS:
+        return run(xs, e_sorted)
+    R = _RAGGED_CHUNK_ROWS
+    C = -(-rows // R)
+    pad = C * R - rows
+    # pad rows to a whole number of chunks; padding experts are E-1 so
+    # the (globally sorted) order survives the split
+    xs_p = jnp.pad(xs, ((0, pad), (0, 0)))
+    es_p = jnp.pad(e_sorted, (0, pad), constant_values=E - 1)
+    y = lax.map(lambda t: run(*t),
+                (xs_p.reshape(C, R, -1), es_p.reshape(C, R)))
+    return y.reshape(C * R, -1)[:rows]

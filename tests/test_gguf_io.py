@@ -801,3 +801,80 @@ def test_reranker_gguf_head_loads(tmp_path, small_vocab):
                     small_vocab[:V])
     eng2 = load_model(path2)
     assert "cls_head" not in eng2.params
+
+
+# ---------------------------------------------------------------------------
+# tokenizer.ggml.model dispatch (llama.cpp writes "bert" for WordPiece
+# files, "t5" for sentencepiece-Unigram vocabs — multilingual-e5 /
+# bge-m3 / nomic-v2-moe — and "gpt2" for byte-level-BPE vocabs)
+# ---------------------------------------------------------------------------
+
+def test_gguf_tokenizer_unigram_dispatch():
+    from embeddings_tpu.models.gguf_io import _tokenizer_from_gguf
+    from embeddings_tpu.tokenizer.unigram import UnigramTokenizer
+
+    pieces = ["<s>", "<pad>", "</s>", "<unk>", "▁hello", "▁world",
+              "▁he", "llo", "wor", "ld", "▁", "h", "e", "l", "o",
+              "w", "r", "d", "▁again"]
+    scores = [0.0, 0.0, 0.0, 0.0, -2.0, -2.1, -3.0, -3.1, -3.2, -3.3,
+              -1.0, -5.0, -5.0, -5.0, -5.0, -5.0, -5.0, -5.0, -2.5]
+    meta = {"tokenizer.ggml.model": "t5",
+            "tokenizer.ggml.tokens": pieces,
+            "tokenizer.ggml.scores": scores,
+            "tokenizer.ggml.unknown_token_id": 3}
+    tok = _tokenizer_from_gguf(meta)
+    ref = UnigramTokenizer(list(zip(pieces, scores)), unk_id=3)
+    assert isinstance(tok, UnigramTokenizer)
+    for text in ("hello world", "hello again", "held", "", "xyz"):
+        assert tok.encode(text) == ref.encode(text), text
+
+
+def test_gguf_tokenizer_gpt2_dispatch():
+    from embeddings_tpu.models.gguf_io import _tokenizer_from_gguf
+    from embeddings_tpu.tokenizer.bpe import ByteLevelBPETokenizer
+
+    # byte-level alphabet + a few merges (ByteLevel maps ' '->'Ġ')
+    base = ["<s>", "<pad>", "</s>", "<unk>"]
+    alphabet = [chr(c) for c in range(33, 127)] + ["Ġ"]
+    vocab_list = base + alphabet + ["he", "ll", "llo", "hello", "Ġw",
+                                    "Ġwo", "Ġworld"]
+    merges = ["h e", "l l", "ll o", "he llo", "Ġ w", "Ġw o"]
+    meta = {"tokenizer.ggml.model": "gpt2",
+            "tokenizer.ggml.tokens": vocab_list,
+            "tokenizer.ggml.merges": merges,
+            "tokenizer.ggml.pre": "gpt-2"}
+    tok = _tokenizer_from_gguf(meta)
+    ref = ByteLevelBPETokenizer({t: i for i, t in enumerate(vocab_list)},
+                                [tuple(m.split(" ")) for m in merges])
+    assert isinstance(tok, ByteLevelBPETokenizer)
+    for text in ("hello world", "hello", "wow", ""):
+        assert tok.encode(text) == ref.encode(text), text
+
+
+def test_gguf_tokenizer_unknown_model_refused():
+    import pytest as _pytest
+    from embeddings_tpu.models.gguf_io import _tokenizer_from_gguf
+    with _pytest.raises(ValueError, match="tokenizer.ggml.model"):
+        _tokenizer_from_gguf({"tokenizer.ggml.model": "rwkv",
+                              "tokenizer.ggml.tokens": ["a"]})
+
+
+def test_gguf_tokenizer_unigram_with_charsmap():
+    """A unigram GGUF carrying tokenizer.ggml.precompiled_charsmap (as
+    the u8 array llama.cpp writes) applies the exact charsmap
+    normalizer before segmentation."""
+    from embeddings_tpu.models.gguf_io import _tokenizer_from_gguf
+    from .test_charsmap import build_charsmap
+
+    pieces = ["<s>", "<pad>", "</s>", "<unk>", "▁fi", "ne", "▁x"]
+    scores = [0.0, 0.0, 0.0, 0.0, -1.0, -1.5, -2.0]
+    blob = build_charsmap({"ﬁ": "fi"})
+    meta = {"tokenizer.ggml.model": "t5",
+            "tokenizer.ggml.tokens": pieces,
+            "tokenizer.ggml.scores": scores,
+            "tokenizer.ggml.unknown_token_id": 3,
+            "tokenizer.ggml.precompiled_charsmap": list(blob)}
+    tok = _tokenizer_from_gguf(meta)
+    # the ligature folds via the charsmap, then segments normally
+    assert tok.encode("ﬁne") == tok.encode("fine")
+    assert tok.encode("fine")[1:-1] == [4, 5]  # ▁fi + ne
