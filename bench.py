@@ -2,6 +2,13 @@
 
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 
+The headline runs the int8-MXU compute mode (EngineConfig.int8_compute:
+s8xs8->s32 dots at 2x the bf16 MXU rate, weights still stored q4_0 —
+ops/qmatmul.py); the bf16-compute number is reported alongside as
+"bf16_value". Quality: ΔSpearman(q4_0-int8 vs f32) = 0.0003 on the
+trained-checkpoint STSB gate — identical to plain q4_0
+(benchmarks/run_stsb_local.py --modes q4_0-int8).
+
 Baseline: the reference's best published throughput proxy is the MTEB
 STSBenchmark eval at q4_0 batched — 18.78 s for the full test split
 (BASELINE.md; README.md:173). STSB test = 1379 pairs = 2758 sentences
@@ -39,19 +46,28 @@ def main() -> None:
     ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, L)), jnp.int32)
     mask = jnp.ones((B, L), jnp.int32)
 
-    def step(ids_c, mask):
-        # ids_c is the timing carry: the forward must consume it so XLA
-        # cannot hoist the loop-invariant computation.
-        return bert.encode_tokens(params, cfg, ids_c, mask,
-                                  compute_dtype="bfloat16")
+    from embeddings_tpu.ops.linear import int8_mode
 
-    us = device_time_us(step, (ids, mask), lo=5, hi=20, reps=3)
-    sent_per_s = B / (us * 1e-6)
+    def make_step(i8):
+        def step(ids_c, mask):
+            # ids_c is the timing carry: the forward must consume it so
+            # XLA cannot hoist the loop-invariant computation.
+            with int8_mode(i8):
+                return bert.encode_tokens(params, cfg, ids_c, mask,
+                                          compute_dtype="bfloat16")
+        return step
+
+    us_bf = device_time_us(make_step(False), (ids, mask), lo=5, hi=20,
+                           reps=3)
+    us_i8 = device_time_us(make_step(True), (ids, mask), lo=5, hi=20,
+                           reps=3)
+    sent_per_s = B / (us_i8 * 1e-6)
     print(json.dumps({
-        "metric": "sentences/sec/chip bge-base q4_0 seq256 batch128",
+        "metric": "sentences/sec/chip bge-base q4_0+int8 seq256 batch128",
         "value": round(sent_per_s, 1),
         "unit": "sentences/s",
         "vs_baseline": round(sent_per_s / BASELINE_SENT_PER_S, 2),
+        "bf16_value": round(B / (us_bf * 1e-6), 1),
     }))
 
 

@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""int8-MXU compute mode on-chip: device time + numerics of the fused
+dequant-matmul kernel with int8_compute=True vs the bf16 path, at the
+bge-base production shapes (the roofline.py set).
+
+The mode requantizes weight tiles to per-column int8 in VMEM and
+activations to per-row int8 on the fly, running the MXU dot at the
+s8xs8->s32 rate (2x bf16 on v5e; ops/qmatmul.py). Run on the TPU:
+python benchmarks/int8_compute.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+
+# production matmul shapes for bge-base at B=128, L=256 (M=32768):
+# qkv (fused), attn-out + residual-LN, ffn-up + gelu, ffn-down + res-LN
+CASES = [
+    ("qkv_proj", 32768, 768, 2304, "bias", 256),
+    ("attn_out+res_ln", 32768, 768, 768, "bias_residual_ln", 512),
+    ("ffn_up+gelu", 32768, 768, 3072, "bias_gelu", 256),
+    ("ffn_down+res_ln", 32768, 3072, 768, "bias_residual_ln", 128),
+]
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+    from embeddings_tpu.ops.qmatmul import qmatmul
+    from embeddings_tpu.ops.quant import quantize
+    from embeddings_tpu.utils.benchmarking import device_time_us
+
+    rng = np.random.default_rng(0)
+    results = {"device": str(jax.devices()[0]), "cases": []}
+    tot_bf, tot_i8 = 0.0, 0.0
+    for name, M, K, N, epi, bm in CASES:
+        w = np.asarray(rng.standard_normal((K, N)) * 0.05, np.float32)
+        qt = quantize(w, "q4_0", pack4=True)
+        x = jnp.asarray(rng.standard_normal((M, K)), jnp.bfloat16)
+        b = jnp.asarray(rng.standard_normal(N) * 0.1, jnp.float32)
+        kw = dict(kind="q4_0", bm=bm, packed=True)
+        if epi == "bias_residual_ln":
+            kw.update(epilogue=epi,
+                      residual=jnp.asarray(
+                          rng.standard_normal((M, N)), jnp.bfloat16),
+                      ln_scale=jnp.ones(N, jnp.float32),
+                      ln_bias=jnp.zeros(N, jnp.float32))
+        elif epi != "bias":
+            kw.update(epilogue=epi)
+
+        def run(i8):
+            return qmatmul(x, qt.codes, qt.scales, qt.mins, b,
+                           int8_compute=i8, **kw)
+
+        o_bf = np.asarray(run(False), np.float32)
+        o_i8 = np.asarray(run(True), np.float32)
+        na = o_bf / np.maximum(
+            np.linalg.norm(o_bf, axis=-1, keepdims=True), 1e-9)
+        nb = o_i8 / np.maximum(
+            np.linalg.norm(o_i8, axis=-1, keepdims=True), 1e-9)
+        cos = float((na * nb).sum(-1).min())
+
+        t_bf = device_time_us(
+            lambda xx: qmatmul(xx, qt.codes, qt.scales, qt.mins, b,
+                               int8_compute=False, **kw), (x,), lo=5, hi=25)
+        t_i8 = device_time_us(
+            lambda xx: qmatmul(xx, qt.codes, qt.scales, qt.mins, b,
+                               int8_compute=True, **kw), (x,), lo=5, hi=25)
+        tot_bf += t_bf
+        tot_i8 += t_i8
+        tfs = 2 * M * K * N / (t_i8 * 1e-6) / 1e12
+        row = {"matmul": name, "M": M, "K": K, "N": N, "epilogue": epi,
+               "bf16_us": round(t_bf, 1), "int8_us": round(t_i8, 1),
+               "speedup": round(t_bf / t_i8, 3),
+               "int8_tfs": round(tfs, 1), "min_cos": round(cos, 6)}
+        results["cases"].append(row)
+        print(json.dumps(row))
+
+    results["total_speedup"] = round(tot_bf / tot_i8, 3)
+    Path(__file__).parent.joinpath("results", "int8_compute.json") \
+        .write_text(json.dumps(results, indent=1))
+    print(json.dumps({"total_speedup": results["total_speedup"]}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -45,7 +45,7 @@ if os.environ.get("JAX_PLATFORMS"):
     jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 MODES = ["f32", "f16", "q4_0", "q4_0-batchless", "q4_0-packed", "q4_1",
-         "q8_0"]
+         "q8_0", "q4_0-int8"]
 BUDGET = 0.003  # 0.3 points, BASELINE.md
 
 
@@ -111,7 +111,13 @@ def evaluate_mode(model_path: str, mode: str, s1, s2, gold,
         return _score(a, b, gold, time.time() - t0)
     from embeddings_tpu.runtime.engine import load_model
     dtype = mode.split("-")[0]
-    engine = load_model(model_path, dtype=dtype)
+    ec = None
+    if mode.endswith("-int8"):
+        # int8 MXU compute on top of the weight dtype (EngineConfig
+        # .int8_compute; XLA-emulated off-TPU with the same arithmetic)
+        from embeddings_tpu.config import EngineConfig
+        ec = EngineConfig(int8_compute=True)
+    engine = load_model(model_path, dtype=dtype, engine_config=ec)
     t0 = time.time()
     if mode.endswith("-packed"):
         a = engine.encode_batch_packed(s1)

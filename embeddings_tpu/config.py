@@ -341,6 +341,12 @@ class EngineConfig:
     compute_dtype: str | None = None
     mask_value: float = -1e9  # additive mask for pad positions (ref uses -1e5·…)
     use_pallas: str = "auto"  # "auto" | "always" | "never"
+    # int8 MXU compute for quantized matmuls: weights requantize in VMEM
+    # to per-column int8, activations quantize per-row on the fly, the
+    # dot runs s8xs8->s32 at 2x the bf16 MXU rate (v5e). Storage/HBM
+    # format unchanged (q4 stays 4-bit). Adds ~2^-7-relative error on
+    # top of the weight quantization — gate with the STSB evaluator.
+    int8_compute: bool = False
     # max device batches dispatched ahead of result read-back: keeps the
     # host/device pipeline full while bounding live output buffers (a
     # retrieval-scale encode holds O(inflight) buffers, not O(corpus))

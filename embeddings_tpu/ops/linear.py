@@ -25,12 +25,37 @@ from . import qmatmul as _qmm
 # XLA fallback (useful for debugging); "always" forces Pallas (interpret mode
 # on CPU).
 _PALLAS_MODE = "auto"
+# int8 MXU compute mode for quantized matmuls (s8xs8->s32 at 2x the bf16
+# rate on v5e): off by default; scoped on via int8_mode(True) — the engine
+# sets it from EngineConfig.int8_compute at trace time.
+_INT8_MODE = False
 
 
 def set_pallas_mode(mode: str) -> None:
     global _PALLAS_MODE
     assert mode in ("auto", "always", "never")
     _PALLAS_MODE = mode
+
+
+def set_int8_mode(on: bool) -> None:
+    global _INT8_MODE
+    _INT8_MODE = bool(on)
+
+
+@contextlib.contextmanager
+def int8_mode(on: bool):
+    """Scoped int8-MXU-compute override (trace-time, like pallas_mode)."""
+    global _INT8_MODE
+    prev = _INT8_MODE
+    _INT8_MODE = bool(on)
+    try:
+        yield
+    finally:
+        _INT8_MODE = prev
+
+
+def _use_int8() -> bool:
+    return _INT8_MODE
 
 
 @contextlib.contextmanager
@@ -55,6 +80,25 @@ def _use_pallas() -> bool:
     if _PALLAS_MODE == "always":
         return True
     return jax.default_backend() not in ("cpu",)
+
+
+def _int8_emulated_dot(x2d: jax.Array, wd: jax.Array) -> jax.Array:
+    """XLA emulation of the kernel's int8 MXU mode (same numerics, no
+    fusion): per-column-symmetric int8 weights on top of the dequantized
+    values (staged through bf16 like the kernel's VMEM scratch), per-row
+    dynamic int8 activations, s8xs8->s32 dot, rank-1 rescale. Keeps CPU
+    tests and the quality evaluators on the int8 arithmetic the TPU
+    kernel runs."""
+    wd = wd.astype(jnp.bfloat16).astype(jnp.float32)
+    cs = jnp.maximum(jnp.max(jnp.abs(wd), axis=0, keepdims=True),
+                     1e-12) * (1.0 / 127.0)
+    w8 = jnp.round(wd / cs).astype(jnp.int8)
+    xf = x2d.astype(jnp.float32)
+    sx = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True),
+                     1e-12) * (1.0 / 127.0)
+    q = jnp.round(xf / sx).astype(jnp.int8)
+    acc = jnp.dot(q, w8, preferred_element_type=jnp.int32)
+    return acc.astype(jnp.float32) * sx * cs
 
 
 def _pad_dim(x: jax.Array, axis: int, multiple: int) -> jax.Array:
@@ -82,12 +126,16 @@ def quantized_matmul(x2d: jax.Array, w: QuantizedTensor,
         # the fusion); bias still runs fused, relu applies after
         epi = {None: None, "relu": None, "gelu": "bias_gelu",
                "gelu_tanh": "bias_gelu_tanh", "silu": "bias_silu"}[act]
+        i8 = _use_int8() and _qmm.pallas_fits(K, N, bm, w.packed, int8=True)
         out = _qmm.qmatmul(xp, w.codes, w.scales, w.mins, b, kind=w.kind,
                            epilogue=epi, bm=bm, packed=w.packed,
-                           interpret=interpret)
+                           int8_compute=i8, interpret=interpret)
         out = out[:M]
         return jnp.maximum(out, 0) if act == "relu" else out
-    y = jnp.dot(x2d, dequantize(w), preferred_element_type=jnp.float32)
+    if _use_int8():
+        y = _int8_emulated_dot(x2d, dequantize(w))
+    else:
+        y = jnp.dot(x2d, dequantize(w), preferred_element_type=jnp.float32)
     if b is not None:
         y = y + b
     if act == "silu":
@@ -125,11 +173,15 @@ def linear_residual_ln(x: jax.Array, w, b, residual: jax.Array,
             if bm <= M + 8 and _qmm.residual_ln_fits(K, N, bm, w.packed):
                 xp = _pad_dim(x2d, 0, bm)
                 rp = _pad_dim(residual.reshape(-1, N).astype(x.dtype), 0, bm)
+                i8 = (_use_int8()
+                      and _qmm.residual_ln_fits(K, N, bm, w.packed,
+                                                int8=True))
                 out = _qmm.qmatmul(
                     xp, w.codes, w.scales, w.mins, b, kind=w.kind,
                     epilogue="bias_residual_ln", residual=rp,
                     ln_scale=ln_scale, ln_bias=ln_bias, ln_eps=eps,
-                    bm=bm, packed=w.packed, interpret=interpret)
+                    bm=bm, packed=w.packed, int8_compute=i8,
+                    interpret=interpret)
                 return out[:M].reshape(*lead, N).astype(x.dtype)
     y = linear(x, w, b)
     return layer_norm(residual + y, ln_scale, ln_bias, eps)

@@ -40,13 +40,16 @@ _DEQ_CHUNK = 512
 
 
 def _pick_bn(K: int, N: int, bm: int, requested: int | None,
-             with_residual: bool = False, packed: bool = False) -> int:
+             with_residual: bool = False, packed: bool = False,
+             int8: bool = False) -> int:
     """Largest bn (multiple of 128, divisor of N) fitting the VMEM budget.
 
     Accounts for: x tile (bm*K bf16, double-buffered), codes tile
     (K*bn int8, double-buffered), dequant scratch (K*bn bf16), scales+mins
     tiles (2 * K/32 * bn f32, double-buffered), out tile (bm*bn f32,
-    double-buffered), and the residual tile when the LN epilogue is on.
+    double-buffered), the residual tile when the LN epilogue is on, and
+    the int8-mode extras (requantized weight tile K*bn int8 + per-column
+    scale row).
 
     When N has no 128-multiple divisor (tensor-parallel shards like
     N=2304/4=576, or tiny test models), falls back to bn == N — Mosaic
@@ -57,6 +60,8 @@ def _pick_bn(K: int, N: int, bm: int, requested: int | None,
     per_bn = codes_bytes * 2 + K * 2 + 2 * (K // QK) * 4 * 2 + bm * 4 * 2
     if with_residual:
         per_bn += bm * 2 * 2
+    if int8:
+        per_bn += K + 8  # w8 scratch + cs row
     cap = max((_VMEM_BUDGET - fixed) // per_bn, 0)
     bn = min(N, requested or cap, cap)
     bn -= bn % 128
@@ -67,11 +72,13 @@ def _pick_bn(K: int, N: int, bm: int, requested: int | None,
     return N if N <= cap else 0
 
 
-def pallas_fits(K: int, N: int, bm: int = 256, packed: bool = False) -> bool:
+def pallas_fits(K: int, N: int, bm: int = 256, packed: bool = False,
+                int8: bool = False) -> bool:
     """Can the Pallas kernel tile this weight shape at all?"""
     if packed and K % 64 != 0:
         return False
-    return K % QK == 0 and _pick_bn(K, N, bm, None, packed=packed) > 0
+    return K % QK == 0 and _pick_bn(K, N, bm, None, packed=packed,
+                                    int8=int8) > 0
 
 
 def _fit(size: int, pref: int, step: int) -> int:
@@ -105,9 +112,20 @@ def _nf4_decode(u, compute_dtype):
 
 def _qmm_kernel(x_ref, c_ref, s_ref, m_ref, b_ref, o_ref, w_ref, *,
                 kind: str, compute_dtype, epilogue: str, packed: bool,
-                res_ref=None, lns_ref=None, lnb_ref=None, ln_eps=0.0):
+                res_ref=None, lns_ref=None, lnb_ref=None, ln_eps=0.0,
+                w8_ref=None, cs_ref=None):
     """Grid (N/bn, M/bm), M innermost. w_ref: [K, bn] dequant scratch.
     packed: c_ref is uint8 [K/2, bn] in the group-64 nibble layout.
+
+    int8 MXU mode (w8_ref/cs_ref set): the dequantized weight tile is
+    requantized ONCE per N-tile to per-column-symmetric int8 (scale =
+    colmax/127, stored in cs_ref), and each x tile is quantized to
+    per-ROW int8 on the fly (the full K row is in VMEM, so the row
+    absmax is local) — the MXU then runs s8xs8->s32 at 2x the bf16
+    rate (v5e: 394 vs 197 TOPS), with the two scale vectors applied to
+    the f32 accumulator as a rank-1 outer product. Weight HBM traffic
+    stays at the 4-bit footprint; quantization work amortizes exactly
+    like the dequant (weights once per N-tile, x rows once per M-tile).
 
     q4_1 mins are added into the dequant scratch (one VPU add per
     N-tile, amortized over M/bm grid steps — measured FREE at
@@ -186,8 +204,38 @@ def _qmm_kernel(x_ref, c_ref, s_ref, m_ref, b_ref, o_ref, w_ref, *,
                     w = w + m_ref[b:b + 1, :].astype(compute_dtype)
                 w_ref[sl, :] = w
 
-    acc = jnp.dot(x_ref[:].astype(compute_dtype), w_ref[:],
-                  preferred_element_type=jnp.float32)
+    if w8_ref is not None:
+        K = w_ref.shape[0]
+
+        @pl.when(i == 0)
+        def _():
+            # requantize the dequantized tile to per-column int8, in
+            # K-chunks (a full [K, bn] f32 temp would blow the Mosaic
+            # stack at FFN shapes, same reason the dequant chunks)
+            step = min(K, _DEQ_CHUNK)
+            while K % step:
+                step -= QK
+            for c in range(0, K, step):
+                m = jnp.max(jnp.abs(w_ref[c:c + step, :].astype(
+                    jnp.float32)), axis=0, keepdims=True)
+                cs_ref[:] = m if c == 0 else jnp.maximum(cs_ref[:], m)
+            cs_ref[:] = jnp.maximum(cs_ref[:], 1e-12) * (1.0 / 127.0)
+            for c in range(0, K, step):
+                w8_ref[c:c + step, :] = jnp.round(
+                    w_ref[c:c + step, :].astype(jnp.float32)
+                    * (1.0 / cs_ref[0:1, :])).astype(jnp.int8)
+
+        # per-row dynamic activation quantization: |x| <= amax by
+        # construction, so round() lands in [-127, 127] without a clip
+        xf = x_ref[:].astype(jnp.float32)
+        amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+        sx = jnp.maximum(amax, 1e-12) * (1.0 / 127.0)
+        q = jnp.round(xf * (1.0 / sx)).astype(jnp.int8)
+        acc = jnp.dot(q, w8_ref[:], preferred_element_type=jnp.int32)
+        acc = acc.astype(jnp.float32) * sx * cs_ref[0:1, :]
+    else:
+        acc = jnp.dot(x_ref[:].astype(compute_dtype), w_ref[:],
+                      preferred_element_type=jnp.float32)
     if epilogue != "none":
         acc = acc + b_ref[:].astype(jnp.float32)  # fused bias (f32 add)
     if epilogue in ("bias_gelu", "bias_gelu_tanh"):
@@ -218,16 +266,18 @@ def _qmm_kernel(x_ref, c_ref, s_ref, m_ref, b_ref, o_ref, w_ref, *,
 
 
 def residual_ln_fits(K: int, N: int, bm: int = 256,
-                     packed: bool = False) -> bool:
+                     packed: bool = False, int8: bool = False) -> bool:
     """Can the bias_residual_ln epilogue run (bn == N must fit VMEM)?"""
     if packed and K % 64 != 0:
         return False
-    return N % 128 == 0 and _pick_bn(K, N, bm, None, True, packed) >= N
+    return N % 128 == 0 and _pick_bn(K, N, bm, None, True, packed,
+                                     int8=int8) >= N
 
 
 @functools.partial(jax.jit, static_argnames=("kind", "bm", "bn", "epilogue",
                                              "compute_dtype", "out_dtype",
-                                             "ln_eps", "packed", "interpret"))
+                                             "ln_eps", "packed", "interpret",
+                                             "int8_compute"))
 def qmatmul(x: jax.Array, codes: jax.Array, scales: jax.Array,
             mins: jax.Array | None = None, bias: jax.Array | None = None,
             *, kind: str = "q4_0", epilogue: str | None = None,
@@ -236,7 +286,7 @@ def qmatmul(x: jax.Array, codes: jax.Array, scales: jax.Array,
             ln_bias: jax.Array | None = None, ln_eps: float = 1e-12,
             bm: int = 256, bn: int | None = None,
             compute_dtype=jnp.bfloat16, out_dtype=None,
-            packed: bool = False,
+            packed: bool = False, int8_compute: bool = False,
             interpret: bool = False) -> jax.Array:
     """x [M, K] @ dequant(codes [K, N], scales [K//32, N]) -> [M, N].
 
@@ -250,6 +300,13 @@ def qmatmul(x: jax.Array, codes: jax.Array, scales: jax.Array,
     packed: codes is uint8 [K/2, N] in the group-64 nibble layout
     (quant.pack_codes_g64) — the true 4-bit HBM footprint; halves the
     weight-read bandwidth of the bandwidth-bound small-batch case.
+
+    int8_compute: run the MXU dot in s8xs8->s32 (2x the bf16 rate on
+    v5e) — weights requantize in VMEM to per-column int8 on top of
+    their stored format, activations quantize per-row on the fly (see
+    _qmm_kernel). An extra ~2^-7-relative quantization error on top of
+    the weight format's own; storage and HBM traffic unchanged.
+    Silently falls back to bf16 compute on ragged-lane tilings.
 
     M must be a multiple of bm (the engine's bucketed batches are; use
     ops.linear for the padded/general entry point) and K % 32 == 0.
@@ -271,13 +328,16 @@ def qmatmul(x: jax.Array, codes: jax.Array, scales: jax.Array,
         bn = N  # LayerNorm normalizes over the full hidden axis
         assert residual is not None and ln_scale is not None \
             and ln_bias is not None
-        assert _pick_bn(K, N, bm, None, True, packed) >= N, \
+        assert _pick_bn(K, N, bm, None, True, packed,
+                        int8=int8_compute) >= N, \
             (K, N, bm, "residual-LN tile does not fit VMEM")
     else:
-        bn = _pick_bn(K, N, bm, bn, packed=packed)
+        bn = _pick_bn(K, N, bm, bn, packed=packed, int8=int8_compute)
     assert bn > 0, ((M, N, K), bm, "no VMEM-feasible tiling; check "
                     "pallas_fits before calling")
     assert M % bm == 0 and N % bn == 0, ((M, N, K), (bm, bn))
+    if int8_compute and (bn % 128 != 0 or K % 32 != 0):
+        int8_compute = False  # ragged-lane tile: keep the bf16 path
 
     if mins is None:
         mins = jnp.zeros((K // QK, N), scales.dtype)  # unused for q4_0/q8_0
@@ -314,19 +374,27 @@ def qmatmul(x: jax.Array, codes: jax.Array, scales: jax.Array,
                      ln_bias.reshape(1, N)]
 
     def kernel(*refs):
-        # refs: x, c, s, m, b, [res, lns, lnb], o, w
+        # refs: x, c, s, m, b, [res, lns, lnb], o, w, [w8, cs]
         x_r, c_r, s_r, m_r, b_r = refs[:5]
         rest = list(refs[5:])
         res_r = lns_r = lnb_r = None
         if with_res:
             res_r, lns_r, lnb_r = rest[:3]
             rest = rest[3:]
-        o_r, w_r = rest
+        w8_r = cs_r = None
+        if int8_compute:
+            o_r, w_r, w8_r, cs_r = rest
+        else:
+            o_r, w_r = rest
         _qmm_kernel(x_r, c_r, s_r, m_r, b_r, o_r, w_r, kind=kind,
                     compute_dtype=compute_dtype, epilogue=epilogue,
                     packed=packed,
                     res_ref=res_r, lns_ref=lns_r, lnb_ref=lnb_r,
-                    ln_eps=ln_eps)
+                    ln_eps=ln_eps, w8_ref=w8_r, cs_ref=cs_r)
+    scratch = [pltpu.VMEM((K, bn), compute_dtype)]
+    if int8_compute:
+        scratch += [pltpu.VMEM((K, bn), jnp.int8),
+                    pltpu.VMEM((1, bn), jnp.float32)]
     return pl.pallas_call(
         kernel,
         grid=(N // bn, M // bm),
@@ -334,7 +402,7 @@ def qmatmul(x: jax.Array, codes: jax.Array, scales: jax.Array,
         out_specs=pl.BlockSpec((bm, bn), lambda j, i: (i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
-        scratch_shapes=[pltpu.VMEM((K, bn), compute_dtype)],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),

@@ -297,6 +297,7 @@ def make_sharded_forward(config: BertConfig, mesh: Mesh, *,
                          compute_dtype: str | None = None,
                          mask_value: float = -1e9,
                          pallas: str = "auto",
+                         int8: bool = False,
                          spmd: str = "shard_map"):
     """jitted (params, ids, mask) -> [B, E] with batch over DATA_AXIS and
     Megatron TP over MODEL_AXIS.
@@ -312,7 +313,7 @@ def make_sharded_forward(config: BertConfig, mesh: Mesh, *,
     have no GSPMD partitioning rules), so quantized weights take the
     XLA dequant+matmul fallback — kept for cross-checking numerics.
     """
-    from ..ops.linear import pallas_mode
+    from ..ops.linear import int8_mode, pallas_mode
     data = NamedSharding(mesh, P(DATA_AXIS, None))
     out_s = NamedSharding(mesh, P(DATA_AXIS, None))
     tp = mesh.shape[MODEL_AXIS]
@@ -335,9 +336,9 @@ def make_sharded_forward(config: BertConfig, mesh: Mesh, *,
                 _check_tp_shardable(pspecs, tp)
 
             def local_fwd(p, ids, mask):
-                # honor the engine's kernel-path knob at trace time
+                # honor the engine's kernel-path knobs at trace time
                 # (use_pallas='never' must still work under a mesh)
-                with pallas_mode(pallas):
+                with pallas_mode(pallas), int8_mode(int8):
                     return bert.encode_tokens(p, config, ids, mask,
                                               pooling=pooling,
                                               compute_dtype=compute_dtype,
@@ -376,7 +377,8 @@ def make_sharded_forward(config: BertConfig, mesh: Mesh, *,
 def make_sharded_packed_forward(config: BertConfig, mesh: Mesh, *,
                                 compute_dtype: str | None = None,
                                 mask_value: float = -1e9,
-                                pallas: str = "auto"):
+                                pallas: str = "auto",
+                                int8: bool = False):
     """jitted (params, ids, seg, pos, pool, attn_window) -> [B, S, E]
     for token-PACKED batches over the mesh: rows are independent by
     construction, so the row axis shards over DATA_AXIS exactly like the
@@ -388,7 +390,7 @@ def make_sharded_packed_forward(config: BertConfig, mesh: Mesh, *,
         from jax import shard_map  # jax >= 0.8
     except ImportError:  # pragma: no cover - older jax
         from jax.experimental.shard_map import shard_map
-    from ..ops.linear import pallas_mode
+    from ..ops.linear import int8_mode, pallas_mode
     _sig = inspect.signature(shard_map).parameters
     _nocheck = ({"check_vma": False} if "check_vma" in _sig
                 else {"check_rep": False})
@@ -407,7 +409,7 @@ def make_sharded_packed_forward(config: BertConfig, mesh: Mesh, *,
         def local_fwd(p, ids, seg, pos, pool):
             # attn_window is a closed-over static (one compiled program
             # per bucketed window value, same as the single-device path)
-            with pallas_mode(pallas):
+            with pallas_mode(pallas), int8_mode(int8):
                 return bert.encode_packed(p, config, ids, seg, pos, pool,
                                           compute_dtype=compute_dtype,
                                           mask_value=mask_value,

@@ -112,19 +112,19 @@ class Engine:
                 from ..parallel.sharding import (make_sharded_forward,
                                                  shard_params)
                 self.params = shard_params(params, config, mesh)
-                self._forward = make_sharded_forward(config, mesh,
-                                                     compute_dtype=cd,
-                                                     mask_value=mv,
-                                                     pallas=mode)
+                self._forward = make_sharded_forward(
+                    config, mesh, compute_dtype=cd, mask_value=mv,
+                    pallas=mode, int8=self.engine_config.int8_compute)
         else:
-            from ..ops.linear import pallas_mode
+            from ..ops.linear import int8_mode, pallas_mode
             self._dp = 1
             self.params = P.fuse_qkv(params)  # single-device: merge q/k/v
             params = self.params
+            i8 = self.engine_config.int8_compute
 
             def _fwd(p, ids, mask):
                 # scoped (trace-time) kernel-path selection: no global leak
-                with pallas_mode(mode):
+                with pallas_mode(mode), int8_mode(i8):
                     return bert.encode_tokens(p, config, ids, mask,
                                               compute_dtype=cd, mask_value=mv)
 
@@ -256,13 +256,14 @@ class Engine:
         plans = plan_batches([len(p[0]) for p in pairs], batch_size,
                              self._seq_buckets(), bb)
         if getattr(self, "_forward_pairs", None) is None:
-            from ..ops.linear import pallas_mode
+            from ..ops.linear import int8_mode, pallas_mode
             cd, mv = self._compute_dtype, ec.mask_value
             mode = ec.use_pallas
+            i8 = ec.int8_compute
             cfg = self.config
 
             def _fp(p, ids, types, mask):
-                with pallas_mode(mode):
+                with pallas_mode(mode), int8_mode(i8):
                     return bert.score_pairs(p, cfg, ids, mask, types,
                                             compute_dtype=cd,
                                             mask_value=mv)
@@ -382,12 +383,13 @@ class Engine:
                 from ..parallel.sharding import make_sharded_packed_forward
                 self._packed_fn = make_sharded_packed_forward(
                     config, self.mesh, compute_dtype=cd, mask_value=mv,
-                    pallas=mode)
+                    pallas=mode, int8=self.engine_config.int8_compute)
             else:
-                from ..ops.linear import pallas_mode
+                from ..ops.linear import int8_mode, pallas_mode
+                i8 = self.engine_config.int8_compute
 
                 def _fwd(p, ids, seg, pos, pool, attn_window):
-                    with pallas_mode(mode):
+                    with pallas_mode(mode), int8_mode(i8):
                         return bert.encode_packed(
                             p, config, ids, seg, pos, pool,
                             compute_dtype=cd, mask_value=mv,

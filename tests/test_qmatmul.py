@@ -152,3 +152,108 @@ def test_packed_residual_ln_epilogue(rng):
     got = linear_residual_ln(x, qt, b, res, lns, lnb, 1e-12, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=3e-3, rtol=1e-2)
+
+
+# ---------------------------------------------------------------------------
+# int8 MXU compute mode (s8xs8->s32 dots; per-column weight requant +
+# per-row dynamic activation quant inside the kernel — ops/qmatmul.py)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("kind", ["q4_0", "q4_1", "q8_0", "nf4"])
+def test_int8_compute_matches_dequant(kind, rng):
+    M, K, N = 32, 128, 256
+    x = rng.standard_normal((M, K), dtype=np.float32)
+    w = rng.standard_normal((K, N), dtype=np.float32) * 0.05
+    qt = quantize(w, kind)
+    ref = np.asarray(x @ np.asarray(dequantize(qt), np.float32))
+    got = np.asarray(qmatmul(jnp.asarray(x), qt.codes, qt.scales, qt.mins,
+                             kind=kind, bm=32, int8_compute=True,
+                             interpret=True))
+    rel = np.abs(got - ref).max() / np.abs(ref).max()
+    cos = (got * ref).sum(-1) / np.maximum(
+        np.linalg.norm(got, axis=-1) * np.linalg.norm(ref, axis=-1), 1e-9)
+    assert rel < 0.02 and cos.min() > 0.9995, (kind, rel, cos.min())
+
+
+def test_int8_compute_packed_and_epilogues(rng):
+    from embeddings_tpu.models.bert import layer_norm
+    from embeddings_tpu.ops.quant import pack_q4
+    M, K, N = 32, 128, 256
+    x = jnp.asarray(rng.standard_normal((M, K)), jnp.float32)
+    w = rng.standard_normal((K, N), dtype=np.float32) * 0.05
+    qt = pack_q4(quantize(w, "q4_0"))
+    wd = np.asarray(dequantize(qt), np.float32)
+    b = jnp.asarray(rng.standard_normal((N,)) * 0.1, jnp.float32)
+    # bias_gelu
+    import jax
+    ref = np.asarray(jax.nn.gelu(jnp.asarray(np.asarray(x) @ wd) + b,
+                                 approximate=True))
+    got = np.asarray(qmatmul(x, qt.codes, qt.scales, qt.mins, b,
+                             kind="q4_0", epilogue="bias_gelu", bm=32,
+                             packed=True, int8_compute=True,
+                             interpret=True))
+    assert np.abs(got - ref).max() < 0.05
+    # bias_residual_ln
+    res = jnp.asarray(rng.standard_normal((M, N)), jnp.float32)
+    lns = jnp.asarray(1.0 + 0.1 * rng.standard_normal((N,)), jnp.float32)
+    lnb = jnp.asarray(0.1 * rng.standard_normal((N,)), jnp.float32)
+    ref = np.asarray(layer_norm(res + jnp.asarray(np.asarray(x) @ wd) + b,
+                                lns, lnb, 1e-12))
+    got = np.asarray(qmatmul(x, qt.codes, qt.scales, qt.mins, b,
+                             kind="q4_0", epilogue="bias_residual_ln",
+                             residual=res, ln_scale=lns, ln_bias=lnb,
+                             bm=32, packed=True, int8_compute=True,
+                             interpret=True))
+    assert np.abs(got - ref).max() < 0.08
+
+
+def test_int8_ragged_lane_falls_back(rng):
+    """N with no 128-multiple divisor: int8 silently downgrades to the
+    bf16 path (whole-N ragged tile) and still matches the reference."""
+    M, K, N = 16, 128, 192
+    x = rng.standard_normal((M, K), dtype=np.float32)
+    w = rng.standard_normal((K, N), dtype=np.float32) * 0.05
+    qt = quantize(w, "q4_0")
+    ref = np.asarray(x @ np.asarray(dequantize(qt), np.float32))
+    got = np.asarray(qmatmul(jnp.asarray(x), qt.codes, qt.scales, qt.mins,
+                             kind="q4_0", bm=16, int8_compute=True,
+                             interpret=True))
+    np.testing.assert_allclose(got, ref, atol=0.05, rtol=0.05)
+
+
+def test_int8_emulated_fallback_matches_kernel(rng):
+    """The XLA _int8_emulated_dot (CPU fallback when int8 mode is on)
+    tracks the kernel's int8 arithmetic closely."""
+    from embeddings_tpu.ops.linear import _int8_emulated_dot
+    M, K, N = 32, 128, 256
+    x = jnp.asarray(rng.standard_normal((M, K)), jnp.float32)
+    w = rng.standard_normal((K, N), dtype=np.float32) * 0.05
+    qt = quantize(w, "q4_0")
+    kern = np.asarray(qmatmul(x, qt.codes, qt.scales, qt.mins,
+                              kind="q4_0", bm=32, int8_compute=True,
+                              interpret=True))
+    emu = np.asarray(_int8_emulated_dot(x, dequantize(qt)))
+    np.testing.assert_allclose(emu, kern, atol=0.02, rtol=0.05)
+
+
+def test_int8_mode_engine_end_to_end(rng):
+    """EngineConfig.int8_compute routes encode_batch through the int8
+    arithmetic (XLA emulation on CPU) and stays close to the bf16 path."""
+    from embeddings_tpu.config import BertConfig, EngineConfig
+    from embeddings_tpu.models import params as P
+    from embeddings_tpu.runtime.engine import Engine
+    from embeddings_tpu.tokenizer import WordPieceTokenizer, WordPieceVocab
+    toks = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "hello", "world", "deep",
+            "quant", "##ized", "matmul"]
+    tok = WordPieceTokenizer(WordPieceVocab.from_tokens(toks))
+    cfg = BertConfig(vocab_size=len(toks), hidden_size=64,
+                     num_hidden_layers=2, num_attention_heads=4,
+                     intermediate_size=128, max_position_embeddings=64)
+    p = P.quantize_params(P.init_params(cfg, 0), "q4_0")
+    texts = ["hello world", "quantized matmul", "deep hello"]
+    base = Engine(p, cfg, tok).encode_batch(texts)
+    got = Engine(p, cfg, tok,
+                 EngineConfig(int8_compute=True)).encode_batch(texts)
+    cos = (base * got).sum(-1)
+    assert np.allclose(np.linalg.norm(got, axis=-1), 1.0, atol=1e-5)
+    assert cos.min() > 0.998, cos
