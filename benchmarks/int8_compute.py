@@ -26,12 +26,14 @@ if os.environ.get("JAX_PLATFORMS"):
 
 
 # production matmul shapes for bge-base at B=128, L=256 (M=32768):
-# qkv (fused), attn-out + residual-LN, ffn-up + gelu, ffn-down + res-LN
-CASES = [
-    ("qkv_proj", 32768, 768, 2304, "bias", 256),
-    ("attn_out+res_ln", 32768, 768, 768, "bias_residual_ln", 512),
-    ("ffn_up+gelu", 32768, 768, 3072, "bias_gelu", 256),
-    ("ffn_down+res_ln", 32768, 3072, 768, "bias_residual_ln", 128),
+# qkv (fused), attn-out + residual-LN, ffn-up + gelu, ffn-down + res-LN.
+# bm mirrors ops/linear.py's dispatch per mode: int8 has no bf16 staging
+# scratch, so FFN-down fits bm=256 where the bf16 path is capped at 128.
+CASES = [  # (name, M, K, N, epilogue, bm_bf16, bm_int8)
+    ("qkv_proj", 32768, 768, 2304, "bias", 256, 256),
+    ("attn_out+res_ln", 32768, 768, 768, "bias_residual_ln", 512, 512),
+    ("ffn_up+gelu", 32768, 768, 3072, "bias_gelu", 256, 256),
+    ("ffn_down+res_ln", 32768, 3072, 768, "bias_residual_ln", 128, 256),
 ]
 
 
@@ -45,12 +47,12 @@ def main() -> int:
     rng = np.random.default_rng(0)
     results = {"device": str(jax.devices()[0]), "cases": []}
     tot_bf, tot_i8 = 0.0, 0.0
-    for name, M, K, N, epi, bm in CASES:
+    for name, M, K, N, epi, bm_bf, bm_i8 in CASES:
         w = np.asarray(rng.standard_normal((K, N)) * 0.05, np.float32)
         qt = quantize(w, "q4_0", pack4=True)
         x = jnp.asarray(rng.standard_normal((M, K)), jnp.bfloat16)
         b = jnp.asarray(rng.standard_normal(N) * 0.1, jnp.float32)
-        kw = dict(kind="q4_0", bm=bm, packed=True)
+        kw = dict(kind="q4_0", packed=True)
         if epi == "bias_residual_ln":
             kw.update(epilogue=epi,
                       residual=jnp.asarray(
@@ -62,7 +64,8 @@ def main() -> int:
 
         def run(i8):
             return qmatmul(x, qt.codes, qt.scales, qt.mins, b,
-                           int8_compute=i8, **kw)
+                           int8_compute=i8, bm=bm_i8 if i8 else bm_bf,
+                           **kw)
 
         o_bf = np.asarray(run(False), np.float32)
         o_i8 = np.asarray(run(True), np.float32)
@@ -74,10 +77,12 @@ def main() -> int:
 
         t_bf = device_time_us(
             lambda xx: qmatmul(xx, qt.codes, qt.scales, qt.mins, b,
-                               int8_compute=False, **kw), (x,), lo=5, hi=25)
+                               int8_compute=False, bm=bm_bf, **kw),
+            (x,), lo=5, hi=25)
         t_i8 = device_time_us(
             lambda xx: qmatmul(xx, qt.codes, qt.scales, qt.mins, b,
-                               int8_compute=True, **kw), (x,), lo=5, hi=25)
+                               int8_compute=True, bm=bm_i8, **kw),
+            (x,), lo=5, hi=25)
         tot_bf += t_bf
         tot_i8 += t_i8
         tfs = 2 * M * K * N / (t_i8 * 1e-6) / 1e12

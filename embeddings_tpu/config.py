@@ -101,6 +101,11 @@ class BertConfig:
     # "lasttoken" = the last non-pad position (decoder-based embedders).
     pooling: str = "mean"  # "mean" | "cls" | "max" | "lasttoken"
     normalize_embeddings: bool = True
+    # SentenceTransformers Dense modules (modules.json entries of type
+    # models.Dense — distiluse, LaBSE): post-pooling projections applied
+    # in order, params["st_dense"]["0".."n"]; one activation name per
+    # module ("tanh" | "none"). () = no Dense stack.
+    st_dense_acts: tuple = ()
 
     # Special token ids. The reference hardcodes 101/102/100/0
     # (`bert.cpp:304-306`); we read them from tokenizer config when available.

@@ -706,9 +706,30 @@ def encode_tokens(params: Params, config: BertConfig, token_ids: jax.Array,
     else:
         raise ValueError(f"unknown pooling: {pooling}")
 
+    pooled = _apply_st_dense(params, config, pooled)
     if normalize:
         norm = jnp.linalg.norm(pooled, axis=-1, keepdims=True)
         pooled = pooled / jnp.maximum(norm, 1e-12)
+    return pooled
+
+
+def _apply_st_dense(params: Params, config: BertConfig,
+                    pooled: jax.Array) -> jax.Array:
+    """SentenceTransformers Dense modules (modules.json — distiluse
+    768->512, LaBSE pooler): post-pooling projections applied in module
+    order, in f32 (the final projection sets output precision). No-op
+    without params["st_dense"]."""
+    stack = params.get("st_dense")
+    if not stack:
+        return pooled
+    for i, act in enumerate(config.st_dense_acts):
+        d = stack[str(i)]
+        pooled = jnp.dot(pooled, d["w"].astype(jnp.float32),
+                         preferred_element_type=jnp.float32)
+        if "b" in d:
+            pooled = pooled + d["b"].astype(jnp.float32)
+        if act == "tanh":
+            pooled = jnp.tanh(pooled)
     return pooled
 
 
@@ -828,6 +849,7 @@ def encode_packed(params: Params, config: BertConfig, token_ids: jax.Array,
     if "final_ln" in params:  # ModernBERT/Qwen2 post-stack norm
         x = _norm(config, x, params["final_ln"])
     pooled = jnp.einsum("bsl,ble->bse", pool_weights, x.astype(jnp.float32))
+    pooled = _apply_st_dense(params, config, pooled)
     if normalize:
         norm = jnp.linalg.norm(pooled, axis=-1, keepdims=True)
         pooled = pooled / jnp.maximum(norm, 1e-12)

@@ -682,26 +682,81 @@ def from_hf_state_dict(sd: dict[str, np.ndarray], config: BertConfig,
     return out
 
 
+def _read_sd(d: Path) -> dict[str, np.ndarray]:
+    """One checkpoint dir -> f32 numpy state dict (safetensors or
+    pytorch_model.bin)."""
+    st = d / "model.safetensors"
+    pt = d / "pytorch_model.bin"
+    if st.exists():
+        from safetensors.numpy import load_file
+        return load_file(str(st))
+    if pt.exists():
+        import torch
+        return {k: v.float().numpy()
+                for k, v in torch.load(pt, map_location="cpu",
+                                       weights_only=True).items()}
+    raise FileNotFoundError(f"no checkpoint in {d}")
+
+
+def _load_st_modules(model_dir: Path, params: Params,
+                     config: BertConfig) -> tuple[Params, BertConfig]:
+    """Attach the SentenceTransformers module pipeline (modules.json):
+    Dense modules (post-pooling projections — distiluse 768->512, LaBSE
+    pooler) load as params["st_dense"]["0".."n"] with their activations
+    recorded in config.st_dense_acts; a missing Normalize module turns
+    embedding normalization OFF (distiluse ships un-normalized).
+    Transformer/Pooling modules are already covered (encoder +
+    detect_pooling); unknown module types fail loudly."""
+    import dataclasses
+    mj = model_dir / "modules.json"
+    if not mj.exists():
+        return params, config
+    modules = json.loads(mj.read_text())
+    dense, acts, has_norm = {}, [], False
+    for m in modules:
+        t = m.get("type", "")
+        if t.endswith(".Transformer") or t.endswith(".Pooling"):
+            continue
+        if t.endswith(".Normalize"):
+            has_norm = True
+            continue
+        if t.endswith(".Dense"):
+            d = model_dir / m["path"]
+            cfg = json.loads((d / "config.json").read_text())
+            sd = _read_sd(d)
+            w = np.ascontiguousarray(
+                np.asarray(sd["linear.weight"], np.float32).T)
+            entry = {"w": jnp.asarray(w)}
+            if cfg.get("bias", True) and "linear.bias" in sd:
+                entry["b"] = jnp.asarray(
+                    np.asarray(sd["linear.bias"], np.float32))
+            act = cfg.get("activation_function", "")
+            acts.append("tanh" if act.endswith("Tanh") else "none")
+            dense[str(len(dense))] = entry
+            continue
+        raise ValueError(
+            f"unsupported sentence-transformers module type {t!r} in "
+            f"{mj} (supported: Transformer, Pooling, Dense, Normalize)")
+    if not dense:
+        return params, config
+    params = dict(params)
+    params["st_dense"] = dense
+    config = dataclasses.replace(config, st_dense_acts=tuple(acts),
+                                 normalize_embeddings=has_norm)
+    return params, config
+
+
 def load_hf_dir(model_dir: str | Path, dtype=jnp.float32,
                 config: BertConfig | None = None) -> tuple[Params, BertConfig]:
     """Load an HF model directory (config.json + model.safetensors or
-    pytorch_model.bin)."""
+    pytorch_model.bin), including the SentenceTransformers module
+    pipeline (modules.json Dense/Normalize) when present."""
     model_dir = Path(model_dir)
     if config is None:
         config = BertConfig.from_json(model_dir / "config.json")
-    st = model_dir / "model.safetensors"
-    pt = model_dir / "pytorch_model.bin"
-    if st.exists():
-        from safetensors.numpy import load_file
-        sd = load_file(str(st))
-    elif pt.exists():
-        import torch
-        sd = {k: v.float().numpy()
-              for k, v in torch.load(pt, map_location="cpu",
-                                     weights_only=True).items()}
-    else:
-        raise FileNotFoundError(f"no checkpoint in {model_dir}")
-    return from_hf_state_dict(sd, config, dtype), config
+    sd = _read_sd(model_dir)
+    params = from_hf_state_dict(sd, config, dtype)
+    return _load_st_modules(model_dir, params, config)
 
 
 def to_hf_state_dict(params: Params) -> dict[str, np.ndarray]:
@@ -731,6 +786,11 @@ def to_hf_state_dict(params: Params) -> dict[str, np.ndarray]:
             "ALiBi-family params (jina-bert-v2) have no BERT-named "
             "state-dict form — the ggml/GGUF export formats cannot "
             "represent them")
+    if "st_dense" in params:
+        raise ValueError(
+            "sentence-transformers Dense modules (post-pooling "
+            "projections) have no BERT-named state-dict form — the "
+            "ggml/GGUF export formats cannot represent them")
     if "position" not in emb or "gate" in params["layers"].get("mlp", {}):
         raise ValueError(
             "rotary / gated-MLP params (RoFormer, nomic-bert) have no "

@@ -85,11 +85,10 @@ def _use_pallas() -> bool:
 def _int8_emulated_dot(x2d: jax.Array, wd: jax.Array) -> jax.Array:
     """XLA emulation of the kernel's int8 MXU mode (same numerics, no
     fusion): per-column-symmetric int8 weights on top of the dequantized
-    values (staged through bf16 like the kernel's VMEM scratch), per-row
-    dynamic int8 activations, s8xs8->s32 dot, rank-1 rescale. Keeps CPU
-    tests and the quality evaluators on the int8 arithmetic the TPU
-    kernel runs."""
-    wd = wd.astype(jnp.bfloat16).astype(jnp.float32)
+    f32 values, per-row dynamic int8 activations, s8xs8->s32 dot, rank-1
+    rescale. Keeps CPU tests and the quality evaluators on the int8
+    arithmetic the TPU kernel runs."""
+    wd = wd.astype(jnp.float32)
     cs = jnp.maximum(jnp.max(jnp.abs(wd), axis=0, keepdims=True),
                      1e-12) * (1.0 / 127.0)
     w8 = jnp.round(wd / cs).astype(jnp.int8)
@@ -167,22 +166,31 @@ def linear_residual_ln(x: jax.Array, w, b, residual: jax.Array,
         M = x2d.shape[0]
         # largest VMEM-feasible bm first: 512 measured 4% faster than 256
         # on the o-proj shape (K=N=768) at M=32K; FFN-down (K=3072) only
-        # fits at 128
-        for bm in (min(512, max(8, -(-M // 8) * 8)),
-                   min(256, max(8, -(-M // 8) * 8)), 128, 64):
-            if bm <= M + 8 and _qmm.residual_ln_fits(K, N, bm, w.packed):
-                xp = _pad_dim(x2d, 0, bm)
-                rp = _pad_dim(residual.reshape(-1, N).astype(x.dtype), 0, bm)
-                i8 = (_use_int8()
-                      and _qmm.residual_ln_fits(K, N, bm, w.packed,
-                                                int8=True))
-                out = _qmm.qmatmul(
-                    xp, w.codes, w.scales, w.mins, b, kind=w.kind,
-                    epilogue="bias_residual_ln", residual=rp,
-                    ln_scale=ln_scale, ln_bias=ln_bias, ln_eps=eps,
-                    bm=bm, packed=w.packed, int8_compute=i8,
-                    interpret=interpret)
-                return out[:M].reshape(*lead, N).astype(x.dtype)
+        # fits at 128 on the bf16 path — int8 mode (no bf16 staging
+        # scratch) fits it at 256, so the int8 fit is probed first at
+        # each bm before downgrading
+        bms = (min(512, max(8, -(-M // 8) * 8)),
+               min(256, max(8, -(-M // 8) * 8)), 128, 64)
+        pick = None
+        if _use_int8():
+            pick = next((bm for bm in bms if bm <= M + 8 and
+                         _qmm.residual_ln_fits(K, N, bm, w.packed,
+                                               int8=True)), None)
+        i8 = pick is not None
+        if pick is None:
+            pick = next((bm for bm in bms if bm <= M + 8 and
+                         _qmm.residual_ln_fits(K, N, bm, w.packed)), None)
+        if pick is not None:
+            bm = pick
+            xp = _pad_dim(x2d, 0, bm)
+            rp = _pad_dim(residual.reshape(-1, N).astype(x.dtype), 0, bm)
+            out = _qmm.qmatmul(
+                xp, w.codes, w.scales, w.mins, b, kind=w.kind,
+                epilogue="bias_residual_ln", residual=rp,
+                ln_scale=ln_scale, ln_bias=ln_bias, ln_eps=eps,
+                bm=bm, packed=w.packed, int8_compute=i8,
+                interpret=interpret)
+            return out[:M].reshape(*lead, N).astype(x.dtype)
     y = linear(x, w, b)
     return layer_norm(residual + y, ln_scale, ln_bias, eps)
 

@@ -57,11 +57,13 @@ def _pick_bn(K: int, N: int, bm: int, requested: int | None,
     that does not fit VMEM (caller must use the XLA fallback)."""
     fixed = bm * K * 2 * 2
     codes_bytes = (K // 2) if packed else K
-    per_bn = codes_bytes * 2 + K * 2 + 2 * (K // QK) * 4 * 2 + bm * 4 * 2
+    per_bn = codes_bytes * 2 + 2 * (K // QK) * 4 * 2 + bm * 4 * 2
+    # int8 mode has no bf16 staging scratch (dequant goes straight to the
+    # int8 tile in two passes) — that freed K*2*bn is what lets the
+    # FFN-down residual-LN case run at bm=256 instead of 128
+    per_bn += (K + 8) if int8 else K * 2
     if with_residual:
         per_bn += bm * 2 * 2
-    if int8:
-        per_bn += K + 8  # w8 scratch + cs row
     cap = max((_VMEM_BUDGET - fixed) // per_bn, 0)
     bn = min(N, requested or cap, cap)
     bn -= bn % 128
@@ -136,6 +138,13 @@ def _qmm_kernel(x_ref, c_ref, s_ref, m_ref, b_ref, o_ref, w_ref, *,
     M-step — don't redo it."""
     i = pl.program_id(1)
 
+    if w8_ref is not None:
+        _qmm_int8(x_ref, c_ref, s_ref, m_ref, b_ref, o_ref, w8_ref,
+                  cs_ref, i, kind=kind, epilogue=epilogue, packed=packed,
+                  res_ref=res_ref, lns_ref=lns_ref, lnb_ref=lnb_ref,
+                  ln_eps=ln_eps)
+        return
+
     @pl.when(i == 0)
     def _():
         if packed:
@@ -204,38 +213,14 @@ def _qmm_kernel(x_ref, c_ref, s_ref, m_ref, b_ref, o_ref, w_ref, *,
                     w = w + m_ref[b:b + 1, :].astype(compute_dtype)
                 w_ref[sl, :] = w
 
-    if w8_ref is not None:
-        K = w_ref.shape[0]
+    acc = jnp.dot(x_ref[:].astype(compute_dtype), w_ref[:],
+                  preferred_element_type=jnp.float32)
+    o_ref[:] = _apply_epilogue(acc, b_ref, epilogue, res_ref, lns_ref,
+                               lnb_ref, ln_eps).astype(o_ref.dtype)
 
-        @pl.when(i == 0)
-        def _():
-            # requantize the dequantized tile to per-column int8, in
-            # K-chunks (a full [K, bn] f32 temp would blow the Mosaic
-            # stack at FFN shapes, same reason the dequant chunks)
-            step = min(K, _DEQ_CHUNK)
-            while K % step:
-                step -= QK
-            for c in range(0, K, step):
-                m = jnp.max(jnp.abs(w_ref[c:c + step, :].astype(
-                    jnp.float32)), axis=0, keepdims=True)
-                cs_ref[:] = m if c == 0 else jnp.maximum(cs_ref[:], m)
-            cs_ref[:] = jnp.maximum(cs_ref[:], 1e-12) * (1.0 / 127.0)
-            for c in range(0, K, step):
-                w8_ref[c:c + step, :] = jnp.round(
-                    w_ref[c:c + step, :].astype(jnp.float32)
-                    * (1.0 / cs_ref[0:1, :])).astype(jnp.int8)
 
-        # per-row dynamic activation quantization: |x| <= amax by
-        # construction, so round() lands in [-127, 127] without a clip
-        xf = x_ref[:].astype(jnp.float32)
-        amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
-        sx = jnp.maximum(amax, 1e-12) * (1.0 / 127.0)
-        q = jnp.round(xf * (1.0 / sx)).astype(jnp.int8)
-        acc = jnp.dot(q, w8_ref[:], preferred_element_type=jnp.int32)
-        acc = acc.astype(jnp.float32) * sx * cs_ref[0:1, :]
-    else:
-        acc = jnp.dot(x_ref[:].astype(compute_dtype), w_ref[:],
-                      preferred_element_type=jnp.float32)
+def _apply_epilogue(acc, b_ref, epilogue, res_ref, lns_ref, lnb_ref,
+                    ln_eps):
     if epilogue != "none":
         acc = acc + b_ref[:].astype(jnp.float32)  # fused bias (f32 add)
     if epilogue in ("bias_gelu", "bias_gelu_tanh"):
@@ -262,7 +247,97 @@ def _qmm_kernel(x_ref, c_ref, s_ref, m_ref, b_ref, o_ref, w_ref, *,
         acc = ((y - mean) * jax.lax.rsqrt(var + ln_eps)
                * lns_ref[:].astype(jnp.float32)
                + lnb_ref[:].astype(jnp.float32))
-    o_ref[:] = acc.astype(o_ref.dtype)
+    return acc
+
+
+def _qmm_int8(x_ref, c_ref, s_ref, m_ref, b_ref, o_ref, w8_ref, cs_ref,
+              i, *, kind: str, epilogue: str, packed: bool,
+              res_ref=None, lns_ref=None, lnb_ref=None, ln_eps=0.0):
+    """int8-MXU variant: no bf16 staging scratch — at i == 0 the weight
+    tile dequantizes in two passes (per-column absmax, then requantize)
+    straight into the int8 scratch. The freed K*bn*2 bytes of VMEM buy
+    larger bm tiles exactly where the res-LN epilogue was bound (FFN-down
+    runs bm=256 instead of 128). Dequant arithmetic runs twice, but it
+    amortizes once per N-tile over M/bm grid steps. Sub-blocks write
+    their slice of w8_ref directly — NO jnp.concatenate of unpacked
+    pieces (measured +170us on the qkv tile from the concat relayouts)."""
+    K = w8_ref.shape[0]
+
+    def packed_groups():
+        """yield (row0, nrows=64, f32 dequant value) per nibble group."""
+        for g in range(K // 64):
+            p = c_ref[g * 32:(g + 1) * 32, :].astype(jnp.int32)
+            if kind == "nf4":
+                lo = _nf4_decode(p & 15, jnp.float32)
+                hi = _nf4_decode(p >> 4, jnp.float32)
+            else:
+                lo = ((p & 15) - 8).astype(jnp.float32)
+                hi = ((p >> 4) - 8).astype(jnp.float32)
+            wlo = lo * s_ref[2 * g:2 * g + 1, :].astype(jnp.float32)
+            whi = hi * s_ref[2 * g + 1:2 * g + 2, :].astype(jnp.float32)
+            if kind == "q4_1":
+                wlo = wlo + m_ref[2 * g:2 * g + 1, :].astype(jnp.float32)
+                whi = whi + m_ref[2 * g + 1:2 * g + 2, :].astype(jnp.float32)
+            yield g * 64, wlo, whi
+
+    def unpacked_chunks():
+        """yield (row0, f32 dequant value [step, bn]) per K-chunk."""
+        bn = c_ref.shape[-1]
+        step = min(K, _DEQ_CHUNK)
+        while K % step:
+            step -= QK
+        for c in range(0, K, step):
+            sl = slice(c, c + step)
+            sb = slice(c // QK, (c + step) // QK)
+            if kind == "nf4":
+                codes = _nf4_decode(c_ref[sl, :].astype(jnp.int32) + 8,
+                                    jnp.float32).reshape(
+                    step // QK, QK, bn)
+            else:
+                codes = c_ref[sl, :].astype(jnp.float32).reshape(
+                    step // QK, QK, bn)
+            w = codes * s_ref[sb, :].astype(jnp.float32)[:, None, :]
+            if kind == "q4_1":
+                w = w + m_ref[sb, :].astype(jnp.float32)[:, None, :]
+            yield c, w.reshape(step, bn)
+
+    @pl.when(i == 0)
+    def _():
+        first = True
+        if packed:
+            for _, wlo, whi in packed_groups():
+                m = jnp.maximum(jnp.max(jnp.abs(wlo), 0, keepdims=True),
+                                jnp.max(jnp.abs(whi), 0, keepdims=True))
+                cs_ref[:] = m if first else jnp.maximum(cs_ref[:], m)
+                first = False
+        else:
+            for _, v in unpacked_chunks():
+                m = jnp.max(jnp.abs(v), axis=0, keepdims=True)
+                cs_ref[:] = m if first else jnp.maximum(cs_ref[:], m)
+                first = False
+        cs_ref[:] = jnp.maximum(cs_ref[:], 1e-12) * (1.0 / 127.0)
+        if packed:
+            for r0, wlo, whi in packed_groups():
+                inv = 1.0 / cs_ref[0:1, :]
+                w8_ref[r0:r0 + 32, :] = jnp.round(
+                    wlo * inv).astype(jnp.int8)
+                w8_ref[r0 + 32:r0 + 64, :] = jnp.round(
+                    whi * inv).astype(jnp.int8)
+        else:
+            for r0, v in unpacked_chunks():
+                w8_ref[r0:r0 + v.shape[0], :] = jnp.round(
+                    v * (1.0 / cs_ref[0:1, :])).astype(jnp.int8)
+
+    # per-row dynamic activation quantization: |x| <= amax by
+    # construction, so round() lands in [-127, 127] without a clip
+    xf = x_ref[:].astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    sx = jnp.maximum(amax, 1e-12) * (1.0 / 127.0)
+    q = jnp.round(xf * (1.0 / sx)).astype(jnp.int8)
+    acc = jnp.dot(q, w8_ref[:], preferred_element_type=jnp.int32)
+    acc = acc.astype(jnp.float32) * sx * cs_ref[0:1, :]
+    o_ref[:] = _apply_epilogue(acc, b_ref, epilogue, res_ref, lns_ref,
+                               lnb_ref, ln_eps).astype(o_ref.dtype)
 
 
 def residual_ln_fits(K: int, N: int, bm: int = 256,
@@ -381,9 +456,9 @@ def qmatmul(x: jax.Array, codes: jax.Array, scales: jax.Array,
         if with_res:
             res_r, lns_r, lnb_r = rest[:3]
             rest = rest[3:]
-        w8_r = cs_r = None
+        w_r = w8_r = cs_r = None
         if int8_compute:
-            o_r, w_r, w8_r, cs_r = rest
+            o_r, w8_r, cs_r = rest
         else:
             o_r, w_r = rest
         _qmm_kernel(x_r, c_r, s_r, m_r, b_r, o_r, w_r, kind=kind,
@@ -391,10 +466,12 @@ def qmatmul(x: jax.Array, codes: jax.Array, scales: jax.Array,
                     packed=packed,
                     res_ref=res_r, lns_ref=lns_r, lnb_ref=lnb_r,
                     ln_eps=ln_eps, w8_ref=w8_r, cs_ref=cs_r)
-    scratch = [pltpu.VMEM((K, bn), compute_dtype)]
     if int8_compute:
-        scratch += [pltpu.VMEM((K, bn), jnp.int8),
-                    pltpu.VMEM((1, bn), jnp.float32)]
+        # no bf16 staging scratch in int8 mode (see _qmm_int8)
+        scratch = [pltpu.VMEM((K, bn), jnp.int8),
+                   pltpu.VMEM((1, bn), jnp.float32)]
+    else:
+        scratch = [pltpu.VMEM((K, bn), compute_dtype)]
     return pl.pallas_call(
         kernel,
         grid=(N // bn, M // bm),

@@ -188,6 +188,12 @@ def param_pspecs(params: Params, mesh: Mesh) -> Params:
     if "final_ln" in params:
         # ModernBERT post-stack norm: tiny, replicated
         specs["final_ln"] = {"scale": P(None), "bias": P(None)}
+    for extra in ("st_dense", "cls_head"):
+        # post-pooling heads (sentence-transformers Dense stack,
+        # reranker classification head): tiny, replicated
+        if extra in params:
+            specs[extra] = jax.tree_util.tree_map(
+                lambda a: P(*(None,) * a.ndim), params[extra])
     return specs
 
 

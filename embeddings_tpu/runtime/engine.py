@@ -133,6 +133,12 @@ class Engine:
     # -- introspection (bert.h:78-88 equivalents) ---------------------------
     @property
     def n_embd(self) -> int:
+        dense = self.params.get("st_dense")
+        if dense:
+            # SentenceTransformers Dense stack: output dim = last
+            # projection's width (distiluse: 768 -> 512)
+            last = dense[str(len(dense) - 1)]
+            return int(last["w"].shape[-1])
         return self.config.hidden_size
 
     @property
