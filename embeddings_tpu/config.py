@@ -114,6 +114,12 @@ class BertConfig:
     unk_token_id: int = 100
     pad_token_id: int = 0
 
+    def __post_init__(self) -> None:
+        # JSON round-trips (save_native / GGUF metadata) deserialize the
+        # Dense-activation stack as a list; keep it a tuple so configs
+        # compare equal and stay hashable for jit static args.
+        object.__setattr__(self, "st_dense_acts", tuple(self.st_dense_acts))
+
     @property
     def head_dim(self) -> int:
         return self.hidden_size // self.num_attention_heads
