@@ -24,7 +24,7 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 MODES = ["f32", "f16", "q4_0", "q4_0-batchless", "q4_0-packed", "q4_1",
-         "q8_0"]
+         "q8_0", "q4_0-int8", "nf4"]
 
 
 class EmbeddingsTpuModel:
@@ -33,9 +33,16 @@ class EmbeddingsTpuModel:
     packed=True uses token-level packing (several sentences per row)."""
 
     def __init__(self, model_path: str, dtype: str, batch_size: int = 32,
-                 batchless: bool = False, packed: bool = False):
+                 batchless: bool = False, packed: bool = False,
+                 int8_compute: bool = False):
         from embeddings_tpu.runtime.engine import load_model
-        self.engine = load_model(model_path, dtype=dtype)
+        ec = None
+        if int8_compute:
+            # int8 MXU compute on top of the weight dtype (same mode
+            # grammar as run_stsb_local.py)
+            from embeddings_tpu.config import EngineConfig
+            ec = EngineConfig(int8_compute=True)
+        self.engine = load_model(model_path, dtype=dtype, engine_config=ec)
         self.batch_size = 1 if batchless else batch_size
         self.packed = packed
 
@@ -74,10 +81,12 @@ def main() -> int:
                 enc = model.encode
                 model.encode = lambda s, **kw: enc(s, batch_size=1)
         else:
-            dtype = mode.replace("-batchless", "").replace("-packed", "")
+            dtype = (mode.replace("-batchless", "").replace("-packed", "")
+                     .replace("-int8", ""))
             model = EmbeddingsTpuModel(args.model, dtype, args.batch,
                                        batchless=mode.endswith("batchless"),
-                                       packed=mode.endswith("packed"))
+                                       packed=mode.endswith("packed"),
+                                       int8_compute=mode.endswith("int8"))
         evaluation = mteb.MTEB(tasks=args.tasks, task_langs=["en"])
         out = Path(args.out) / f"{model_name}_{mode}"
         evaluation.run(model, output_folder=str(out),

@@ -45,7 +45,7 @@ if os.environ.get("JAX_PLATFORMS"):
     jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 MODES = ["f32", "f16", "q4_0", "q4_0-batchless", "q4_0-packed", "q4_1",
-         "q8_0", "q4_0-int8"]
+         "q8_0", "q4_0-int8", "nf4"]
 BUDGET = 0.003  # 0.3 points, BASELINE.md
 
 

@@ -117,7 +117,13 @@ class BertConfig:
     def __post_init__(self) -> None:
         # JSON round-trips (save_native / GGUF metadata) deserialize the
         # Dense-activation stack as a list; keep it a tuple so configs
-        # compare equal and stay hashable for jit static args.
+        # compare equal and stay hashable for jit static args. A bare
+        # string would silently explode into per-character entries.
+        if isinstance(self.st_dense_acts, str):
+            raise TypeError(
+                "st_dense_acts must be a sequence of activation names "
+                f"(one per Dense module), got string {self.st_dense_acts!r}"
+                " — wrap it in a tuple/list")
         object.__setattr__(self, "st_dense_acts", tuple(self.st_dense_acts))
 
     @property

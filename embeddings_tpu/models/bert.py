@@ -288,7 +288,8 @@ def attention_context(layer: Params, config: BertConfig, x: jax.Array,
                       rope: tuple[jax.Array, jax.Array] | None = None,
                       local_window: tuple | None = None,
                       alibi: tuple[float, ...] | None = None,
-                      causal: bool = False) -> jax.Array:
+                      causal: bool = False,
+                      xq=None) -> jax.Array:
     """Pad-masked multi-head self-attention, up to (not including) the
     output projection (bert.cpp:994-1036). Returns [B, L, E_local]
     context. Under shard_map tensor parallelism the q/k/v weights are
@@ -307,8 +308,11 @@ def attention_context(layer: Params, config: BertConfig, x: jax.Array,
     want_fused = (lengths is not None or segments is not None)
     if "qkv" in a:
         # fused projection (params.fuse_qkv): one matmul, x read once;
-        # contiguous column slices (a strided 5-D reshape costs ~1ms here)
-        qkv = linear(x, a["qkv"]["w"], a["qkv"]["b"])  # [B, L, 3*E_local]
+        # contiguous column slices (a strided 5-D reshape costs ~1ms here).
+        # xq (pre-quantized int8 rows of x, the chained-int8 path): the
+        # projection consumes it directly on the int8 MXU
+        qkv = linear(xq if xq is not None else x,
+                     a["qkv"]["w"], a["qkv"]["b"])  # [B, L, 3*E_local]
         El = qkv.shape[-1] // 3
         H = El // D
         if (want_fused and _use_pallas()
@@ -390,8 +394,8 @@ def encoder_layer(layer: Params, config: BertConfig, x: jax.Array,
                   bias4: jax.Array | None = None,
                   rope: tuple[jax.Array, jax.Array] | None = None,
                   alibi: tuple[float, ...] | None = None,
-                  ep_axis: str | None = None
-                  ) -> jax.Array:
+                  ep_axis: str | None = None,
+                  xq=None, chain: bool = False):
     """One transformer encoder block (post-LN, bert.cpp:987-1084).
 
     Single-device: the two residual+LayerNorm steps run fused inside the
@@ -400,12 +404,33 @@ def encoder_layer(layer: Params, config: BertConfig, x: jax.Array,
     (tp_axis set) those two matmuls are row-parallel with an explicit
     psum each — one all-reduce per layer pair, riding ICI. Gated MLP
     (nomic-bert swiglu): h = act(gate(x)) * up(x), the activation fused
-    into the gate matmul's kernel epilogue."""
+    into the gate matmul's kernel epilogue.
+
+    chain=True (int8-MXU chained activations, gated by _int8_chain_ok):
+    xq is x's pre-quantized int8 rows; every matmul consumes int8
+    activations and the residual-LN kernels emit the NEXT matmul's
+    int8 input in their epilogue, so row absmaxes are computed exactly
+    once per value. Returns (x', xq') instead of x'."""
     from ..ops.linear import linear_residual_ln
     a, m = layer["attn"], layer["mlp"]
     eps = config.layer_norm_eps
     ctx = attention_context(layer, config, x, mask_bias, lengths, segments,
-                            attn_window, bias4, rope, alibi=alibi)
+                            attn_window, bias4, rope, alibi=alibi, xq=xq)
+    if chain:
+        from ..ops.linear import quantize_act
+        # the attention output feeds only the o-proj: quantize it once
+        # here (one XLA pass; cheaper than re-deriving absmaxes per
+        # grid step in-kernel — and removable later by emitting int8
+        # from the attention kernel itself)
+        x, xq = linear_residual_ln(quantize_act(ctx), a["o"]["w"],
+                                   a["o"]["b"], x, a["ln"]["scale"],
+                                   a["ln"]["bias"], eps, emit="both")
+        # GELU link: the up-projection's output feeds ONLY the down
+        # matmul — emit int8-only (halves that link's HBM write+read)
+        hq = _ffn_hidden(m, xq, config, emit="only")
+        return linear_residual_ln(hq, m["down"]["w"], m["down"]["b"], x,
+                                  m["ln"]["scale"], m["ln"]["bias"], eps,
+                                  emit="both")
     if tp_axis is not None:
         x = _row_parallel_residual_ln(ctx, a["o"]["w"], a["o"]["b"], x,
                                       a["ln"], eps, tp_axis)
@@ -425,6 +450,36 @@ def encoder_layer(layer: Params, config: BertConfig, x: jax.Array,
     h = _ffn_hidden(m, x, config)  # activation fused in-kernel
     return linear_residual_ln(h, m["down"]["w"], m["down"]["b"], x,
                               m["ln"]["scale"], m["ln"]["bias"], eps)
+
+
+def _int8_chain_ok(params: Params, config: BertConfig,
+                   tp_axis: str | None) -> bool:
+    """Trace-time gate for the chained int8 activation path: int8 mode
+    on, Pallas available, vanilla post-LN encoder (fused qkv, non-gated
+    dense FFN, no MoE interleave, no TP), all four matmul weights
+    quantized. Per-matmul shape feasibility is NOT checked here — the
+    linear ops carry safety nets that dequantize an ActQ when a shape
+    can't run the int8 kernel, so an exotic shape degrades gracefully
+    instead of asserting."""
+    from ..ops.linear import _use_int8, _use_interpret, _use_pallas
+    from ..ops.quant import QuantizedTensor
+    if not (_use_int8() and (_use_pallas() or _use_interpret())):
+        return False
+    if tp_axis is not None:
+        return False
+    if config.norm_style == "pre":
+        return False
+    layers = params.get("layers")
+    if not isinstance(layers, dict) or "dense" in layers:
+        return False
+    a, m = layers.get("attn", {}), layers.get("mlp", {})
+    if "qkv" not in a or "gate" in m or "router" in m:
+        return False
+    try:
+        ws = (a["qkv"]["w"], a["o"]["w"], m["up"]["w"], m["down"]["w"])
+    except KeyError:
+        return False
+    return all(isinstance(w, QuantizedTensor) for w in ws)
 
 
 def _moe_half(m: Params, config: BertConfig, x: jax.Array, eps: float,
@@ -455,16 +510,20 @@ def _moe_half(m: Params, config: BertConfig, x: jax.Array, eps: float,
                       m["ln"]["scale"], m["ln"]["bias"], eps)
 
 
-def _ffn_hidden(m: Params, x: jax.Array, config: BertConfig) -> jax.Array:
+def _ffn_hidden(m: Params, x, config: BertConfig,
+                emit: str = "no"):
     """MLP hidden: act(up(x)) — or act(gate(x)) * up(x) for gated MLPs
     (nomic swiglu, jina/ModernBERT geglu) with the activation fused into
-    the gate matmul's kernel epilogue."""
+    the gate matmul's kernel epilogue. x may be a pre-quantized ActQ
+    (chained int8 path); emit="only" returns the hidden as an ActQ
+    quantized in the up-matmul's epilogue (non-gated MLPs only)."""
     act = {"gelu_tanh": "gelu_tanh", "silu": "silu", "relu": "relu"}.get(
         config.hidden_act, "gelu")
     if "gate" in m:
+        assert emit == "no", "gated MLPs don't chain int8 emission"
         return (linear(x, m["gate"]["w"], m["gate"]["b"], act=act)
                 * linear(x, m["up"]["w"], m["up"]["b"]))
-    return linear(x, m["up"]["w"], m["up"]["b"], act=act)
+    return linear(x, m["up"]["w"], m["up"]["b"], act=act, emit=emit)
 
 
 def _prenorm_scan_args(config: BertConfig, L: int, positions: jax.Array,
@@ -672,6 +731,19 @@ def encode_tokens(params: Params, config: BertConfig, token_ids: jax.Array,
                              window_bias=window_bias, lengths=lengths,
                              tp_axis=tp_axis, window_kernel=window_kernel),
                          aux=aux)
+    elif _int8_chain_ok(params, config, tp_axis):
+        # chained int8: the scan carry is (x bf16, ActQ of x) — each
+        # layer's residual-LN kernels emit the next layer's int8 input
+        from ..ops.linear import quantize_act
+
+        def _chained(layer, h):
+            hx, hq = h
+            return encoder_layer(layer, config, hx, mask_bias, lengths,
+                                 tp_axis=None, bias4=bias4, rope=rope,
+                                 alibi=alibi_static, xq=hq, chain=True)
+
+        x, _ = _scan_layers(params, config, (x, quantize_act(x)),
+                            _chained)
     else:
         # lax.scan over (stacked or shared) layer params: one compiled
         # block.
@@ -840,6 +912,18 @@ def encode_packed(params: Params, config: BertConfig, token_ids: jax.Array,
                              rope_g=rope, rope_l=rope_l,
                              window_bias=window_bias, tp_axis=tp_axis),
                          aux=aux)
+    elif _int8_chain_ok(params, config, tp_axis):
+        from ..ops.linear import quantize_act
+
+        def _chained(layer, h):
+            hx, hq = h
+            return encoder_layer(layer, config, hx, mask_bias, None,
+                                 tp_axis=None, segments=seg_for_attn,
+                                 attn_window=attn_window, rope=rope,
+                                 xq=hq, chain=True)
+
+        x, _ = _scan_layers(params, config, (x, quantize_act(x)),
+                            _chained)
     else:
         x = _scan_layers(params, config, x,
                          lambda layer, h: encoder_layer(

@@ -83,6 +83,28 @@ def pallas_fits(K: int, N: int, bm: int = 256, packed: bool = False,
                                     int8=int8) > 0
 
 
+def int8_engages(K: int, N: int, bm: int = 256, packed: bool = False,
+                 with_residual: bool = False) -> bool:
+    """Will int8_compute actually run (vs the ragged-lane bf16
+    fallback)? Callers chaining pre-quantized activations MUST gate on
+    this — the kernel asserts rather than silently dequantizing int8 x."""
+    if (packed and K % 64 != 0) or K % QK != 0 or K % 32 != 0:
+        return False
+    bn = _pick_bn(K, N, bm, None, with_residual, packed, int8=True)
+    if with_residual:
+        if bn < N:
+            return False
+        bn = N
+    return bn > 0 and bn % 128 == 0
+
+
+def emit_fits(K: int, N: int, bm: int = 256, packed: bool = False,
+              int8: bool = True) -> bool:
+    """Can the kernel emit per-row-quantized output (needs bn == N)?"""
+    return N % 128 == 0 and _pick_bn(K, N, bm, None, False, packed,
+                                     int8=int8) >= N
+
+
 def _fit(size: int, pref: int, step: int) -> int:
     b = min(pref, size)
     b -= b % step
@@ -115,7 +137,8 @@ def _nf4_decode(u, compute_dtype):
 def _qmm_kernel(x_ref, c_ref, s_ref, m_ref, b_ref, o_ref, w_ref, *,
                 kind: str, compute_dtype, epilogue: str, packed: bool,
                 res_ref=None, lns_ref=None, lnb_ref=None, ln_eps=0.0,
-                w8_ref=None, cs_ref=None):
+                w8_ref=None, cs_ref=None, sx_ref=None,
+                o8_ref=None, os_ref=None):
     """Grid (N/bn, M/bm), M innermost. w_ref: [K, bn] dequant scratch.
     packed: c_ref is uint8 [K/2, bn] in the group-64 nibble layout.
 
@@ -142,7 +165,8 @@ def _qmm_kernel(x_ref, c_ref, s_ref, m_ref, b_ref, o_ref, w_ref, *,
         _qmm_int8(x_ref, c_ref, s_ref, m_ref, b_ref, o_ref, w8_ref,
                   cs_ref, i, kind=kind, epilogue=epilogue, packed=packed,
                   res_ref=res_ref, lns_ref=lns_ref, lnb_ref=lnb_ref,
-                  ln_eps=ln_eps)
+                  ln_eps=ln_eps, sx_ref=sx_ref, o8_ref=o8_ref,
+                  os_ref=os_ref)
         return
 
     @pl.when(i == 0)
@@ -215,8 +239,25 @@ def _qmm_kernel(x_ref, c_ref, s_ref, m_ref, b_ref, o_ref, w_ref, *,
 
     acc = jnp.dot(x_ref[:].astype(compute_dtype), w_ref[:],
                   preferred_element_type=jnp.float32)
-    o_ref[:] = _apply_epilogue(acc, b_ref, epilogue, res_ref, lns_ref,
-                               lnb_ref, ln_eps).astype(o_ref.dtype)
+    acc = _apply_epilogue(acc, b_ref, epilogue, res_ref, lns_ref,
+                          lnb_ref, ln_eps)
+    _emit(acc, o_ref, o8_ref, os_ref)
+
+
+def _emit(acc, o_ref, o8_ref, os_ref):
+    """Write the epilogue result; optionally also (or instead) its
+    per-row-symmetric int8 quantization + scale — produced HERE, where
+    the full f32 row sits in registers, so the NEXT quantized matmul
+    reads pre-quantized activations and never re-derives row absmaxes
+    inside its grid loop (the round-3 int8 mode recomputed them once
+    per grid step; at K=3072 that made int8 SLOWER than bf16)."""
+    if o8_ref is not None:
+        rmax = jnp.max(jnp.abs(acc), axis=-1, keepdims=True)
+        so = jnp.maximum(rmax, 1e-12) * (1.0 / 127.0)
+        o8_ref[:] = jnp.round(acc * (1.0 / so)).astype(jnp.int8)
+        os_ref[:] = so
+    if o_ref is not None:
+        o_ref[:] = acc.astype(o_ref.dtype)
 
 
 def _apply_epilogue(acc, b_ref, epilogue, res_ref, lns_ref, lnb_ref,
@@ -252,7 +293,8 @@ def _apply_epilogue(acc, b_ref, epilogue, res_ref, lns_ref, lnb_ref,
 
 def _qmm_int8(x_ref, c_ref, s_ref, m_ref, b_ref, o_ref, w8_ref, cs_ref,
               i, *, kind: str, epilogue: str, packed: bool,
-              res_ref=None, lns_ref=None, lnb_ref=None, ln_eps=0.0):
+              res_ref=None, lns_ref=None, lnb_ref=None, ln_eps=0.0,
+              sx_ref=None, o8_ref=None, os_ref=None):
     """int8-MXU variant: no bf16 staging scratch — at i == 0 the weight
     tile dequantizes in two passes (per-column absmax, then requantize)
     straight into the int8 scratch. The freed K*bn*2 bytes of VMEM buy
@@ -328,16 +370,26 @@ def _qmm_int8(x_ref, c_ref, s_ref, m_ref, b_ref, o_ref, w8_ref, cs_ref,
                 w8_ref[r0:r0 + v.shape[0], :] = jnp.round(
                     v * (1.0 / cs_ref[0:1, :])).astype(jnp.int8)
 
-    # per-row dynamic activation quantization: |x| <= amax by
-    # construction, so round() lands in [-127, 127] without a clip
-    xf = x_ref[:].astype(jnp.float32)
-    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
-    sx = jnp.maximum(amax, 1e-12) * (1.0 / 127.0)
-    q = jnp.round(xf * (1.0 / sx)).astype(jnp.int8)
+    if sx_ref is not None:
+        # pre-quantized activations: x is already per-row int8 and
+        # sx_ref holds the row scales — no per-grid-step VPU work, and
+        # the x tile reads at HALF the bf16 HBM footprint
+        q = x_ref[:]
+        sx = sx_ref[:].astype(jnp.float32)
+    else:
+        # per-row dynamic activation quantization: |x| <= amax by
+        # construction, so round() lands in [-127, 127] without a clip.
+        # NOTE: recomputed at EVERY grid step — prefer the pre-quantized
+        # path (ops/linear.py chains it) for anything throughput-bound.
+        xf = x_ref[:].astype(jnp.float32)
+        amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+        sx = jnp.maximum(amax, 1e-12) * (1.0 / 127.0)
+        q = jnp.round(xf * (1.0 / sx)).astype(jnp.int8)
     acc = jnp.dot(q, w8_ref[:], preferred_element_type=jnp.int32)
     acc = acc.astype(jnp.float32) * sx * cs_ref[0:1, :]
-    o_ref[:] = _apply_epilogue(acc, b_ref, epilogue, res_ref, lns_ref,
-                               lnb_ref, ln_eps).astype(o_ref.dtype)
+    acc = _apply_epilogue(acc, b_ref, epilogue, res_ref, lns_ref,
+                          lnb_ref, ln_eps)
+    _emit(acc, o_ref, o8_ref, os_ref)
 
 
 def residual_ln_fits(K: int, N: int, bm: int = 256,
@@ -352,7 +404,8 @@ def residual_ln_fits(K: int, N: int, bm: int = 256,
 @functools.partial(jax.jit, static_argnames=("kind", "bm", "bn", "epilogue",
                                              "compute_dtype", "out_dtype",
                                              "ln_eps", "packed", "interpret",
-                                             "int8_compute"))
+                                             "int8_compute",
+                                             "emit_quantized"))
 def qmatmul(x: jax.Array, codes: jax.Array, scales: jax.Array,
             mins: jax.Array | None = None, bias: jax.Array | None = None,
             *, kind: str = "q4_0", epilogue: str | None = None,
@@ -362,7 +415,9 @@ def qmatmul(x: jax.Array, codes: jax.Array, scales: jax.Array,
             bm: int = 256, bn: int | None = None,
             compute_dtype=jnp.bfloat16, out_dtype=None,
             packed: bool = False, int8_compute: bool = False,
-            interpret: bool = False) -> jax.Array:
+            x_scale: jax.Array | None = None,
+            emit_quantized: str = "no",
+            interpret: bool = False):
     """x [M, K] @ dequant(codes [K, N], scales [K//32, N]) -> [M, N].
 
     Optional fused epilogue (HBM-traffic saver): "bias" adds bias [N] at
@@ -378,15 +433,31 @@ def qmatmul(x: jax.Array, codes: jax.Array, scales: jax.Array,
 
     int8_compute: run the MXU dot in s8xs8->s32 (2x the bf16 rate on
     v5e) — weights requantize in VMEM to per-column int8 on top of
-    their stored format, activations quantize per-row on the fly (see
-    _qmm_kernel). An extra ~2^-7-relative quantization error on top of
-    the weight format's own; storage and HBM traffic unchanged.
-    Silently falls back to bf16 compute on ragged-lane tilings.
+    their stored format; activations either arrive pre-quantized (x is
+    int8 + x_scale [M] f32 row scales — the fast path the engine chains
+    between layers) or quantize per-row on the fly inside the kernel
+    (legacy; recomputed every grid step). An extra ~2^-7-relative
+    quantization error on top of the weight format's own; storage and
+    HBM traffic unchanged (halved for the x read when pre-quantized).
+    Falls back to bf16 compute on ragged-lane tilings (with a warning).
+
+    emit_quantized: "no" | "both" | "only" — additionally emit the
+    epilogue output quantized per-row to int8 with its [M, 1] f32 row
+    scales, computed in-register where the full output row lives (needs
+    bn == N). "both" returns (out, out8, out_scale); "only" skips the
+    dense output and returns (out8, out_scale) — the GELU->FFN-down
+    link writes 1 byte/elem instead of 2.
 
     M must be a multiple of bm (the engine's bucketed batches are; use
     ops.linear for the padded/general entry point) and K % 32 == 0.
     """
     M, K = x.shape
+    x_prequant = x.dtype == jnp.int8
+    if x_prequant:
+        assert x_scale is not None and int8_compute, \
+            "int8 x requires x_scale row scales and int8_compute=True"
+        x_scale = x_scale.reshape(M, 1).astype(jnp.float32)
+    assert emit_quantized in ("no", "both", "only")
     K2, N = codes.shape
     if packed:
         K2 = K2 * 2
@@ -412,7 +483,22 @@ def qmatmul(x: jax.Array, codes: jax.Array, scales: jax.Array,
                     "pallas_fits before calling")
     assert M % bm == 0 and N % bn == 0, ((M, N, K), (bm, bn))
     if int8_compute and (bn % 128 != 0 or K % 32 != 0):
-        int8_compute = False  # ragged-lane tile: keep the bf16 path
+        # ragged-lane tile (e.g. the N=576 qkv shard under tp=4): the
+        # int8 scratch cannot legalize at a non-128-multiple lane count,
+        # so this shape silently loses the 2x MXU rate. Trace-time (the
+        # args are static), so the warning fires once per compiled shape.
+        import logging
+        logging.getLogger(__name__).warning(
+            "int8_compute requested but tile (K=%d, N=%d, bn=%d) has a "
+            "ragged lane count - falling back to bf16 MXU compute for "
+            "this matmul (expect ~the bf16 rate, not 2x)", K, N, bn)
+        int8_compute = False
+    assert not (x_prequant and not int8_compute), \
+        (K, N, bn, "pre-quantized int8 x cannot run the bf16 fallback; "
+         "gate chaining on pallas_fits(..., int8=True) and lane alignment")
+    if emit_quantized != "no":
+        assert bn == N, (bn, N, "quantized emission needs full output "
+                         "rows per tile (bn == N) for the row absmax")
 
     if mins is None:
         mins = jnp.zeros((K // QK, N), scales.dtype)  # unused for q4_0/q8_0
@@ -423,8 +509,11 @@ def qmatmul(x: jax.Array, codes: jax.Array, scales: jax.Array,
     codes_rows = K // 2 if packed else K
     flops = 2 * M * N * K
     bytes_accessed = (M * K * x.dtype.itemsize + codes_rows * N
-                      + (K // QK) * N * 4
-                      + M * N * jnp.dtype(out_dtype).itemsize)
+                      + (K // QK) * N * 4)
+    if emit_quantized != "only":
+        bytes_accessed += M * N * jnp.dtype(out_dtype).itemsize
+    if emit_quantized != "no":
+        bytes_accessed += M * N + M * 4
     in_specs = [
         pl.BlockSpec((bm, K), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((codes_rows, bn), lambda j, i: (0, j),
@@ -447,38 +536,65 @@ def qmatmul(x: jax.Array, codes: jax.Array, scales: jax.Array,
         ]
         operands += [residual.reshape(M, N), ln_scale.reshape(1, N),
                      ln_bias.reshape(1, N)]
+    if x_prequant:
+        in_specs.append(pl.BlockSpec((bm, 1), lambda j, i: (i, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(x_scale)
+
+    with_out = emit_quantized != "only"
+    with_emit = emit_quantized != "no"
+    out_shape, out_specs = [], []
+    if with_out:
+        out_shape.append(jax.ShapeDtypeStruct((M, N), out_dtype))
+        out_specs.append(pl.BlockSpec((bm, bn), lambda j, i: (i, j),
+                                      memory_space=pltpu.VMEM))
+    if with_emit:
+        out_shape += [jax.ShapeDtypeStruct((M, N), jnp.int8),
+                      jax.ShapeDtypeStruct((M, 1), jnp.float32)]
+        out_specs += [pl.BlockSpec((bm, bn), lambda j, i: (i, j),
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec((bm, 1), lambda j, i: (i, 0),
+                                   memory_space=pltpu.VMEM)]
 
     def kernel(*refs):
-        # refs: x, c, s, m, b, [res, lns, lnb], o, w, [w8, cs]
+        # refs: x, c, s, m, b, [res, lns, lnb], [sx],
+        #       [o], [o8, os], w | (w8, cs)
         x_r, c_r, s_r, m_r, b_r = refs[:5]
         rest = list(refs[5:])
-        res_r = lns_r = lnb_r = None
+        res_r = lns_r = lnb_r = sx_r = None
         if with_res:
             res_r, lns_r, lnb_r = rest[:3]
             rest = rest[3:]
+        if x_prequant:
+            sx_r = rest.pop(0)
+        o_r = rest.pop(0) if with_out else None
+        o8_r = os_r = None
+        if with_emit:
+            o8_r, os_r = rest[:2]
+            rest = rest[2:]
         w_r = w8_r = cs_r = None
         if int8_compute:
-            o_r, w8_r, cs_r = rest
+            w8_r, cs_r = rest
         else:
-            o_r, w_r = rest
+            (w_r,) = rest
         _qmm_kernel(x_r, c_r, s_r, m_r, b_r, o_r, w_r, kind=kind,
                     compute_dtype=compute_dtype, epilogue=epilogue,
                     packed=packed,
                     res_ref=res_r, lns_ref=lns_r, lnb_ref=lnb_r,
-                    ln_eps=ln_eps, w8_ref=w8_r, cs_ref=cs_r)
+                    ln_eps=ln_eps, w8_ref=w8_r, cs_ref=cs_r,
+                    sx_ref=sx_r, o8_ref=o8_r, os_ref=os_r)
     if int8_compute:
         # no bf16 staging scratch in int8 mode (see _qmm_int8)
         scratch = [pltpu.VMEM((K, bn), jnp.int8),
                    pltpu.VMEM((1, bn), jnp.float32)]
     else:
         scratch = [pltpu.VMEM((K, bn), compute_dtype)]
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid=(N // bn, M // bm),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((bm, bn), lambda j, i: (i, j),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
+        out_specs=out_specs if len(out_specs) > 1 else out_specs[0],
+        out_shape=out_shape if len(out_shape) > 1 else out_shape[0],
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
@@ -488,3 +604,4 @@ def qmatmul(x: jax.Array, codes: jax.Array, scales: jax.Array,
                                       transcendentals=0),
         interpret=interpret,
     )(*operands)
+    return out

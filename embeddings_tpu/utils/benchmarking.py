@@ -52,6 +52,52 @@ def device_time_us(body: Callable, args: Sequence, *, lo: int = 50,
     return max((times[1] - times[0]) / (hi - lo) * 1e6, 1e-3)
 
 
+def profiled_device_time_us(fn: Callable, args: Sequence, *,
+                            reps: int = 10,
+                            name_prefix: str | None = None) -> float:
+    """Per-call device time (microseconds) from a jax.profiler trace —
+    exact hardware durations, immune to the relay's 1-30 ms dispatch
+    jitter that makes the slope method (device_time_us) unreliable for
+    sub-millisecond ops. fn must be jit-compiled (or jit-traceable; it
+    is called as-is). Sums device-side event durations, optionally
+    restricted to events whose name starts with name_prefix (e.g. the
+    pallas kernel name); otherwise attributes the whole trace."""
+    import collections
+    import glob
+    import gzip
+    import json
+    import tempfile
+
+    out = fn(*args)
+    jax.block_until_ready(out)  # compile outside the trace
+    d = tempfile.mkdtemp()
+    with jax.profiler.trace(d):
+        for _ in range(reps):
+            jax.block_until_ready(fn(*args))
+    tracef = glob.glob(d + "/**/*.trace.json.gz", recursive=True)[0]
+    ev = json.loads(gzip.open(tracef).read())["traceEvents"]
+    # device events live under TPU core pids; host threads duplicate some
+    # names. Keep "X" complete events from pids whose process name labels
+    # a TPU/device track; fall back to all X events if none matched.
+    pid_names = {e["pid"]: e.get("args", {}).get("name", "")
+                 for e in ev if e.get("ph") == "M"
+                 and e.get("name") == "process_name"}
+    dev_pids = {p for p, n in pid_names.items()
+                if "TPU" in n or "/device:" in n or "Chip" in n}
+    dur: collections.Counter = collections.Counter()
+    for e in ev:
+        if e.get("ph") != "X" or "dur" not in e:
+            continue
+        if dev_pids and e.get("pid") not in dev_pids:
+            continue
+        dur[e.get("name", "?")] += e["dur"]
+    if name_prefix is not None:
+        tot = sum(us for n, us in dur.items() if n.startswith(name_prefix))
+    else:
+        tot = sum(dur.values())
+    return tot / reps
+
+
 def wallclock_throughput(fn: Callable, n_items: int, *, warmup: int = 2,
                          reps: int = 3) -> tuple[float, float]:
     """(seconds_per_call, items_per_second) for an end-to-end callable —

@@ -24,6 +24,41 @@ import numpy as np
 import pytest
 
 
+def pytest_configure(config):
+    """Auto-build the native tokenizer ext so a fresh clone doesn't
+    silently skip its ~45 tests (the skips' reason string is clear but
+    nothing fails loudly). Opt out with ET_SKIP_NATIVE_BUILD=1; a failed
+    build degrades to one unmissable warning instead of an error."""
+    if os.environ.get("ET_SKIP_NATIVE_BUILD"):
+        return
+    from pathlib import Path
+    root = Path(__file__).resolve().parent.parent
+    build_dir = os.environ.get("ET_NATIVE_BUILD_DIR", "build")
+    lib = root / "native" / build_dir / "libetok.so"
+    if lib.exists() or not (root / "native" / "Makefile").exists():
+        return
+    import shutil
+    import subprocess
+    if shutil.which("make") is None:
+        config.issue_config_time_warning(
+            pytest.PytestConfigWarning(
+                "native/build/libetok.so is not built and `make` is "
+                "unavailable - the ~45 native-tokenizer tests will be "
+                "SKIPPED. Build with: make -C native"), stacklevel=2)
+        return
+    print("[conftest] building native tokenizer ext (make -C native; "
+          "set ET_SKIP_NATIVE_BUILD=1 to opt out) ...")
+    proc = subprocess.run(["make", "-C", str(root / "native")],
+                          capture_output=True, text=True, timeout=300)
+    if proc.returncode != 0 or not lib.exists():
+        config.issue_config_time_warning(
+            pytest.PytestConfigWarning(
+                "native ext auto-build FAILED - the ~45 native-tokenizer "
+                "tests will be SKIPPED. Run `make -C native` manually; "
+                f"build output tail:\n{proc.stdout[-800:]}"
+                f"\n{proc.stderr[-800:]}"), stacklevel=2)
+
+
 @pytest.fixture(scope="session")
 def small_vocab():
     """A compact WordPiece vocab good enough for real English + CJK tests."""

@@ -207,18 +207,46 @@ def test_int8_compute_packed_and_epilogues(rng):
     assert np.abs(got - ref).max() < 0.08
 
 
-def test_int8_ragged_lane_falls_back(rng):
-    """N with no 128-multiple divisor: int8 silently downgrades to the
-    bf16 path (whole-N ragged tile) and still matches the reference."""
+def test_int8_ragged_lane_falls_back(rng, caplog):
+    """N with no 128-multiple divisor: int8 downgrades to the bf16 path
+    (whole-N ragged tile), still matches the reference, and says so —
+    one trace-time warning per compiled shape (the tp=4 qkv shard N=576
+    is the production shape that hits this cliff)."""
+    import logging
     M, K, N = 16, 128, 192
     x = rng.standard_normal((M, K), dtype=np.float32)
     w = rng.standard_normal((K, N), dtype=np.float32) * 0.05
     qt = quantize(w, "q4_0")
     ref = np.asarray(x @ np.asarray(dequantize(qt), np.float32))
-    got = np.asarray(qmatmul(jnp.asarray(x), qt.codes, qt.scales, qt.mins,
-                             kind="q4_0", bm=16, int8_compute=True,
-                             interpret=True))
+    with caplog.at_level(logging.WARNING, "embeddings_tpu.ops.qmatmul"):
+        got = np.asarray(qmatmul(jnp.asarray(x), qt.codes, qt.scales,
+                                 qt.mins, kind="q4_0", bm=16,
+                                 int8_compute=True, interpret=True))
     np.testing.assert_allclose(got, ref, atol=0.05, rtol=0.05)
+    assert any("falling back to bf16" in r.message for r in caplog.records)
+
+
+def test_int8_tp_shard_paths_announced(rng, caplog):
+    """The tp=4 qkv column shard (N=2304/4=576) warns about the int8
+    downgrade; the tp=2 shard (N=1152, lane-aligned) stays int8 with no
+    warning."""
+    import logging
+    M, K = 16, 128
+    x = jnp.asarray(rng.standard_normal((M, K), dtype=np.float32))
+    for N, expect_warn in ((576, True), (1152, False)):
+        w = rng.standard_normal((K, N), dtype=np.float32) * 0.05
+        qt = quantize(w, "q4_0")
+        with caplog.at_level(logging.WARNING,
+                             "embeddings_tpu.ops.qmatmul"):
+            caplog.clear()
+            out = qmatmul(x, qt.codes, qt.scales, qt.mins, kind="q4_0",
+                          bm=16, int8_compute=True, interpret=True)
+        warned = any("falling back to bf16" in r.message
+                     for r in caplog.records)
+        assert warned == expect_warn, (N, caplog.records)
+        ref = np.asarray(x @ dequantize(qt), np.float32)
+        np.testing.assert_allclose(np.asarray(out, np.float32), ref,
+                                   atol=0.08, rtol=0.08)
 
 
 def test_int8_emulated_fallback_matches_kernel(rng):
