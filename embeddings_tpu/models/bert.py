@@ -211,8 +211,13 @@ def _logit_bias(params: Params, config: BertConfig,
 
 def _fused_attn_dispatch(qkv2d, lengths, segments, B, L, H, D,
                          attn_window=0, bias4=None, local_window=None,
-                         alibi=None, causal=False):
+                         alibi=None, causal=False, emit_int8=False):
+    """emit_int8: ask the kernel to return the context pre-quantized
+    (ActQ) for the chained int8 o-projection — honored by the whole-row
+    and segmented kernels (the serving hot paths); other routes return
+    the bf16 context and the caller quantizes with one XLA pass."""
     from ..ops import attention as attn_ops
+    from ..ops.linear import ActQ
     E = H * D
 
     def global_attn(q2d):
@@ -228,6 +233,10 @@ def _fused_attn_dispatch(qkv2d, lengths, segments, B, L, H, D,
             # whole-row K/V would not fit VMEM: stream key blocks
             return attn_ops.fused_attention_stream(
                 q2d, lengths, B=B, L=L, H=H, D=D, BK=attn_ops.pick_bk(L))
+        if emit_int8:
+            o8, osc = attn_ops.fused_attention(
+                q2d, lengths, B=B, L=L, H=H, D=D, emit_quantized="only")
+            return ActQ(o8, osc)
         return attn_ops.fused_attention(q2d, lengths, B=B, L=L, H=H, D=D)
 
     if local_window is not None:
@@ -258,6 +267,11 @@ def _fused_attn_dispatch(qkv2d, lengths, segments, B, L, H, D,
             # saved block the monolithic [L, L] tile is still faster.
             return attn_ops.fused_attention_segmented_blockskip(
                 qkv2d, segments, B=B, L=L, H=H, D=D, window=attn_window)
+        if emit_int8:
+            o8, osc = attn_ops.fused_attention_segmented(
+                qkv2d, segments, B=B, L=L, H=H, D=D,
+                emit_quantized="only")
+            return ActQ(o8, osc)
         return attn_ops.fused_attention_segmented(
             qkv2d, segments, B=B, L=L, H=H, D=D)
     return global_attn(qkv2d)
@@ -289,7 +303,7 @@ def attention_context(layer: Params, config: BertConfig, x: jax.Array,
                       local_window: tuple | None = None,
                       alibi: tuple[float, ...] | None = None,
                       causal: bool = False,
-                      xq=None) -> jax.Array:
+                      xq=None, emit_int8: bool = False):
     """Pad-masked multi-head self-attention, up to (not including) the
     output projection (bert.cpp:994-1036). Returns [B, L, E_local]
     context. Under shard_map tensor parallelism the q/k/v weights are
@@ -324,7 +338,11 @@ def attention_context(layer: Params, config: BertConfig, x: jax.Array,
             # fully fused VMEM attention: scores/probs never touch HBM
             ctx = _fused_attn_dispatch(qkv.reshape(B * L, 3 * El), lengths,
                                        segments, B, L, H, D, attn_window,
-                                       bias4, local_window, alibi, causal)
+                                       bias4, local_window, alibi, causal,
+                                       emit_int8=emit_int8)
+            from ..ops.linear import ActQ, _reshape_actq
+            if isinstance(ctx, ActQ):
+                return _reshape_actq(ctx, B, L)
             return ctx.reshape(B, L, El)
         q = qkv[..., :El].reshape(B, L, H, D)
         k = qkv[..., El:2 * El].reshape(B, L, H, D)
@@ -355,7 +373,11 @@ def attention_context(layer: Params, config: BertConfig, x: jax.Array,
                     interleaved=config.rotary_interleaved)
             ctx = _fused_attn_dispatch(qkv.reshape(B * L, 3 * El), lengths,
                                        segments, B, L, H, D, attn_window,
-                                       bias4, local_window, alibi, causal)
+                                       bias4, local_window, alibi, causal,
+                                       emit_int8=emit_int8)
+            from ..ops.linear import ActQ, _reshape_actq
+            if isinstance(ctx, ActQ):
+                return _reshape_actq(ctx, B, L)
             return ctx.reshape(B, L, El)
         q = q.reshape(B, L, H, D)
         k = k.reshape(B, L, H, D)
@@ -415,14 +437,15 @@ def encoder_layer(layer: Params, config: BertConfig, x: jax.Array,
     a, m = layer["attn"], layer["mlp"]
     eps = config.layer_norm_eps
     ctx = attention_context(layer, config, x, mask_bias, lengths, segments,
-                            attn_window, bias4, rope, alibi=alibi, xq=xq)
+                            attn_window, bias4, rope, alibi=alibi, xq=xq,
+                            emit_int8=chain)
     if chain:
-        from ..ops.linear import quantize_act
-        # the attention output feeds only the o-proj: quantize it once
-        # here (one XLA pass; cheaper than re-deriving absmaxes per
-        # grid step in-kernel — and removable later by emitting int8
-        # from the attention kernel itself)
-        x, xq = linear_residual_ln(quantize_act(ctx), a["o"]["w"],
+        from ..ops.linear import ActQ, quantize_act
+        # the attention kernels emit the context pre-quantized (ActQ) —
+        # the bf16 context never touches HBM; routes without emission
+        # (bias/stream/window/einsum) fall back to one XLA quantize pass
+        ctxq = ctx if isinstance(ctx, ActQ) else quantize_act(ctx)
+        x, xq = linear_residual_ln(ctxq, a["o"]["w"],
                                    a["o"]["b"], x, a["ln"]["scale"],
                                    a["ln"]["bias"], eps, emit="both")
         # GELU link: the up-projection's output feeds ONLY the down

@@ -58,19 +58,38 @@ def _clamp_hi(n_keys: int) -> float:
     return float(127 - math.ceil(math.log2(max(n_keys, 2))))
 
 
+def _emit_int8_rows(of32, o8_ref, os_ref):
+    """Per-row symmetric int8 quantization of a full-row tile, written
+    to the emission outputs — the attention analogue of the matmul
+    kernels' emission epilogue (ops/qmatmul._emit): the context feeds
+    ONLY the o-projection, so emitting it pre-quantized here removes the
+    per-layer XLA quantize pass (an extra [M, E] HBM read) entirely."""
+    rmax = jnp.max(jnp.abs(of32), axis=-1, keepdims=True)
+    so = jnp.maximum(rmax, 1e-30) * (1.0 / 127.0)
+    o8_ref[:] = jnp.round(of32 * (1.0 / so)).astype(jnp.int8)
+    os_ref[:] = so
+
+
 def _attn_kernel(lengths_ref, q_ref, k_ref, v_ref, o_ref, *,
-                 Lq: int, L: int, D: int, H: int, scale: float):
+                 Lq: int, L: int, D: int, H: int, scale: float,
+                 o8_ref=None, os_ref=None, stage_ref=None):
     """Grid (B, L/Lq): queries in [Lq, E] blocks, keys/values the whole
     row. At L <= 512 the engine sets Lq = L (one query block — the
     measured-fast whole-row tile, nQ = 1); longer rows use Lq = 128 so
     scoped VMEM holds two full-row operands instead of four (the
-    whole-row layout overflows 16 MB at L=1024, E=768)."""
+    whole-row layout overflows 16 MB at L=1024, E=768).
+
+    o8_ref/os_ref (emission): also write the context per-row-quantized
+    to int8 + f32 row scales. stage_ref (int8-only emission, o_ref is
+    None): an f32 VMEM scratch staging the per-head writes so the row
+    absmax reads from VMEM, and the bf16 context never reaches HBM."""
     b = pl.program_id(0)
     n = lengths_ref[b]
     key_ok = jax.lax.broadcasted_iota(jnp.int32, (Lq, L), 1) < n
     s2 = scale * LOG2E
     clamp_hi = _clamp_hi(L)
     aug_col = jax.lax.broadcasted_iota(jnp.int32, (L, 2 * D), 1)
+    tgt = stage_ref if stage_ref is not None else o_ref
     for h in range(H):
         sl = slice(h * D, (h + 1) * D)
         q = q_ref[:, sl]
@@ -88,7 +107,9 @@ def _attn_kernel(lengths_ref, q_ref, k_ref, v_ref, o_ref, *,
         # all-pad filler rows (n==0) have denom 0; clamp so they stay
         # finite (their output is discarded by pooling/scatter anyway)
         denom = jnp.maximum(of[:, D:D + 1], 1e-30)
-        o_ref[:, sl] = (of[:, :D] * (1.0 / denom)).astype(o_ref.dtype)
+        tgt[:, sl] = (of[:, :D] * (1.0 / denom)).astype(tgt.dtype)
+    if o8_ref is not None:
+        _emit_int8_rows(tgt[:].astype(jnp.float32), o8_ref, os_ref)
 
 
 def _query_block(L: int) -> int:
@@ -222,7 +243,8 @@ def fused_attention_bias(qkv: jax.Array, lengths: jax.Array,
 
 
 def _attn_kernel_segmented(q_ref, k_ref, v_ref, segq_ref, segk_ref, o_ref, *,
-                           Lq: int, L: int, D: int, H: int, scale: float):
+                           Lq: int, L: int, D: int, H: int, scale: float,
+                           o8_ref=None, os_ref=None, stage_ref=None):
     """Same softmax/PV structure as _attn_kernel, but the key mask comes
     from segment equality instead of a prefix length — attention only
     within each packed segment (runtime/packing.py), pads (seg -1) get
@@ -238,6 +260,7 @@ def _attn_kernel_segmented(q_ref, k_ref, v_ref, segq_ref, segk_ref, o_ref, *,
     key_ok = (segq == segk) & (segk >= 0)                  # [Lq, L]
     s2 = scale * LOG2E
     clamp_hi = _clamp_hi(L)
+    tgt = stage_ref if stage_ref is not None else o_ref
     aug_col = jax.lax.broadcasted_iota(jnp.int32, (L, 2 * D), 1)
     for h in range(H):
         sl = slice(h * D, (h + 1) * D)
@@ -254,7 +277,9 @@ def _attn_kernel_segmented(q_ref, k_ref, v_ref, segq_ref, segk_ref, o_ref, *,
         # pad query rows have no valid keys -> denom==0; make it 1 so the
         # (discarded) rows stay finite instead of NaN
         denom = jnp.maximum(of[:, D:D + 1], 1e-30)
-        o_ref[:, sl] = (of[:, :D] * (1.0 / denom)).astype(o_ref.dtype)
+        tgt[:, sl] = (of[:, :D] * (1.0 / denom)).astype(tgt.dtype)
+    if o8_ref is not None:
+        _emit_int8_rows(tgt[:].astype(jnp.float32), o8_ref, os_ref)
 
 
 BQ = 128  # query rows per block in the block-skipping segmented kernel
@@ -411,31 +436,69 @@ def fused_attention_segmented_blockskip(
 
 
 @functools.partial(jax.jit, static_argnames=("B", "L", "H", "D",
-                                             "mask_value", "interpret"))
+                                             "mask_value", "interpret",
+                                             "emit_quantized"))
 def fused_attention_segmented(qkv: jax.Array, seg_ids: jax.Array, *, B: int,
                               L: int, H: int, D: int,
                               mask_value: float = -1e9,
-                              interpret: bool = False) -> jax.Array:
+                              emit_quantized: str = "no",
+                              interpret: bool = False):
     """Segment-masked variant of fused_attention for token-packed rows.
 
     qkv [B*L, 3*H*D] as in fused_attention; seg_ids int32 [B, L] with -1
     on pad positions. mask_value accepted for API compatibility (pads and
-    cross-segment pairs get exactly zero probability).
+    cross-segment pairs get exactly zero probability). emit_quantized:
+    as in fused_attention — per-row int8 context emission for the
+    chained int8 o-projection ("only" skips the bf16 write).
     """
     E = H * D
     M = B * L
     assert qkv.shape == (M, 3 * E), (qkv.shape, (M, 3 * E))
     assert seg_ids.shape == (B, L), seg_ids.shape
     assert supported(L, H, D), (L, H, D)
+    assert emit_quantized in ("no", "both", "only")
     seg_col = seg_ids.reshape(M, 1)   # query-side view, tiled [Lq, 1]
     seg_row = seg_ids                  # key-side view, tiled [1, L]
     Lq = _query_block(L)
     nQ = L // Lq
 
-    kernel = functools.partial(_attn_kernel_segmented, Lq=Lq, L=L, D=D,
-                               H=H, scale=1.0 / (D ** 0.5))
+    with_out = emit_quantized != "only"
+    with_emit = emit_quantized != "no"
+    out_shape, out_specs = [], []
+    if with_out:
+        out_shape.append(jax.ShapeDtypeStruct((M, E), qkv.dtype))
+        out_specs.append(pl.BlockSpec(
+            (Lq, E), lambda b, qb: (b * nQ + qb, 0),
+            memory_space=pltpu.VMEM))
+    if with_emit:
+        out_shape += [jax.ShapeDtypeStruct((M, E), jnp.int8),
+                      jax.ShapeDtypeStruct((M, 1), jnp.float32)]
+        out_specs += [pl.BlockSpec((Lq, E),
+                                   lambda b, qb: (b * nQ + qb, 0),
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec((Lq, 1),
+                                   lambda b, qb: (b * nQ + qb, 0),
+                                   memory_space=pltpu.VMEM)]
+    scratch = ([pltpu.VMEM((Lq, E), jnp.float32)]
+               if (with_emit and not with_out) else [])
+
+    def kernel(q_ref, k_ref, v_ref, segq_ref, segk_ref, *rest):
+        o_ref = o8_ref = os_ref = stage_ref = None
+        rest = list(rest)
+        if with_out:
+            o_ref = rest.pop(0)
+        if with_emit:
+            o8_ref, os_ref = rest[:2]
+            rest = rest[2:]
+        if scratch:
+            (stage_ref,) = rest
+        _attn_kernel_segmented(q_ref, k_ref, v_ref, segq_ref, segk_ref,
+                               o_ref, Lq=Lq, L=L, D=D, H=H,
+                               scale=1.0 / (D ** 0.5), o8_ref=o8_ref,
+                               os_ref=os_ref, stage_ref=stage_ref)
+
     flops = 2 * 2 * B * H * L * L * D
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid=(B, nQ),
         in_specs=[
@@ -450,9 +513,9 @@ def fused_attention_segmented(qkv: jax.Array, seg_ids: jax.Array, *, B: int,
             pl.BlockSpec((B, L), lambda b, qb: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((Lq, E), lambda b, qb: (b * nQ + qb, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((M, E), qkv.dtype),
+        out_specs=out_specs if len(out_specs) > 1 else out_specs[0],
+        out_shape=out_shape if len(out_shape) > 1 else out_shape[0],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
@@ -462,6 +525,7 @@ def fused_attention_segmented(qkv: jax.Array, seg_ids: jax.Array, *, B: int,
             transcendentals=B * H * L * L),
         interpret=interpret,
     )(qkv, qkv, qkv, seg_col, seg_row)
+    return out
 
 
 def _attn_kernel_cp(lengths_ref, q_ref, k_ref, v_ref, o_ref, *,
@@ -850,22 +914,50 @@ def fused_attention_cp_stream(q: jax.Array, kv: jax.Array,
 
 
 @functools.partial(jax.jit, static_argnames=("B", "L", "H", "D",
-                                             "mask_value", "interpret"))
+                                             "mask_value", "interpret",
+                                             "emit_quantized"))
 def fused_attention(qkv: jax.Array, lengths: jax.Array, *, B: int, L: int,
                     H: int, D: int, mask_value: float = -1e9,
-                    interpret: bool = False) -> jax.Array:
+                    emit_quantized: str = "no",
+                    interpret: bool = False):
     """qkv [B*L, 3*H*D] (column layout [q | k | v], heads contiguous),
     lengths [B] int32 -> context [B*L, H*D] (pre-output-projection).
 
     mask_value is accepted for API compatibility; pad keys get exactly
     zero probability regardless of its value.
+
+    emit_quantized: "no" | "both" | "only" — additionally (or instead)
+    return the context per-row-quantized (int8 [B*L, E] + f32 [B*L, 1]
+    row scales) for the chained int8 o-projection; "only" never writes
+    the bf16 context to HBM at all.
     """
     E = H * D
     M = B * L
     assert qkv.shape == (M, 3 * E), (qkv.shape, (M, 3 * E))
     assert supported(L, H, D), (L, H, D)
+    assert emit_quantized in ("no", "both", "only")
     Lq = _query_block(L)
     nQ = L // Lq
+
+    with_out = emit_quantized != "only"
+    with_emit = emit_quantized != "no"
+    out_shape, out_specs = [], []
+    if with_out:
+        out_shape.append(jax.ShapeDtypeStruct((M, E), qkv.dtype))
+        out_specs.append(pl.BlockSpec(
+            (Lq, E), lambda b, qb, *_: (b * nQ + qb, 0),
+            memory_space=pltpu.VMEM))
+    if with_emit:
+        out_shape += [jax.ShapeDtypeStruct((M, E), jnp.int8),
+                      jax.ShapeDtypeStruct((M, 1), jnp.float32)]
+        out_specs += [pl.BlockSpec((Lq, E),
+                                   lambda b, qb, *_: (b * nQ + qb, 0),
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec((Lq, 1),
+                                   lambda b, qb, *_: (b * nQ + qb, 0),
+                                   memory_space=pltpu.VMEM)]
+    scratch = ([pltpu.VMEM((Lq, E), jnp.float32)]
+               if (with_emit and not with_out) else [])
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -878,16 +970,29 @@ def fused_attention(qkv: jax.Array, lengths: jax.Array, *, B: int, L: int,
             pl.BlockSpec((L, E), lambda b, qb, *_: (b, 2),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((Lq, E), lambda b, qb, *_: (b * nQ + qb, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=out_specs if len(out_specs) > 1 else out_specs[0],
+        scratch_shapes=scratch,
     )
-    kernel = functools.partial(_attn_kernel, Lq=Lq, L=L, D=D, H=H,
-                               scale=1.0 / (D ** 0.5))
+
+    def kernel(len_ref, q_ref, k_ref, v_ref, *rest):
+        o_ref = o8_ref = os_ref = stage_ref = None
+        rest = list(rest)
+        if with_out:
+            o_ref = rest.pop(0)
+        if with_emit:
+            o8_ref, os_ref = rest[:2]
+            rest = rest[2:]
+        if scratch:
+            (stage_ref,) = rest
+        _attn_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, Lq=Lq, L=L,
+                     D=D, H=H, scale=1.0 / (D ** 0.5), o8_ref=o8_ref,
+                     os_ref=os_ref, stage_ref=stage_ref)
+
     flops = 2 * 2 * B * H * L * L * D
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((M, E), qkv.dtype),
+        out_shape=out_shape if len(out_shape) > 1 else out_shape[0],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
@@ -898,3 +1003,4 @@ def fused_attention(qkv: jax.Array, lengths: jax.Array, *, B: int, L: int,
             transcendentals=B * H * L * L),
         interpret=interpret,
     )(lengths, qkv, qkv, qkv)
+    return out

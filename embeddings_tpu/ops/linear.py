@@ -149,14 +149,18 @@ def _int8_emulated_dot(x2d: jax.Array | ActQ, wd: jax.Array) -> jax.Array:
     wd = wd.astype(jnp.float32)
     cs = jnp.maximum(jnp.max(jnp.abs(wd), axis=0, keepdims=True),
                      1e-12) * (1.0 / 127.0)
-    w8 = jnp.round(wd / cs).astype(jnp.int8)
+    # multiply-by-reciprocal, NOT division: the kernel requantizes with
+    # v * (1/cs) (qmatmul._qmm_int8), and the two round() inputs differ
+    # by a couple f32 ULPs — enough to flip ties and break exact
+    # kernel-vs-emulation conformance checks
+    w8 = jnp.round(wd * (1.0 / cs)).astype(jnp.int8)
     if isinstance(x2d, ActQ):
         q, sx = x2d.q, x2d.s.astype(jnp.float32)
     else:
         xf = x2d.astype(jnp.float32)
         sx = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True),
                          1e-12) * (1.0 / 127.0)
-        q = jnp.round(xf / sx).astype(jnp.int8)
+        q = jnp.round(xf * (1.0 / sx)).astype(jnp.int8)
     acc = jnp.dot(q, w8, preferred_element_type=jnp.int32)
     return acc.astype(jnp.float32) * sx * cs
 

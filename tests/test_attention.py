@@ -413,3 +413,62 @@ def test_cp_forward_streams_past_whole_row(rng, tiny_config):
     assert calls, "CP streaming kernel was not dispatched"
     cos = (got * ref).sum(-1)
     assert cos.min() > 0.999, cos
+
+
+def test_fused_attention_emit_quantized(rng):
+    """The whole-row and segmented kernels can emit the context per-row
+    int8-quantized (+f32 row scales) for the chained int8 o-projection;
+    'only' skips the bf16 output entirely (staged in an f32 scratch) and
+    must reconstruct it within one emitted-int8 step."""
+    from embeddings_tpu.ops import attention as A
+    B, L, H, D = 4, 64, 2, 64
+    E = H * D
+    qkv = jnp.asarray(rng.standard_normal((B * L, 3 * E)) * 0.3,
+                      jnp.bfloat16)
+    lengths = jnp.asarray([64, 33, 8, 64], jnp.int32)
+    o = np.asarray(A.fused_attention(qkv, lengths, B=B, L=L, H=H, D=D,
+                                     interpret=True), np.float32)
+    o8, osc = A.fused_attention(qkv, lengths, B=B, L=L, H=H, D=D,
+                                emit_quantized="only", interpret=True)
+    o8, osc = np.asarray(o8), np.asarray(osc)
+    rec = o8.astype(np.float32) * osc
+    assert np.abs(rec - o).max() < 1.1 * osc.max() + 0.01
+    # scales are row absmax / 127 of the staged f32 rows — close to the
+    # bf16 output's row absmax
+    np.testing.assert_allclose(osc[:, 0], np.abs(o).max(-1) / 127.0,
+                               atol=2e-4, rtol=0.05)
+    ob, o8b, oscb = A.fused_attention(qkv, lengths, B=B, L=L, H=H, D=D,
+                                      emit_quantized="both",
+                                      interpret=True)
+    assert np.array_equal(np.asarray(ob, np.float32), o)
+    # "both" quantizes from the bf16-rounded output tile, "only" from
+    # the f32 staging scratch — codes may differ by one step
+    assert np.abs(np.asarray(o8b).astype(np.int32)
+                  - o8.astype(np.int32)).max() <= 1
+    np.testing.assert_allclose(np.asarray(oscb), osc, rtol=0.02,
+                               atol=1e-6)
+
+
+def test_fused_segmented_emit_quantized(rng):
+    from embeddings_tpu.ops import attention as A
+    B, L, H, D = 4, 64, 2, 64
+    E = H * D
+    qkv = jnp.asarray(rng.standard_normal((B * L, 3 * E)) * 0.3,
+                      jnp.bfloat16)
+    seg = np.full((B, L), -1, np.int32)
+    for bi in range(B):
+        off = 0
+        si = 0
+        while off < L - 4:
+            n = min(int(rng.integers(4, 20)), L - off)
+            seg[bi, off:off + n] = si
+            off += n
+            si += 1
+    segj = jnp.asarray(seg)
+    o = np.asarray(A.fused_attention_segmented(
+        qkv, segj, B=B, L=L, H=H, D=D, interpret=True), np.float32)
+    s8, ss = A.fused_attention_segmented(
+        qkv, segj, B=B, L=L, H=H, D=D, emit_quantized="only",
+        interpret=True)
+    rec = np.asarray(s8, np.float32) * np.asarray(ss)
+    assert np.abs(rec - o).max() < 1.1 * float(np.asarray(ss).max()) + 0.01

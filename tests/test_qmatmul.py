@@ -285,3 +285,77 @@ def test_int8_mode_engine_end_to_end(rng):
     cos = (base * got).sum(-1)
     assert np.allclose(np.linalg.norm(got, axis=-1), 1.0, atol=1e-5)
     assert cos.min() > 0.998, cos
+
+
+# chained int8 activations: pre-quantized consumption + in-kernel
+# emission (round 4: the round-3 design recomputed row absmaxes once per
+# grid step inside every consumer — ops/qmatmul._qmm_int8 docstring)
+
+def test_prequant_consumption_matches_emulation(rng):
+    """int8 x + row scales consumed directly by the kernel == the XLA
+    emulation fed the same ActQ (exact-arithmetic conformance)."""
+    from embeddings_tpu.ops.linear import ActQ, _int8_emulated_dot, quantize_act
+    M, K, N = 32, 128, 256
+    x = jnp.asarray(rng.standard_normal((M, K)), jnp.bfloat16)
+    w = rng.standard_normal((K, N)).astype(np.float32) * 0.05
+    qt = quantize(w, "q4_0")
+    xq = quantize_act(x)
+    got = np.asarray(qmatmul(xq.q, qt.codes, qt.scales, qt.mins,
+                             kind="q4_0", bm=32, int8_compute=True,
+                             x_scale=xq.s, out_dtype=jnp.float32,
+                             interpret=True))
+    ref = np.asarray(_int8_emulated_dot(
+        ActQ(xq.q, xq.s), dequantize(qt)), np.float32)
+    np.testing.assert_allclose(got, ref, atol=2e-3, rtol=1e-3)
+
+
+def test_emit_quantized_roundtrip(rng):
+    """emit='both' returns the dense output plus its per-row int8+scale;
+    'only' returns just the quantized pair with identical values."""
+    from embeddings_tpu.ops.linear import quantize_act
+    M, K, N = 32, 128, 256
+    x = jnp.asarray(rng.standard_normal((M, K)), jnp.bfloat16)
+    w = rng.standard_normal((K, N)).astype(np.float32) * 0.05
+    qt = quantize(w, "q4_0")
+    xq = quantize_act(x)
+    o, o8, osc = qmatmul(xq.q, qt.codes, qt.scales, qt.mins,
+                         kind="q4_0", bm=32, int8_compute=True,
+                         x_scale=xq.s, emit_quantized="both",
+                         out_dtype=jnp.float32, interpret=True)
+    o, o8, osc = np.asarray(o), np.asarray(o8), np.asarray(osc)
+    np.testing.assert_allclose(osc[:, 0], np.abs(o).max(-1) / 127.0,
+                               atol=1e-7, rtol=1e-5)
+    rec = o8.astype(np.float32) * osc
+    assert np.abs(rec - o).max() <= 1.02 * osc.max()
+    o8b, oscb = qmatmul(xq.q, qt.codes, qt.scales, qt.mins,
+                        kind="q4_0", bm=32, int8_compute=True,
+                        x_scale=xq.s, emit_quantized="only",
+                        interpret=True)
+    assert np.array_equal(np.asarray(o8b), o8)
+    np.testing.assert_allclose(np.asarray(oscb), osc)
+
+
+def test_chained_forward_matches_unchained_emulation(rng):
+    """Full chained-int8 forward (interpret mode: real kernel code) vs
+    the unchained XLA int8 emulation — same arithmetic class, cosine
+    ~1. This is the end-to-end guard for _int8_chain_ok wiring."""
+    from embeddings_tpu.config import BertConfig
+    from embeddings_tpu.models import bert
+    from embeddings_tpu.models import params as P
+    from embeddings_tpu.ops.linear import int8_mode, interpret_mode
+
+    cfg = BertConfig(vocab_size=256, hidden_size=128, num_hidden_layers=2,
+                     num_attention_heads=2, intermediate_size=256,
+                     max_position_embeddings=64)
+    params = P.fuse_qkv(P.quantize_params(P.init_params(cfg, rng=0),
+                                          "q4_0"))
+    ids = jnp.asarray(rng.integers(0, 250, (2, 16)), jnp.int32)
+    mask = jnp.asarray([[1] * 16, [1] * 9 + [0] * 7], jnp.int32)
+    with int8_mode(True):
+        ref = np.asarray(bert.encode_tokens(params, cfg, ids, mask,
+                                            compute_dtype="bfloat16"))
+    with int8_mode(True), interpret_mode(True):
+        got = np.asarray(bert.encode_tokens(params, cfg, ids, mask,
+                                            compute_dtype="bfloat16"))
+    cos = (ref * got).sum(-1)
+    assert (cos > 0.999).all(), cos
