@@ -22,6 +22,7 @@ Note on GELU: ggml uses the tanh approximation while HF BERT uses erf
 
 from __future__ import annotations
 
+import logging
 import math
 from functools import partial
 from typing import Any
@@ -209,6 +210,33 @@ def _logit_bias(params: Params, config: BertConfig,
     return None
 
 
+def attention_route_name(L, H, D, E, segmented, attn_window, has_bias4,
+                         has_local_window, has_alibi, causal) -> str:
+    """Human-readable name of the fused-attention kernel
+    _fused_attn_dispatch would pick for these (static) shape/flag args —
+    the single source of truth for route logging and the quality gates'
+    kernel-route assertions (tests/benchmarks check the served path is
+    the one the artifact claims)."""
+    from ..ops import attention as attn_ops
+    if has_local_window:
+        return "cond(stream|windowed)"  # ModernBERT alternating layers
+    if has_bias4:
+        return "fused_bias"             # MPNet relative-position bias
+    if segmented:
+        nK = L // attn_ops.BQ
+        if (L > attn_ops.BQ and L % attn_ops.BQ == 0
+                and 0 < attn_window <= nK - 2):
+            return "segmented_blockskip"
+        return "segmented"
+    if has_alibi:
+        return "stream_alibi"
+    if causal:
+        return "stream_causal"
+    if not attn_ops.whole_row_fits(L, E):
+        return "stream"
+    return "whole_row"
+
+
 def _fused_attn_dispatch(qkv2d, lengths, segments, B, L, H, D,
                          attn_window=0, bias4=None, local_window=None,
                          alibi=None, causal=False, emit_int8=False):
@@ -219,6 +247,14 @@ def _fused_attn_dispatch(qkv2d, lengths, segments, B, L, H, D,
     from ..ops import attention as attn_ops
     from ..ops.linear import ActQ
     E = H * D
+    # trace-time (static args): fires once per compiled shape, so a gate
+    # run's log records which kernel actually carried the forward
+    logging.getLogger(__name__).info(
+        "attention route: %s (B=%d L=%d H=%d D=%d)",
+        attention_route_name(L, H, D, E, segments is not None,
+                             attn_window, bias4 is not None,
+                             local_window is not None, alibi is not None,
+                             causal), B, L, H, D)
 
     def global_attn(q2d):
         if alibi is not None or causal:

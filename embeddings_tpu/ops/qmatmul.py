@@ -37,6 +37,20 @@ from .quant import QK
 _VMEM_BUDGET = 13 * 1024 * 1024
 # K-rows dequantized per chunk inside the kernel (bounds the stack temp).
 _DEQ_CHUNK = 512
+# nf4's 16-way select chain keeps ~2 live f32 [chunk, bn] vectors on the
+# Mosaic stack while decoding; at bn=3072 a 512-row chunk is ~6.3 MB per
+# temp and blows the 16 MB scoped-VMEM limit (observed on-chip at
+# K=768/N=3072 res_ln: 18.67M/16M). 64 rows caps the temps at ~1.6 MB
+# inside _pick_bn's 3 MB headroom; the decode runs once per N-tile, so
+# the extra loop trips amortize over M/bm grid steps.
+_DEQ_CHUNK_NF4 = 64
+
+
+def _deq_chunk(K: int, kind: str) -> int:
+    step = min(K, _DEQ_CHUNK_NF4 if kind == "nf4" else _DEQ_CHUNK)
+    while K % step:  # largest QK-multiple divisor
+        step -= QK
+    return step
 
 
 def _pick_bn(K: int, N: int, bm: int, requested: int | None,
@@ -202,9 +216,8 @@ def _qmm_kernel(x_ref, c_ref, s_ref, m_ref, b_ref, o_ref, w_ref, *,
             # would materialize a second weight-sized temp on the Mosaic
             # stack on top of the scratch (observed VMEM OOM at K=3072,
             # bn=768); chunking caps the temp at _DEQ_CHUNK*bn values
-            step = min(K, _DEQ_CHUNK)
-            while K % step:  # largest QK-multiple divisor <= _DEQ_CHUNK
-                step -= QK
+            # (nf4 chunks smaller still — see _DEQ_CHUNK_NF4)
+            step = _deq_chunk(K, kind)
             for c in range(0, K, step):
                 sl = slice(c, c + step)
                 sb = slice(c // QK, (c + step) // QK)
@@ -325,9 +338,7 @@ def _qmm_int8(x_ref, c_ref, s_ref, m_ref, b_ref, o_ref, w8_ref, cs_ref,
     def unpacked_chunks():
         """yield (row0, f32 dequant value [step, bn]) per K-chunk."""
         bn = c_ref.shape[-1]
-        step = min(K, _DEQ_CHUNK)
-        while K % step:
-            step -= QK
+        step = _deq_chunk(K, kind)
         for c in range(0, K, step):
             sl = slice(c, c + step)
             sb = slice(c // QK, (c + step) // QK)
