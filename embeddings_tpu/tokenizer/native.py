@@ -265,10 +265,131 @@ class NativeBPETokenizer:
             pass
 
 
+def _bind_unigram(lib) -> bool:
+    if getattr(lib, "_euni_bound", False):
+        return True
+    try:
+        lib.euni_new.restype = ctypes.c_void_p
+        lib.euni_new.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_double, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int32]
+        lib.euni_free.argtypes = [ctypes.c_void_p]
+        lib.euni_encode.restype = ctypes.c_int32
+        lib.euni_encode.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int32]
+    except AttributeError:
+        return False  # .so built before unigram.cpp existed
+    lib._euni_bound = True
+    return True
+
+
+class NativeUnigramTokenizer:
+    """Fast path for UnigramTokenizer.encode: metaspace + Viterbi +
+    unk/byte-fallback emission in C++ (native/unigram.cpp). The
+    normalizer (NFKC / precompiled charsmap / lowercase chains) STAYS on
+    the wrapped Python tokenizer — it is <3% of tokenization time
+    (benchmarks/unigram_throughput.py) and the conformance-critical
+    part, so only the 97% Viterbi hot loop crosses the FFI."""
+
+    def __init__(self, tok):
+        from .unigram import _UNK_PENALTY
+        lib = _load_lib()
+        if lib is None or not _bind_unigram(lib):
+            raise RuntimeError(
+                "native unigram not built (run `make -C native`)")
+        self._lib = lib
+        self._py = tok  # normalization + special ids stay authoritative
+        pieces = (ctypes.c_char_p * len(tok.pieces))(
+            *[p.encode("utf-8") for p in tok.pieces])
+        scores = (ctypes.c_double * len(tok.scores))(*tok.scores)
+        byte_ids = None
+        if tok.byte_fallback:
+            byte_ids = (ctypes.c_int32 * 256)(
+                *[(-1 if i is None else i) for i in tok._byte_ids])
+        unk_emit = tok.unk_id_model if tok.unk_id_model is not None else -1
+        self._ctx = lib.euni_new(
+            pieces, scores, len(tok.pieces), unk_emit,
+            float(tok._min_score - _UNK_PENALTY), int(tok.fuse_unk),
+            byte_ids, int(tok.prepend_scheme != "never"))
+        self.cls_id = tok.cls_id
+        self.sep_id = tok.sep_id
+        self.unk_id = tok.unk_id
+        self.pad_id = tok.pad_id
+        self._tls = threading.local()
+
+    @classmethod
+    def wrap(cls, tok) -> "NativeUnigramTokenizer | None":
+        from .unigram import UnigramTokenizer
+        if not isinstance(tok, UnigramTokenizer):
+            return None
+        lib = _load_lib()
+        if lib is None or not _bind_unigram(lib):
+            return None
+        return cls(tok)
+
+    def _scratch(self):
+        buf = getattr(self._tls, "buf", None)
+        if buf is None:
+            buf = (ctypes.c_int32 * 8192)()
+            self._tls.buf = buf
+        return buf
+
+    def tokenize_to_ids(self, text: str) -> list[int]:
+        data = self._py._normalize(text).encode("utf-8")
+        buf = self._scratch()
+        n = self._lib.euni_encode(self._ctx, data, len(data), buf,
+                                  len(buf))
+        if n < 0:
+            big = (ctypes.c_int32 * (-n))()
+            n = self._lib.euni_encode(self._ctx, data, len(data), big,
+                                      len(big))
+            return list(big[:n])
+        return list(buf[:n])
+
+    def encode(self, text: str, max_len: int | None = None) -> list[int]:
+        if max_len is not None and 0 < max_len < 2:
+            raise ValueError("max_len must be >= 2 (<s> + </s>)")
+        ids = self.tokenize_to_ids(text)
+        if max_len is not None and len(ids) > max_len - 2:
+            ids = ids[: max_len - 2]
+        return [self.cls_id] + ids + [self.sep_id]
+
+    def encode_batch(self, texts, max_len: int | None = None):
+        return [self.encode(t, max_len) for t in texts]
+
+    def encode_pair(self, a: str, b: str, max_len: int | None = None):
+        """Same XLM-R pair layout as UnigramTokenizer.encode_pair
+        (<s> a </s></s> b </s>), both segmentations native."""
+        from .wordpiece import truncate_pair
+        ia, ib = self.tokenize_to_ids(a), self.tokenize_to_ids(b)
+        if not ib:
+            ids = self.encode(a, max_len)
+            return ids, [0] * len(ids)
+        if max_len is not None:
+            ia, ib = truncate_pair(ia, ib, max_len - 4)
+        ids = ([self.cls_id] + ia + [self.sep_id, self.sep_id]
+               + ib + [self.sep_id])
+        return ids, [0] * len(ids)
+
+    def __del__(self):
+        try:
+            if getattr(self, "_ctx", None):
+                self._lib.euni_free(self._ctx)
+        except Exception:
+            pass
+
+
 def wrap_fast(tok):
-    """The Engine's fast-tokenizer dispatcher: the native WordPiece or
-    native BPE implementation matching `tok`, or None (keep Python)."""
+    """The Engine's fast-tokenizer dispatcher: the native WordPiece,
+    BPE, or Unigram implementation matching `tok`, or None (keep
+    Python)."""
     fast = NativeWordPieceTokenizer.wrap(tok)
     if fast is not None:
         return fast
-    return NativeBPETokenizer.wrap(tok)
+    fast = NativeBPETokenizer.wrap(tok)
+    if fast is not None:
+        return fast
+    return NativeUnigramTokenizer.wrap(tok)
