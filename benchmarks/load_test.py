@@ -42,7 +42,7 @@ def make_texts(rng, n):
     return texts
 
 
-def build_engine(tiny: bool):
+def build_engine(tiny: bool, int8: bool = False):
     from embeddings_tpu.config import BertConfig, EngineConfig, KNOWN_MODELS
     from embeddings_tpu.models import params as P
     from embeddings_tpu.runtime.engine import Engine
@@ -63,17 +63,20 @@ def build_engine(tiny: bool):
         params = P.pack_q4_params(P.quantize_params(
             P.init_params(cfg, rng=0), "q4_0"))
     ec = EngineConfig(seq_buckets=(16, 32, 64, 128), max_seq_len=128,
-                      batch_size=64, batch_buckets=(1, 2, 4, 8, 16, 32, 64))
+                      batch_size=64, batch_buckets=(1, 2, 4, 8, 16, 32, 64),
+                      int8_compute=int8)
     return Engine(params, cfg, tok, ec)
 
 
 async def run_load(engine, *, n_clients: int, per_client: int,
-                   max_wait_ms: float) -> dict:
+                   max_wait_ms: float, packed: bool = False) -> dict:
     from embeddings_tpu.runtime.server import BatchingService, serve_http
-    service = BatchingService(engine, max_batch=64, max_wait_ms=max_wait_ms)
+    service = BatchingService(engine, max_batch=64, max_wait_ms=max_wait_ms,
+                              packed=packed)
     runner, service = await serve_http(service, host="127.0.0.1", port=0)
     port = runner.addresses[0][1]
     url = f"http://127.0.0.1:{port}/embed"
+    oai_url = f"http://127.0.0.1:{port}/v1/embeddings"
     import aiohttp
 
     rng = np.random.default_rng(0)
@@ -88,10 +91,20 @@ async def run_load(engine, *, n_clients: int, per_client: int,
                 t = texts[i * per_client + r]
                 t0 = time.perf_counter()
                 try:
-                    async with sess.post(url, json={"texts": [t]}) as resp:
-                        body = await resp.json()
-                        assert resp.status == 200, body
-                        assert len(body["embeddings"]) == 1
+                    if r % 4 == 3:
+                        # every 4th request rides the OpenAI wire format
+                        # so the production path is part of the profile
+                        async with sess.post(oai_url, json={
+                                "input": t, "model": "default"}) as resp:
+                            body = await resp.json()
+                            assert resp.status == 200, body
+                            assert len(body["data"]) == 1
+                    else:
+                        async with sess.post(url,
+                                             json={"texts": [t]}) as resp:
+                            body = await resp.json()
+                            assert resp.status == 200, body
+                            assert len(body["embeddings"]) == 1
                 except Exception:
                     errors += 1
                     continue
@@ -120,7 +133,7 @@ async def run_load(engine, *, n_clients: int, per_client: int,
                    max(0, int(np.ceil(p / 100 * len(xs))) - 1))])
     return {
         "clients": n_clients, "requests": len(lat), "errors": errors,
-        "max_wait_ms": max_wait_ms,
+        "max_wait_ms": max_wait_ms, "packed": packed,
         "wall_s": round(wall, 3),
         "throughput_rps": round(len(lat) / wall, 1),
         "latency_ms": {"p50": round(pct(50), 2), "p90": round(pct(90), 2),
@@ -136,17 +149,19 @@ def main() -> int:
                     help="tiny model (CPU sanity run)")
     ap.add_argument("--clients", type=int, default=N_CLIENTS)
     ap.add_argument("--per-client", type=int, default=REQUESTS_PER_CLIENT)
+    ap.add_argument("--int8", action="store_true",
+                    help="int8-MXU compute (the headline serving config)")
     args = ap.parse_args()
-    engine = build_engine(args.tiny)
+    engine = build_engine(args.tiny, int8=args.int8)
     t0 = time.perf_counter()
     n = engine.warmup()  # precompile the full (batch, seq) bucket grid
     print(f"warmup: {n} programs in {time.perf_counter() - t0:.1f}s",
           flush=True)
     results = []
-    for max_wait_ms in (2.0, 10.0):
+    for max_wait_ms, packed in ((2.0, False), (10.0, False), (2.0, True)):
         r = asyncio.run(run_load(engine, n_clients=args.clients,
                                  per_client=args.per_client,
-                                 max_wait_ms=max_wait_ms))
+                                 max_wait_ms=max_wait_ms, packed=packed))
         print(json.dumps(r), flush=True)
         results.append(r)
     out = Path(__file__).parent / "results" / "load_test.json"
@@ -154,7 +169,10 @@ def main() -> int:
     import jax
     out.write_text(json.dumps({
         "model": "tiny (cpu sanity)" if args.tiny else
-                 "bge-base q4_0 packed (random-init weights)",
+                 ("bge-base q4_0 packed storage (random-init weights)"
+                  + (" + int8-MXU compute" if args.int8 else "")),
+        "int8_compute": args.int8,
+        "mix": "3/4 POST /embed + 1/4 POST /v1/embeddings",
         "backend": jax.default_backend(),
         "note": ("served through the axon dev relay; relay RTT "
                  "(~10-30ms per dispatch) is included in latencies — "

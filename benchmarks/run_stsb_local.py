@@ -172,11 +172,23 @@ def main() -> int:
                          "run_mteb_server.py flow); --modes then names "
                          "the single label to record")
     ap.add_argument("--out", default=str(Path(__file__).parent / "results"))
+    ap.add_argument("--force-stream", action="store_true",
+                    help="route attention through the streaming-KV "
+                         "kernel even where whole-row K/V fits (tiny-E "
+                         "long-context gates; process-wide, set before "
+                         "the first compile)")
     args = ap.parse_args()
+    if args.force_stream:
+        from embeddings_tpu.ops.attention import force_stream_mode
+        import contextlib
+        ctx = force_stream_mode(True)
+        ctx.__enter__()  # process-wide for the whole run
 
     s1, s2, gold = load_pairs(Path(args.data))
     print(f"{len(gold)} pairs from {args.data}", flush=True)
     model_name = infer_model_name(args.model)
+    if args.force_stream:
+        model_name += "-stream"  # keep both routes' artifacts
     results: dict[str, dict] = {}
     modes = args.modes[:1] if args.server_url else args.modes
     for mode in modes:

@@ -711,12 +711,42 @@ def pick_bk(L: int) -> int:
     return BQ
 
 
+_FORCE_STREAM = False
+
+
+def force_stream_mode(on: bool = True):
+    """Scoped override: make dispatch treat whole-row K/V as not
+    fitting, so the streaming kernel carries shapes it would normally
+    skip. Used by the long-context quality gates to put trained-weights
+    STS numbers on the STREAMING path at shapes (tiny E) where whole-row
+    always fits, and available for VMEM-pressure triage in serving.
+
+    Trace-time only: jitted functions bake the value they saw when they
+    compiled, and jax's jit cache does NOT key on it. Enable it for the
+    whole process (before the first forward) — flipping it between
+    calls of the same shape silently reuses the old compilation."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def _cm():
+        global _FORCE_STREAM
+        prev = _FORCE_STREAM
+        _FORCE_STREAM = on
+        try:
+            yield
+        finally:
+            _FORCE_STREAM = prev
+    return _cm()
+
+
 def whole_row_fits(L: int, E: int, itemsize: int = 2) -> bool:
     """Can the non-streaming kernels hold whole-row K/V? Mosaic DOUBLE-
     BUFFERS each operand, so the k+v budget is 4*L*E*itemsize; ~4 MB
     more goes to q/o/score tiles. Measured on v5e: L=2048 E=768 bf16
     (12.6 MB k/v) OOMs scoped VMEM at 17.48M/16M; L=1024 (6.3 MB) fits.
     Past this, dispatch streams key blocks (models/bert.py)."""
+    if _FORCE_STREAM:
+        return False
     return 4 * L * E * itemsize + 4 * 1024 * 1024 <= 15 * 1024 * 1024
 
 
