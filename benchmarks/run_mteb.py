@@ -36,13 +36,10 @@ class EmbeddingsTpuModel:
                  batchless: bool = False, packed: bool = False,
                  int8_compute: bool = False):
         from embeddings_tpu.runtime.engine import load_model
-        ec = None
-        if int8_compute:
-            # int8 MXU compute on top of the weight dtype (same mode
-            # grammar as run_stsb_local.py)
-            from embeddings_tpu.config import EngineConfig
-            ec = EngineConfig(int8_compute=True)
-        self.engine = load_model(model_path, dtype=dtype, engine_config=ec)
+        # int8 via the kwarg (same mode grammar as run_stsb_local.py):
+        # keeps the model-aware max_seq_len, unlike a bare EngineConfig
+        self.engine = load_model(model_path, dtype=dtype,
+                                 int8_compute=int8_compute)
         self.batch_size = 1 if batchless else batch_size
         self.packed = packed
 

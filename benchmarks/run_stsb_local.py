@@ -111,13 +111,12 @@ def evaluate_mode(model_path: str, mode: str, s1, s2, gold,
         return _score(a, b, gold, time.time() - t0)
     from embeddings_tpu.runtime.engine import load_model
     dtype = mode.split("-")[0]
-    ec = None
-    if mode.endswith("-int8"):
-        # int8 MXU compute on top of the weight dtype (EngineConfig
-        # .int8_compute; XLA-emulated off-TPU with the same arithmetic)
-        from embeddings_tpu.config import EngineConfig
-        ec = EngineConfig(int8_compute=True)
-    engine = load_model(model_path, dtype=dtype, engine_config=ec)
+    # int8 MXU compute on top of the weight dtype; the kwarg (NOT a bare
+    # EngineConfig) keeps the model-aware max_seq_len — a bare config
+    # silently truncated long documents to the 512 default and
+    # misattributed the quality loss to int8 arithmetic
+    engine = load_model(model_path, dtype=dtype,
+                        int8_compute=mode.endswith("-int8"))
     t0 = time.time()
     if mode.endswith("-packed"):
         a = engine.encode_batch_packed(s1)

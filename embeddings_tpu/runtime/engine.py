@@ -441,12 +441,20 @@ class Engine:
 def load_model(path: str | Path, *, dtype: str = "f32",
                engine_config: EngineConfig | None = None,
                mesh=None, tokenizer: WordPieceTokenizer | None = None,
-               pooling: str | None = None) -> Engine:
+               pooling: str | None = None,
+               int8_compute: bool = False) -> Engine:
     """Load an HF model directory or a native .npz checkpoint into an Engine.
 
     dtype: f32 | bf16 | f16 | q4_0 | q4_1 | q8_0 — quantize/cast on load
     (the reference selects dtype by model file, bert.cpp:499-521; we take a
     flag and one checkpoint).
+
+    int8_compute: enable the int8-MXU compute mode WITHOUT losing the
+    model-aware EngineConfig defaults. Passing a bare
+    ``EngineConfig(int8_compute=True)`` instead silently resets
+    max_seq_len to the 512 dataclass default — which truncated long
+    documents and misreported the int8 mode's quality on long-context
+    models (caught by the tiny-rotary L~1k STS gate).
     """
     path = Path(path)
     if path.is_dir():
@@ -520,5 +528,9 @@ def load_model(path: str | Path, *, dtype: str = "f32",
         from ..config import EngineConfig
         engine_config = EngineConfig(
             max_seq_len=config.max_position_embeddings
-            - config.position_offset)
+            - config.position_offset,
+            int8_compute=int8_compute)
+    elif int8_compute and not engine_config.int8_compute:
+        engine_config = dataclasses.replace(engine_config,
+                                            int8_compute=True)
     return Engine(params, config, tokenizer, engine_config, mesh)

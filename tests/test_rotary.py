@@ -313,6 +313,15 @@ def test_nomic_engine_end_to_end(rng, tmp_path):
     assert np.allclose(np.linalg.norm(emb, axis=-1), 1.0, atol=1e-5)
     assert float((emb[0] * emb[2]).sum()) > 0.999999
 
+    # int8 via the load_model kwarg must KEEP the model-aware context
+    # length — the quality evaluators once passed a bare
+    # EngineConfig(int8_compute=True), silently truncating long docs to
+    # the 512 default and misreporting the int8 mode's long-context
+    # quality (round-4 regression)
+    eng8 = load_model(d, dtype="q4_0", int8_compute=True)
+    assert eng8.engine_config.int8_compute
+    assert eng8.max_seq_len == 1024
+
     # engine path == direct forward on the same tokens
     ids = np.asarray([eng.tokenize("hello world")], np.int32)
     cfg = BertConfig.from_hf_dict(hf)
