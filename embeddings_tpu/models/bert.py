@@ -465,31 +465,48 @@ def encoder_layer(layer: Params, config: BertConfig, x: jax.Array,
     into the gate matmul's kernel epilogue.
 
     chain=True (int8-MXU chained activations, gated by _int8_chain_ok):
-    xq is x's pre-quantized int8 rows; every matmul consumes int8
-    activations and the residual-LN kernels emit the NEXT matmul's
-    int8 input in their epilogue, so row absmaxes are computed exactly
-    once per value. Returns (x', xq') instead of x'."""
+    matmuls consume int8 activations produced exactly once per value,
+    by the PRODUCING kernel's emission epilogue, along the links enabled
+    in ops.linear._CHAIN_LINKS ("attn"/"ln"/"ffn" — each independently
+    measurable, benchmarks/int8_chain_ablate.py). With "ln" on, xq is
+    x's pre-quantized rows and the layer returns (x', xq'); otherwise
+    the consumers quantize bf16 rows in-kernel (the round-3 mode) and
+    the layer returns x'."""
     from ..ops.linear import linear_residual_ln
     a, m = layer["attn"], layer["mlp"]
     eps = config.layer_norm_eps
-    ctx = attention_context(layer, config, x, mask_bias, lengths, segments,
-                            attn_window, bias4, rope, alibi=alibi, xq=xq,
-                            emit_int8=chain)
     if chain:
-        from ..ops.linear import ActQ, quantize_act
-        # the attention kernels emit the context pre-quantized (ActQ) —
-        # the bf16 context never touches HBM; routes without emission
-        # (bias/stream/window/einsum) fall back to one XLA quantize pass
-        ctxq = ctx if isinstance(ctx, ActQ) else quantize_act(ctx)
-        x, xq = linear_residual_ln(ctxq, a["o"]["w"],
-                                   a["o"]["b"], x, a["ln"]["scale"],
-                                   a["ln"]["bias"], eps, emit="both")
+        from ..ops.linear import chain_link_on
+        ctx = attention_context(layer, config, x, mask_bias, lengths,
+                                segments, attn_window, bias4, rope,
+                                alibi=alibi, xq=xq,
+                                emit_int8=chain_link_on("attn"))
+        # ctx is an ActQ when the attention kernel emitted it
+        # pre-quantized (the bf16 context never touched HBM); on
+        # non-emitting routes (bias/stream/window/einsum, or "attn"
+        # link off) the o-proj kernel quantizes the bf16 rows itself —
+        # in-kernel, once (bn == N for the residual-LN epilogue), which
+        # beats a separate XLA quantize pass (one [M, E] HBM round trip)
+        ln_emit = "both" if chain_link_on("ln") else "no"
+        out = linear_residual_ln(ctx, a["o"]["w"], a["o"]["b"], x,
+                                 a["ln"]["scale"], a["ln"]["bias"], eps,
+                                 emit=ln_emit)
+        x, xq = out if ln_emit == "both" else (out, None)
         # GELU link: the up-projection's output feeds ONLY the down
-        # matmul — emit int8-only (halves that link's HBM write+read)
-        hq = _ffn_hidden(m, xq, config, emit="only")
-        return linear_residual_ln(hq, m["down"]["w"], m["down"]["b"], x,
-                                  m["ln"]["scale"], m["ln"]["bias"], eps,
-                                  emit="both")
+        # matmul — emitting int8-only halves that link's HBM
+        # write+read, but forces the up matmul onto a bn == N (=3072)
+        # tile; measured per-subset by the ablation
+        ffn_in = xq if xq is not None else x
+        if chain_link_on("ffn"):
+            hq = _ffn_hidden(m, ffn_in, config, emit="only")
+        else:
+            hq = _ffn_hidden(m, ffn_in, config)
+        out = linear_residual_ln(hq, m["down"]["w"], m["down"]["b"], x,
+                                 m["ln"]["scale"], m["ln"]["bias"], eps,
+                                 emit=ln_emit)
+        return out
+    ctx = attention_context(layer, config, x, mask_bias, lengths, segments,
+                            attn_window, bias4, rope, alibi=alibi, xq=xq)
     if tp_axis is not None:
         x = _row_parallel_residual_ln(ctx, a["o"]["w"], a["o"]["b"], x,
                                       a["ln"], eps, tp_axis)
@@ -791,18 +808,29 @@ def encode_tokens(params: Params, config: BertConfig, token_ids: jax.Array,
                              tp_axis=tp_axis, window_kernel=window_kernel),
                          aux=aux)
     elif _int8_chain_ok(params, config, tp_axis):
-        # chained int8: the scan carry is (x bf16, ActQ of x) — each
-        # layer's residual-LN kernels emit the next layer's int8 input
-        from ..ops.linear import quantize_act
+        # chained int8. With the "ln" link on, the scan carry is
+        # (x bf16, ActQ of x) — each layer's residual-LN kernels emit
+        # the next layer's int8 input; with it off the carry is x and
+        # consumers quantize in-kernel (link set: ops.linear.chain_links)
+        from ..ops.linear import chain_link_on, quantize_act
 
-        def _chained(layer, h):
-            hx, hq = h
-            return encoder_layer(layer, config, hx, mask_bias, lengths,
-                                 tp_axis=None, bias4=bias4, rope=rope,
-                                 alibi=alibi_static, xq=hq, chain=True)
+        if chain_link_on("ln"):
+            def _chained(layer, h):
+                hx, hq = h
+                return encoder_layer(layer, config, hx, mask_bias,
+                                     lengths, tp_axis=None, bias4=bias4,
+                                     rope=rope, alibi=alibi_static,
+                                     xq=hq, chain=True)
 
-        x, _ = _scan_layers(params, config, (x, quantize_act(x)),
-                            _chained)
+            x, _ = _scan_layers(params, config, (x, quantize_act(x)),
+                                _chained)
+        else:
+            x = _scan_layers(
+                params, config, x,
+                lambda layer, h: encoder_layer(
+                    layer, config, h, mask_bias, lengths, tp_axis=None,
+                    bias4=bias4, rope=rope, alibi=alibi_static,
+                    chain=True))
     else:
         # lax.scan over (stacked or shared) layer params: one compiled
         # block.
@@ -972,17 +1000,25 @@ def encode_packed(params: Params, config: BertConfig, token_ids: jax.Array,
                              window_bias=window_bias, tp_axis=tp_axis),
                          aux=aux)
     elif _int8_chain_ok(params, config, tp_axis):
-        from ..ops.linear import quantize_act
+        from ..ops.linear import chain_link_on, quantize_act
 
-        def _chained(layer, h):
-            hx, hq = h
-            return encoder_layer(layer, config, hx, mask_bias, None,
-                                 tp_axis=None, segments=seg_for_attn,
-                                 attn_window=attn_window, rope=rope,
-                                 xq=hq, chain=True)
+        if chain_link_on("ln"):
+            def _chained(layer, h):
+                hx, hq = h
+                return encoder_layer(layer, config, hx, mask_bias, None,
+                                     tp_axis=None, segments=seg_for_attn,
+                                     attn_window=attn_window, rope=rope,
+                                     xq=hq, chain=True)
 
-        x, _ = _scan_layers(params, config, (x, quantize_act(x)),
-                            _chained)
+            x, _ = _scan_layers(params, config, (x, quantize_act(x)),
+                                _chained)
+        else:
+            x = _scan_layers(
+                params, config, x,
+                lambda layer, h: encoder_layer(
+                    layer, config, h, mask_bias, None, tp_axis=None,
+                    segments=seg_for_attn, attn_window=attn_window,
+                    rope=rope, chain=True))
     else:
         x = _scan_layers(params, config, x,
                          lambda layer, h: encoder_layer(
