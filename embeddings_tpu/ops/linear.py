@@ -229,21 +229,39 @@ def quantized_matmul(x2d: jax.Array | ActQ, w: QuantizedTensor,
     prequant = isinstance(x2d, ActQ)
     M, K = x2d.shape
     _, N = w.shape
-    bm = min(256, max(8, -(-M // 8) * 8))  # small-M friendliness
+    i8_intent = _use_int8() or prequant
+    xb = 1 if prequant else 2
+    bm_cap = max(8, -(-M // 8) * 8)  # small-M friendliness
+    if i8_intent and bm_cap >= 512:
+        # int8 mode: take bm=512 when it costs no bn (pick_bm_int8) —
+        # fewer grid steps amortize the per-step VPU rescale better
+        bm = _qmm.pick_bm_int8(K, N, w.packed, x_bytes=xb)
+    else:
+        bm = min(256, bm_cap)
     out_dtype = out_dtype or (jnp.bfloat16 if prequant else x2d.dtype)
     interpret = interpret or _INTERPRET
-    kernel_ok = ((_use_pallas() or interpret)
-                 and _qmm.pallas_fits(K, N, bm, w.packed))
-    if kernel_ok and emit != "no":
-        kernel_ok = _qmm.emit_fits(K, N, bm, w.packed,
-                                   int8=_use_int8() or prequant)
+
+    def _bm_ok(b):
+        # pallas_fits at the bf16 budget (conservative: also covers the
+        # ragged-lane bf16 fallback the kernel may take out of int8)
+        if not _qmm.pallas_fits(K, N, b, w.packed, x_bytes=xb):
+            return False
+        return emit == "no" or _qmm.emit_fits(K, N, b, w.packed,
+                                              int8=i8_intent, x_bytes=xb)
+
+    kernel_ok = _use_pallas() or interpret
+    if kernel_ok and not _bm_ok(bm):
+        if bm > 256 and _bm_ok(min(256, bm_cap)):
+            bm = min(256, bm_cap)
+        else:
+            kernel_ok = False
     if kernel_ok:
         # relu has no kernel epilogue (no published reglu encoder needs
         # the fusion); bias still runs fused, relu applies after
         epi = {None: None, "relu": None, "gelu": "bias_gelu",
                "gelu_tanh": "bias_gelu_tanh", "silu": "bias_silu"}[act]
-        i8 = ((_use_int8() or prequant)
-              and _qmm.int8_engages(K, N, bm, w.packed))
+        i8 = (i8_intent
+              and _qmm.int8_engages(K, N, bm, w.packed, x_bytes=xb))
         if prequant and not i8:
             # shape can't run the int8 kernel: dequantize the rows back
             # (callers gate on int8_engages, so this is a safety net)
@@ -319,9 +337,13 @@ def linear_residual_ln(x: jax.Array | ActQ, w, b, residual: jax.Array,
                min(256, max(8, -(-M // 8) * 8)), 128, 64)
         pick = None
         if _use_int8() or prequant:
+            # pre-quantized x halves the x-tile VMEM (x_bytes=1), which
+            # is what lets the K=3072 FFN-down res-LN case take bm=512
             pick = next((bm for bm in bms if bm <= M + 8 and
                          _qmm.residual_ln_fits(K, N, bm, w.packed,
-                                               int8=True)), None)
+                                               int8=True,
+                                               x_bytes=2 - prequant)),
+                        None)
         i8 = pick is not None
         if pick is None:
             pick = next((bm for bm in bms if bm <= M + 8 and

@@ -55,11 +55,12 @@ def _deq_chunk(K: int, kind: str) -> int:
 
 def _pick_bn(K: int, N: int, bm: int, requested: int | None,
              with_residual: bool = False, packed: bool = False,
-             int8: bool = False) -> int:
+             int8: bool = False, x_bytes: int = 2) -> int:
     """Largest bn (multiple of 128, divisor of N) fitting the VMEM budget.
 
-    Accounts for: x tile (bm*K bf16, double-buffered), codes tile
-    (K*bn int8, double-buffered), dequant scratch (K*bn bf16), scales+mins
+    Accounts for: x tile (bm*K, double-buffered; x_bytes=2 for bf16,
+    1 for pre-quantized int8 rows), codes tile (K*bn int8,
+    double-buffered), dequant scratch (K*bn bf16), scales+mins
     tiles (2 * K/32 * bn f32, double-buffered), out tile (bm*bn f32,
     double-buffered), the residual tile when the LN epilogue is on, and
     the int8-mode extras (requantized weight tile K*bn int8 + per-column
@@ -69,7 +70,7 @@ def _pick_bn(K: int, N: int, bm: int, requested: int | None,
     N=2304/4=576, or tiny test models), falls back to bn == N — Mosaic
     allows a block equal to the full array dimension. Returns 0 if even
     that does not fit VMEM (caller must use the XLA fallback)."""
-    fixed = bm * K * 2 * 2
+    fixed = bm * K * x_bytes * 2
     codes_bytes = (K // 2) if packed else K
     per_bn = codes_bytes * 2 + 2 * (K // QK) * 4 * 2 + bm * 4 * 2
     # int8 mode has no bf16 staging scratch (dequant goes straight to the
@@ -89,22 +90,23 @@ def _pick_bn(K: int, N: int, bm: int, requested: int | None,
 
 
 def pallas_fits(K: int, N: int, bm: int = 256, packed: bool = False,
-                int8: bool = False) -> bool:
+                int8: bool = False, x_bytes: int = 2) -> bool:
     """Can the Pallas kernel tile this weight shape at all?"""
     if packed and K % 64 != 0:
         return False
     return K % QK == 0 and _pick_bn(K, N, bm, None, packed=packed,
-                                    int8=int8) > 0
+                                    int8=int8, x_bytes=x_bytes) > 0
 
 
 def int8_engages(K: int, N: int, bm: int = 256, packed: bool = False,
-                 with_residual: bool = False) -> bool:
+                 with_residual: bool = False, x_bytes: int = 2) -> bool:
     """Will int8_compute actually run (vs the ragged-lane bf16
     fallback)? Callers chaining pre-quantized activations MUST gate on
     this — the kernel asserts rather than silently dequantizing int8 x."""
     if (packed and K % 64 != 0) or K % QK != 0 or K % 32 != 0:
         return False
-    bn = _pick_bn(K, N, bm, None, with_residual, packed, int8=True)
+    bn = _pick_bn(K, N, bm, None, with_residual, packed, int8=True,
+                  x_bytes=x_bytes)
     if with_residual:
         if bn < N:
             return False
@@ -113,10 +115,10 @@ def int8_engages(K: int, N: int, bm: int = 256, packed: bool = False,
 
 
 def emit_fits(K: int, N: int, bm: int = 256, packed: bool = False,
-              int8: bool = True) -> bool:
+              int8: bool = True, x_bytes: int = 2) -> bool:
     """Can the kernel emit per-row-quantized output (needs bn == N)?"""
     return N % 128 == 0 and _pick_bn(K, N, bm, None, False, packed,
-                                     int8=int8) >= N
+                                     int8=int8, x_bytes=x_bytes) >= N
 
 
 def _fit(size: int, pref: int, step: int) -> int:
@@ -274,8 +276,8 @@ def _emit(acc, o_ref, o8_ref, os_ref):
 
 
 def _apply_epilogue(acc, b_ref, epilogue, res_ref, lns_ref, lnb_ref,
-                    ln_eps):
-    if epilogue != "none":
+                    ln_eps, add_bias=True):
+    if epilogue != "none" and add_bias:
         acc = acc + b_ref[:].astype(jnp.float32)  # fused bias (f32 add)
     if epilogue in ("bias_gelu", "bias_gelu_tanh"):
         # Both erf-GELU and tanh-GELU lower to the tanh form in-kernel:
@@ -397,19 +399,43 @@ def _qmm_int8(x_ref, c_ref, s_ref, m_ref, b_ref, o_ref, w8_ref, cs_ref,
         sx = jnp.maximum(amax, 1e-12) * (1.0 / 127.0)
         q = jnp.round(xf * (1.0 / sx)).astype(jnp.int8)
     acc = jnp.dot(q, w8_ref[:], preferred_element_type=jnp.int32)
-    acc = acc.astype(jnp.float32) * sx * cs_ref[0:1, :]
+    # rescale + bias in TWO VPU passes over [bm, bn] instead of three:
+    # (acc_f32 * cs) then one fused multiply-add (* sx + b). The rescale
+    # is the int8 mode's per-step VPU tax on the full accumulator —
+    # every pass saved here is ~bm*bn/VPU-rate off the step's critical
+    # path (int8_compute.json: qkv ran at 160 of 394 TOPS before this)
+    acc = acc.astype(jnp.float32) * cs_ref[0:1, :]
+    if epilogue != "none":
+        acc = acc * sx + b_ref[:].astype(jnp.float32)
+    else:
+        acc = acc * sx
     acc = _apply_epilogue(acc, b_ref, epilogue, res_ref, lns_ref,
-                          lnb_ref, ln_eps)
+                          lnb_ref, ln_eps, add_bias=False)
     _emit(acc, o_ref, o8_ref, os_ref)
 
 
 def residual_ln_fits(K: int, N: int, bm: int = 256,
-                     packed: bool = False, int8: bool = False) -> bool:
+                     packed: bool = False, int8: bool = False,
+                     x_bytes: int = 2) -> bool:
     """Can the bias_residual_ln epilogue run (bn == N must fit VMEM)?"""
     if packed and K % 64 != 0:
         return False
     return N % 128 == 0 and _pick_bn(K, N, bm, None, True, packed,
-                                     int8=int8) >= N
+                                     int8=int8, x_bytes=x_bytes) >= N
+
+
+def pick_bm_int8(K: int, N: int, packed: bool = False,
+                 x_bytes: int = 2) -> int:
+    """Preferred bm for the int8 MXU path: 512 when it does not cost
+    any bn (never trade N-tiling for M-tiling — shrinking bn multiplies
+    the per-N-tile weight requant, and the in-kernel x requant, by
+    N/bn), else 256. Pre-quantized int8 x (x_bytes=1) halves the x
+    tile's VMEM, which is what lets K=3072 shapes take bm=512."""
+    bn256 = _pick_bn(K, N, 256, None, packed=packed, int8=True,
+                     x_bytes=x_bytes)
+    bn512 = _pick_bn(K, N, 512, None, packed=packed, int8=True,
+                     x_bytes=x_bytes)
+    return 512 if bn512 > 0 and bn512 >= bn256 else 256
 
 
 @functools.partial(jax.jit, static_argnames=("kind", "bm", "bn", "epilogue",
@@ -481,15 +507,17 @@ def qmatmul(x: jax.Array, codes: jax.Array, scales: jax.Array,
     with_res = epilogue == "bias_residual_ln"
     out_dtype = out_dtype or x.dtype
     bm = _fit(M, bm, 8)
+    xb = 1 if x_prequant else 2
     if with_res:
         bn = N  # LayerNorm normalizes over the full hidden axis
         assert residual is not None and ln_scale is not None \
             and ln_bias is not None
         assert _pick_bn(K, N, bm, None, True, packed,
-                        int8=int8_compute) >= N, \
+                        int8=int8_compute, x_bytes=xb) >= N, \
             (K, N, bm, "residual-LN tile does not fit VMEM")
     else:
-        bn = _pick_bn(K, N, bm, bn, packed=packed, int8=int8_compute)
+        bn = _pick_bn(K, N, bm, bn, packed=packed, int8=int8_compute,
+                      x_bytes=xb)
     assert bn > 0, ((M, N, K), bm, "no VMEM-feasible tiling; check "
                     "pallas_fits before calling")
     assert M % bm == 0 and N % bn == 0, ((M, N, K), (bm, bn))
