@@ -27,27 +27,32 @@ if os.environ.get("JAX_PLATFORMS"):
 
 # production matmul shapes for bge-base at B=128, L=256 (M=32768):
 # qkv (fused), attn-out + residual-LN, ffn-up + gelu, ffn-down + res-LN.
-# bm mirrors ops/linear.py's dispatch per mode: int8 has no bf16 staging
-# scratch, so FFN-down fits bm=256 where the bf16 path is capped at 128.
-CASES = [  # (name, M, K, N, epilogue, bm_bf16, bm_int8)
-    ("qkv_proj", 32768, 768, 2304, "bias", 256, 256),
-    ("attn_out+res_ln", 32768, 768, 768, "bias_residual_ln", 512, 512),
-    ("ffn_up+gelu", 32768, 768, 3072, "bias_gelu", 256, 256),
-    ("ffn_down+res_ln", 32768, 3072, 768, "bias_residual_ln", 128, 256),
+# bm_bf16 mirrors ops/linear.py's bf16 dispatch (int8 bms come from
+# qmatmul.pick_bm_int8, the same picker the dispatch uses — the int8
+# mode has no bf16 staging scratch and pre-quantized x halves the x
+# tile, so FFN-down climbs 128 -> 256 -> 512 across the three modes).
+CASES = [  # (name, M, K, N, epilogue, bm_bf16)
+    ("qkv_proj", 32768, 768, 2304, "bias", 256),
+    ("attn_out+res_ln", 32768, 768, 768, "bias_residual_ln", 512),
+    ("ffn_up+gelu", 32768, 768, 3072, "bias_gelu", 256),
+    ("ffn_down+res_ln", 32768, 3072, 768, "bias_residual_ln", 128),
 ]
 
 
 def main() -> int:
     import jax
     import jax.numpy as jnp
-    from embeddings_tpu.ops.qmatmul import qmatmul
+    from embeddings_tpu.ops.linear import quantize_act
+    from embeddings_tpu.ops.qmatmul import pick_bm_int8, qmatmul
     from embeddings_tpu.ops.quant import quantize
     from embeddings_tpu.utils.benchmarking import device_time_us
 
     rng = np.random.default_rng(0)
     results = {"device": str(jax.devices()[0]), "cases": []}
-    tot_bf, tot_i8 = 0.0, 0.0
-    for name, M, K, N, epi, bm_bf, bm_i8 in CASES:
+    tot_bf, tot_i8, tot_pq = 0.0, 0.0, 0.0
+    for name, M, K, N, epi, bm_bf in CASES:
+        bm_i8 = pick_bm_int8(K, N, packed=True, x_bytes=2)
+        bm_pq = pick_bm_int8(K, N, packed=True, x_bytes=1)
         w = np.asarray(rng.standard_normal((K, N)) * 0.05, np.float32)
         qt = quantize(w, "q4_0", pack4=True)
         x = jnp.asarray(rng.standard_normal((M, K)), jnp.bfloat16)
@@ -83,17 +88,34 @@ def main() -> int:
             lambda xx: qmatmul(xx, qt.codes, qt.scales, qt.mins, b,
                                int8_compute=True, bm=bm_i8, **kw),
             (x,), lo=5, hi=25)
+        # pre-quantized activations (the chained path's consumer side):
+        # x arrives as int8 rows + f32 row scales — no per-grid-step
+        # requant VPU work, half the x HBM read
+        xq8 = quantize_act(x)
+        t_pq = device_time_us(
+            lambda qq: qmatmul(qq, qt.codes, qt.scales, qt.mins, b,
+                               int8_compute=True, x_scale=xq8.s,
+                               bm=bm_pq, **kw),
+            (xq8.q,), lo=5, hi=25)
         tot_bf += t_bf
         tot_i8 += t_i8
+        tot_pq += t_pq
         tfs = 2 * M * K * N / (t_i8 * 1e-6) / 1e12
+        tfs_pq = 2 * M * K * N / (t_pq * 1e-6) / 1e12
         row = {"matmul": name, "M": M, "K": K, "N": N, "epilogue": epi,
                "bf16_us": round(t_bf, 1), "int8_us": round(t_i8, 1),
+               "prequant_us": round(t_pq, 1),
                "speedup": round(t_bf / t_i8, 3),
-               "int8_tfs": round(tfs, 1), "min_cos": round(cos, 6)}
+               "prequant_speedup": round(t_bf / t_pq, 3),
+               "int8_tfs": round(tfs, 1),
+               "prequant_tfs": round(tfs_pq, 1),
+               "bm": {"bf16": bm_bf, "int8": bm_i8, "prequant": bm_pq},
+               "min_cos": round(cos, 6)}
         results["cases"].append(row)
         print(json.dumps(row))
 
     results["total_speedup"] = round(tot_bf / tot_i8, 3)
+    results["total_prequant_speedup"] = round(tot_bf / tot_pq, 3)
     Path(__file__).parent.joinpath("results", "int8_compute.json") \
         .write_text(json.dumps(results, indent=1))
     print(json.dumps({"total_speedup": results["total_speedup"]}))
