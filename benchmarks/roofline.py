@@ -41,7 +41,8 @@ B, L = 128, 256
 REPS = 5
 
 
-def profile_op_times() -> tuple[dict, float, float]:
+def profile_op_times(int8: bool = False) -> tuple[dict, float, float]:
+    from embeddings_tpu.ops.linear import int8_mode
     cfg = BertConfig(**{**KNOWN_MODELS["bge-base-en-v1.5"],
                         "vocab_size": 30528})
     params = P.fuse_qkv(P.pack_q4_params(
@@ -52,7 +53,7 @@ def profile_op_times() -> tuple[dict, float, float]:
 
     @jax.jit
     def fwd(p, ids, mask):
-        with pallas_mode("always"):
+        with pallas_mode("always"), int8_mode(int8):
             return bert.encode_tokens(p, cfg, ids, mask,
                                       compute_dtype="bfloat16")
 
@@ -90,8 +91,12 @@ def profile_op_times() -> tuple[dict, float, float]:
     total = sum(us for n, us in fdur.items() if n.startswith("jit_fwd"))
     dense_us = sum(us for n, us in ddur.items()
                    if n.startswith("jit_dense"))
+    top = sorted(((n, round(us / REPS, 1)) for n, us in fdur.items()
+                  if us / REPS > 20 and not n.startswith("jit_fwd")),
+                 key=lambda x: -x[1])[:24]
     return {"qmatmul": qm, "attn_us": attn / REPS,
-            "total_us": total / REPS}, dense_us / (REPS * 12), total
+            "total_us": total / REPS,
+            "top_ops": top}, dense_us / (REPS * 12), total
 
 
 # per-layer matmuls at M = B*L tokens (bge-base). The trace names are
@@ -105,6 +110,29 @@ MATMULS = [("ffn_up+gelu & ffn_down+res_ln (combined)", 768 * 3072, 2),
 
 
 def main() -> int:
+    if "--int8" in sys.argv:
+        # int8-mode attribution is RAW (chained emission renames/merges
+        # kernels, so flop-rank attribution would guess): per-op device
+        # times of the int8 production forward, for finding where the
+        # non-MXU time lives. Writes roofline_int8.json.
+        times, dense_us, _ = profile_op_times(int8=True)
+        out_doc = {
+            "chip": str(jax.devices()[0]),
+            "mode": "int8 (current chain-link default)",
+            "config": {"model": "bge-base q4_0 packed", "B": B, "L": L},
+            "dense_bf16_ceiling_tfs": round(
+                2 * B * L * 768 * 3072 / dense_us / 1e6, 1),
+            "forward_us_per_dispatch": round(times["total_us"], 0),
+            "attention_us_per_dispatch": round(times["attn_us"], 0),
+            "qmatmul_us": [(n, round(us / REPS, 1))
+                           for n, us in times["qmatmul"]],
+            "top_device_ops_us": times["top_ops"],
+        }
+        print(json.dumps(out_doc, indent=1))
+        out = Path(__file__).parent / "results" / "roofline_int8.json"
+        out.write_text(json.dumps(out_doc, indent=1))
+        print(f"wrote {out}")
+        return 0
     times, dense_us, _ = profile_op_times()
     M = B * L
     NL = 12
