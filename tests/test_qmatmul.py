@@ -361,6 +361,30 @@ def test_chained_forward_matches_unchained_emulation(rng):
     assert (cos > 0.999).all(), cos
 
 
+def test_pick_bm_int8_never_trades_bn():
+    """bm=512 engages only when the bn pick is unchanged — shrinking bn
+    multiplies the per-N-tile requant work by N/bn. Pre-quantized x
+    (x_bytes=1) halves the x tile, unlocking 512 for the K=3072
+    FFN-down shape that bf16-x cannot fit."""
+    from embeddings_tpu.ops.qmatmul import _pick_bn, pick_bm_int8
+    for K, N in [(768, 2304), (768, 3072), (3072, 768), (768, 768),
+                 (384, 1536), (1536, 384)]:
+        for xb in (1, 2):
+            bm = pick_bm_int8(K, N, packed=True, x_bytes=xb)
+            assert bm in (256, 512)
+            if bm == 512:
+                assert _pick_bn(K, N, 512, None, packed=True, int8=True,
+                                x_bytes=xb) >= \
+                    _pick_bn(K, N, 256, None, packed=True, int8=True,
+                             x_bytes=xb)
+    # the motivating cases: down-proj takes 512 only with int8 x
+    assert pick_bm_int8(3072, 768, packed=True, x_bytes=1) == 512
+    assert pick_bm_int8(3072, 768, packed=True, x_bytes=2) == 256
+    # qkv/up keep 256 (bn would halve at bm=512)
+    assert pick_bm_int8(768, 2304, packed=True, x_bytes=1) == 256
+    assert pick_bm_int8(768, 3072, packed=True, x_bytes=1) == 256
+
+
 @pytest.mark.parametrize("links", [(), ("attn",), ("ln",), ("ffn",),
                                    ("attn", "ln"), ("ln", "ffn"),
                                    ("attn", "ffn"), ("attn", "ln", "ffn")])
