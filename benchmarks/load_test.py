@@ -155,6 +155,7 @@ def main() -> int:
     engine = build_engine(args.tiny, int8=args.int8)
     t0 = time.perf_counter()
     n = engine.warmup()  # precompile the full (batch, seq) bucket grid
+    n += engine.warmup_packed()  # and the token-packed program family
     print(f"warmup: {n} programs in {time.perf_counter() - t0:.1f}s",
           flush=True)
     results = []

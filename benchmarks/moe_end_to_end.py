@@ -74,10 +74,17 @@ def main() -> int:
         params = P.fuse_qkv(params)
         c = replace(cfg, moe_dispatch=dispatch) if dispatch else cfg
 
-        def step(ids_c, mask):
-            return bert.encode_tokens(params, c, ids_c, mask,
+        # params flow as jit ARGUMENTS, not a closure: closed-over
+        # host arrays inline into the HLO as literals, and the bf16
+        # dense model's full weights blow the axon remote-compile
+        # request limit (observed HTTP 413)
+        params = jax.device_put(params)
+
+        def step(ids_c, mask, p):
+            return bert.encode_tokens(p, c, ids_c, mask,
                                       compute_dtype="bfloat16")
-        us = device_time_us(step, (ids, mask), lo=10, hi=40, reps=3)
+        us = device_time_us(step, (ids, mask, params), lo=10, hi=40,
+                            reps=3)
         out["runs"][name] = {"us_per_batch": round(us),
                              "sentences_per_s": round(B / (us * 1e-6), 1)}
         print(json.dumps({name: out["runs"][name]}), flush=True)

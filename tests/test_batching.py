@@ -95,6 +95,14 @@ class TestEngine:
         n = engine.warmup(batch_sizes=(1, 2), seq_lens=(8, 16))
         assert n == 4
 
+    def test_warmup_packed(self, engine):
+        """Packed-path warmup precompiles the serving program family and
+        goes through the real packed encode (so a cold server never
+        compiles mid-request — the load-test p99 outlier)."""
+        n = engine.warmup_packed(row_len=16, batch_rows=4,
+                                 segs_per_row=(2, 4))
+        assert n >= 2
+
     def test_encode_batch_backpressure_window(self, engine):
         """In-flight device batches are bounded by inflight_batches: the
         dispatch/drain interleaving never holds more than window+1 results
