@@ -43,16 +43,27 @@ def main() -> int:
     import jax
     import jax.numpy as jnp
     from embeddings_tpu.ops.linear import quantize_act
-    from embeddings_tpu.ops.qmatmul import pick_bm_int8, qmatmul
+    from embeddings_tpu.ops.qmatmul import (pick_bm_int8, qmatmul,
+                                            residual_ln_fits)
     from embeddings_tpu.ops.quant import quantize
     from embeddings_tpu.utils.benchmarking import device_time_us
+
+    def bm_for(K, N, epi, x_bytes):
+        # mirror ops/linear.py dispatch: pick_bm_int8 for plain
+        # epilogues; the residual-LN epilogue needs bn == N in VMEM,
+        # so probe the same descending ladder linear_residual_ln uses
+        if epi != "bias_residual_ln":
+            return pick_bm_int8(K, N, packed=True, x_bytes=x_bytes)
+        return next(bm for bm in (512, 256, 128, 64)
+                    if residual_ln_fits(K, N, bm, packed=True,
+                                        int8=True, x_bytes=x_bytes))
 
     rng = np.random.default_rng(0)
     results = {"device": str(jax.devices()[0]), "cases": []}
     tot_bf, tot_i8, tot_pq = 0.0, 0.0, 0.0
     for name, M, K, N, epi, bm_bf in CASES:
-        bm_i8 = pick_bm_int8(K, N, packed=True, x_bytes=2)
-        bm_pq = pick_bm_int8(K, N, packed=True, x_bytes=1)
+        bm_i8 = bm_for(K, N, epi, x_bytes=2)
+        bm_pq = bm_for(K, N, epi, x_bytes=1)
         w = np.asarray(rng.standard_normal((K, N)) * 0.05, np.float32)
         qt = quantize(w, "q4_0", pack4=True)
         x = jnp.asarray(rng.standard_normal((M, K)), jnp.bfloat16)

@@ -72,9 +72,14 @@ _INT8_MODE = False
 #           (emit="only") — this forces bn == N (= intermediate size,
 #           3072 for bge-base), the widest tile in the model.
 # Round-4 shipped all three unconditionally and regressed 4.1% end to
-# end (VERDICT r4 weak #2); benchmarks/int8_chain_ablate.py measures
-# each subset on chip and this default records the winner.
-_CHAIN_LINKS = frozenset({"attn", "ln", "ffn"})
+# end (VERDICT r4 weak #2); benchmarks/int8_chain_ablate.py measured
+# each subset on chip (benchmarks/results/int8_chain_ablate.json):
+# EVERY link loses — [] 25,268us / attn 25,744 / ffn 25,453 / ln 25,991
+# / all-three 26,382. The emission epilogues' staging costs (f32 VMEM
+# scratch for "only", the bn==N tile constraint for "ffn") exceed the
+# HBM quantize-pass they save at these shapes. Default records the
+# measured winner: no chaining — consumers quantize in-kernel (r3 mode).
+_CHAIN_LINKS = frozenset()
 
 
 def set_chain_links(links) -> None:
