@@ -41,8 +41,16 @@ B, L = 128, 256
 REPS = 5
 
 
-def profile_op_times(int8: bool = False) -> tuple[dict, float, float]:
-    from embeddings_tpu.ops.linear import int8_mode
+def profile_op_times(int8: bool = False,
+                     links: frozenset | None = None
+                     ) -> tuple[dict, float, float]:
+    import contextlib
+
+    from embeddings_tpu.ops.linear import chain_links, int8_mode
+
+    def link_ctx():  # fresh cm per entry (generator cms are one-shot)
+        return (chain_links(links) if links is not None
+                else contextlib.nullcontext())
     cfg = BertConfig(**{**KNOWN_MODELS["bge-base-en-v1.5"],
                         "vocab_size": 30528})
     params = P.fuse_qkv(P.pack_q4_params(
@@ -53,7 +61,7 @@ def profile_op_times(int8: bool = False) -> tuple[dict, float, float]:
 
     @jax.jit
     def fwd(p, ids, mask):
-        with pallas_mode("always"), int8_mode(int8):
+        with pallas_mode("always"), int8_mode(int8), link_ctx():
             return bert.encode_tokens(p, cfg, ids, mask,
                                       compute_dtype="bfloat16")
 
@@ -114,11 +122,19 @@ def main() -> int:
         # int8-mode attribution is RAW (chained emission renames/merges
         # kernels, so flop-rank attribution would guess): per-op device
         # times of the int8 production forward, for finding where the
-        # non-MXU time lives. Writes roofline_int8.json.
-        times, dense_us, _ = profile_op_times(int8=True)
+        # non-MXU time lives. Writes roofline_int8.json (default link
+        # set) or roofline_int8_<links>.json under --links a,b.
+        links = None
+        tag = ""
+        for a in sys.argv[1:]:
+            if a.startswith("--links="):
+                links = frozenset(filter(None, a[8:].split(",")))
+                tag = "_" + ("+".join(sorted(links)) or "nolinks")
+        times, dense_us, _ = profile_op_times(int8=True, links=links)
         out_doc = {
             "chip": str(jax.devices()[0]),
-            "mode": "int8 (current chain-link default)",
+            "mode": ("int8 (current chain-link default)" if links is None
+                     else f"int8 links={sorted(links)}"),
             "config": {"model": "bge-base q4_0 packed", "B": B, "L": L},
             "dense_bf16_ceiling_tfs": round(
                 2 * B * L * 768 * 3072 / dense_us / 1e6, 1),
@@ -129,7 +145,8 @@ def main() -> int:
             "top_device_ops_us": times["top_ops"],
         }
         print(json.dumps(out_doc, indent=1))
-        out = Path(__file__).parent / "results" / "roofline_int8.json"
+        out = (Path(__file__).parent / "results"
+               / f"roofline_int8{tag}.json")
         out.write_text(json.dumps(out_doc, indent=1))
         print(f"wrote {out}")
         return 0
