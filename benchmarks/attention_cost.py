@@ -36,7 +36,7 @@ def main() -> int:
         (qkv,), lo=5, hi=25)
     t_emit = device_time_us(
         lambda q: fused_attention(q, lengths, B=B, L=L, H=H, D=D,
-                                  emit_quantized="only"),
+                                  emit_quantized="only")[0],
         (qkv,), lo=5, hi=25)
     # MXU ideal: QK^T (2*B*H*L*L*D) + PV at its PHYSICAL width (the v
     # tile is [L, 2D] = 128 lanes: ones-column denominator trick)

@@ -26,9 +26,11 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def main() -> int:
+    import importlib
+
     import jax
     import jax.numpy as jnp
-    from embeddings_tpu.ops import linear as lin
+    lin = importlib.import_module("embeddings_tpu.ops.linear")
     from embeddings_tpu.ops.quant import quantize
     from embeddings_tpu.utils.benchmarking import device_time_us
 
