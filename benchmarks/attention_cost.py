@@ -38,12 +38,28 @@ def main() -> int:
         lambda q: fused_attention(q, lengths, B=B, L=L, H=H, D=D,
                                   emit_quantized="only")[0],
         (qkv,), lo=5, hi=25)
+    t_i8 = device_time_us(
+        lambda q: fused_attention(q, lengths, B=B, L=L, H=H, D=D,
+                                  int8_scores=True),
+        (qkv,), lo=5, hi=25)
+    o_bf = np.asarray(fused_attention(qkv, lengths, B=B, L=L, H=H, D=D),
+                      np.float32)
+    o_i8 = np.asarray(fused_attention(qkv, lengths, B=B, L=L, H=H, D=D,
+                                      int8_scores=True), np.float32)
+    na = o_bf / np.maximum(
+        np.linalg.norm(o_bf, axis=-1, keepdims=True), 1e-9)
+    nb = o_i8 / np.maximum(
+        np.linalg.norm(o_i8, axis=-1, keepdims=True), 1e-9)
+    i8_cos = float((na * nb).sum(-1).min())
     # MXU ideal: QK^T (2*B*H*L*L*D) + PV at its PHYSICAL width (the v
     # tile is [L, 2D] = 128 lanes: ones-column denominator trick)
     ideal_us = ((2 * B * H * L * L * D + 2 * B * H * L * L * 2 * D)
                 / 192.3e12 * 1e6)
     out = {"chip": str(jax.devices()[0]), "B": B, "L": L, "H": H, "D": D,
            "fused_us": round(t, 1), "fused_emit_only_us": round(t_emit, 1),
+           "int8_scores_us": round(t_i8, 1),
+           "int8_scores_speedup": round(t / t_i8, 3),
+           "int8_scores_min_cos": round(i8_cos, 6),
            "mxu_ideal_us": round(ideal_us, 1),
            "pct_of_ideal": round(100 * ideal_us / t, 1),
            "per_layer_x12_us": round(12 * t, 1)}

@@ -113,7 +113,15 @@ def _scan_layers(params: Params, config: BertConfig, x: jax.Array,
     the single stored layer (one compiled body either way). aux: an
     optional pytree of per-layer [NL, ...] arrays scanned alongside the
     params (ModernBERT's is_global / ln_apply flags); apply_layer then
-    receives (layer, h, aux_i)."""
+    receives (layer, h, aux_i).
+
+    Carry layout note (measured, do not redo): the int8 roofline shows
+    ~0.5 ms of XLA layout copies around this loop (copy.15/copy.16/
+    broadcast.12 at [128,256,768] — layout assignment picks {1,2,0}/
+    {2,0,1} for the embedding output vs the loop carry). Carrying the
+    hidden state 2-D ([B*L, E]) to force row-major agreement was tried
+    and is WORSE: XLA then copies inside the body instead (copy.20/21
+    ~600 us; forward 25,870 vs 25,224 us on chip)."""
     if config.shared_layers:
         assert aux is None, "per-layer aux with shared layers"
         shared = jax.tree_util.tree_map(lambda a: a[0], params["layers"])
@@ -269,11 +277,14 @@ def _fused_attn_dispatch(qkv2d, lengths, segments, B, L, H, D,
             # whole-row K/V would not fit VMEM: stream key blocks
             return attn_ops.fused_attention_stream(
                 q2d, lengths, B=B, L=L, H=H, D=D, BK=attn_ops.pick_bk(L))
+        i8s = attn_ops.use_int8_scores()
         if emit_int8:
             o8, osc = attn_ops.fused_attention(
-                q2d, lengths, B=B, L=L, H=H, D=D, emit_quantized="only")
+                q2d, lengths, B=B, L=L, H=H, D=D, emit_quantized="only",
+                int8_scores=i8s)
             return ActQ(o8, osc)
-        return attn_ops.fused_attention(q2d, lengths, B=B, L=L, H=H, D=D)
+        return attn_ops.fused_attention(q2d, lengths, B=B, L=L, H=H, D=D,
+                                        int8_scores=i8s)
 
     if local_window is not None:
         # ModernBERT alternating attention: one lax.cond per layer picks

@@ -72,7 +72,8 @@ def _emit_int8_rows(of32, o8_ref, os_ref):
 
 def _attn_kernel(lengths_ref, q_ref, k_ref, v_ref, o_ref, *,
                  Lq: int, L: int, D: int, H: int, scale: float,
-                 o8_ref=None, os_ref=None, stage_ref=None):
+                 o8_ref=None, os_ref=None, stage_ref=None,
+                 int8_scores: bool = False):
     """Grid (B, L/Lq): queries in [Lq, E] blocks, keys/values the whole
     row. At L <= 512 the engine sets Lq = L (one query block — the
     measured-fast whole-row tile, nQ = 1); longer rows use Lq = 128 so
@@ -82,7 +83,18 @@ def _attn_kernel(lengths_ref, q_ref, k_ref, v_ref, o_ref, *,
     o8_ref/os_ref (emission): also write the context per-row-quantized
     to int8 + f32 row scales. stage_ref (int8-only emission, o_ref is
     None): an f32 VMEM scratch staging the per-head writes so the row
-    absmax reads from VMEM, and the bf16 context never reaches HBM."""
+    absmax reads from VMEM, and the bf16 context never reaches HBM.
+
+    int8_scores: both attention matmuls run s8xs8->s32 on the MXU at
+    2x the bf16 rate (the attention analogue of ops/qmatmul's int8
+    mode). q/k quantize per row (symmetric absmax), v per column, and
+    the probabilities are EMITTED int8: p8 = round(exp2(s - m + log2
+    127)) in [0, 127] — max-subtraction returns (it doubles as the
+    quantization scale), the overflow clamp becomes unnecessary, and
+    the per-row factor 2^m cancels exactly in the p.v / sum(p)
+    normalization, as does the 127: out = acc[:, :D] * sv * 127 /
+    acc_den with acc_den = sum(p8) * 127 off the quantized ones
+    column."""
     b = pl.program_id(0)
     n = lengths_ref[b]
     key_ok = jax.lax.broadcasted_iota(jnp.int32, (Lq, L), 1) < n
@@ -94,6 +106,38 @@ def _attn_kernel(lengths_ref, q_ref, k_ref, v_ref, o_ref, *,
         sl = slice(h * D, (h + 1) * D)
         q = q_ref[:, sl]
         k = k_ref[:, sl]
+        if int8_scores:
+            qf = q.astype(jnp.float32)
+            kf = k.astype(jnp.float32)
+            vf = v_ref[:, sl].astype(jnp.float32)
+            sq = jnp.maximum(jnp.max(jnp.abs(qf), -1, keepdims=True),
+                             1e-30) * (1.0 / 127.0)
+            sk = jnp.maximum(jnp.max(jnp.abs(kf), -1, keepdims=True),
+                             1e-30) * (1.0 / 127.0)
+            sv = jnp.maximum(jnp.max(jnp.abs(vf), 0, keepdims=True),
+                             1e-30) * (1.0 / 127.0)
+            q8 = jnp.round(qf * (1.0 / sq)).astype(jnp.int8)
+            k8 = jnp.round(kf * (1.0 / sk)).astype(jnp.int8)
+            v8 = jnp.round(vf * (1.0 / sv)).astype(jnp.int8)
+            vaug = jnp.where(aug_col == D, jnp.int8(127),
+                             jnp.pad(v8, ((0, 0), (0, D))))
+            s32 = jax.lax.dot_general(
+                q8, k8, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            s = (s32.astype(jnp.float32) * (sq * s2)
+                 * sk.reshape(1, L))
+            s = jnp.where(key_ok, s, -1e30)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            # p in [0, 127] exactly: the row max exponentiates to
+            # log2(127); pad keys underflow exp2 to 0
+            p8 = jnp.round(jnp.exp2(s - m + 6.9886846867721655)
+                           ).astype(jnp.int8)
+            acc = jax.lax.dot(p8, vaug,
+                              preferred_element_type=jnp.int32)
+            den = jnp.maximum(acc[:, D:D + 1].astype(jnp.float32), 1.0)
+            tgt[:, sl] = (acc[:, :D].astype(jnp.float32) * sv
+                          * (127.0 / den)).astype(tgt.dtype)
+            continue
         # v augmented to [L, 2D]: [v | 1 | 0...] — the ones column turns
         # the PV matmul's spare lanes into the softmax row-sum
         vaug = jnp.where(aug_col == D, jnp.ones((), v_ref.dtype),
@@ -713,6 +757,46 @@ def pick_bk(L: int) -> int:
 
 _FORCE_STREAM = False
 
+# int8 attention scores ("auto" = follow ops.linear's int8 compute
+# mode; "on"/"off" force it for A/B measurement). Trace-time, like the
+# other mode switches in this file. DEFAULT OFF: measured on-chip at
+# the headline shape (benchmarks/results/attention_cost.json), int8
+# QK^T/PV is 2.07x SLOWER than the bf16 kernel (1,701 vs 820 us) —
+# every f32->int8 cast of q/k/v and the emitted p8 is a Mosaic
+# relayout ((8,128) f32 tiling -> (32,128) int8 tiling) plus per-head
+# 64-lane absmax reductions, and that VPU tax exceeds the halved MXU
+# time by far. Numerics are fine (min_cos 0.99996); speed is not.
+_INT8_SCORES = "off"
+
+
+def set_int8_scores_mode(mode: str) -> None:
+    global _INT8_SCORES
+    assert mode in ("auto", "on", "off"), mode
+    _INT8_SCORES = mode
+
+
+def int8_scores_mode(mode: str):
+    """Scoped override of the int8-scores dispatch mode (trace-time)."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def _cm():
+        global _INT8_SCORES
+        prev = _INT8_SCORES
+        _INT8_SCORES = mode
+        try:
+            yield
+        finally:
+            _INT8_SCORES = prev
+    return _cm()
+
+
+def use_int8_scores() -> bool:
+    if _INT8_SCORES != "auto":
+        return _INT8_SCORES == "on"
+    from .linear import _use_int8
+    return _use_int8()
+
 
 def force_stream_mode(on: bool = True):
     """Scoped override: make dispatch treat whole-row K/V as not
@@ -945,10 +1029,12 @@ def fused_attention_cp_stream(q: jax.Array, kv: jax.Array,
 
 @functools.partial(jax.jit, static_argnames=("B", "L", "H", "D",
                                              "mask_value", "interpret",
-                                             "emit_quantized"))
+                                             "emit_quantized",
+                                             "int8_scores"))
 def fused_attention(qkv: jax.Array, lengths: jax.Array, *, B: int, L: int,
                     H: int, D: int, mask_value: float = -1e9,
                     emit_quantized: str = "no",
+                    int8_scores: bool = False,
                     interpret: bool = False):
     """qkv [B*L, 3*H*D] (column layout [q | k | v], heads contiguous),
     lengths [B] int32 -> context [B*L, H*D] (pre-output-projection).
@@ -960,6 +1046,9 @@ def fused_attention(qkv: jax.Array, lengths: jax.Array, *, B: int, L: int,
     return the context per-row-quantized (int8 [B*L, E] + f32 [B*L, 1]
     row scales) for the chained int8 o-projection; "only" never writes
     the bf16 context to HBM at all.
+
+    int8_scores: run QK^T and PV on the int8 MXU path (see
+    _attn_kernel) — engaged by the engine when int8 compute is on.
     """
     E = H * D
     M = B * L
@@ -1016,7 +1105,8 @@ def fused_attention(qkv: jax.Array, lengths: jax.Array, *, B: int, L: int,
             (stage_ref,) = rest
         _attn_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, Lq=Lq, L=L,
                      D=D, H=H, scale=1.0 / (D ** 0.5), o8_ref=o8_ref,
-                     os_ref=os_ref, stage_ref=stage_ref)
+                     os_ref=os_ref, stage_ref=stage_ref,
+                     int8_scores=int8_scores)
 
     flops = 2 * 2 * B * H * L * L * D
     out = pl.pallas_call(

@@ -46,6 +46,46 @@ def test_fused_attention_matches_einsum(B, L, H, D, rng):
         np.testing.assert_allclose(g, r, atol=2e-3, rtol=1e-2)
 
 
+@pytest.mark.parametrize("B,L,H,D", [(2, 16, 4, 32), (1, 32, 2, 64)])
+def test_fused_attention_int8_scores_matches_einsum(B, L, H, D, rng):
+    """int8 QK^T/PV mode: q/k per-row, v per-column symmetric int8 with
+    p emitted int8 in [0, 127] — coarser than bf16 (int8 resolution on
+    p), so tolerances are wider; the math (2^m and 127 factors cancel
+    in the normalization) is exercised exactly."""
+    E = H * D
+    qkv = jnp.asarray(rng.standard_normal((B * L, 3 * E)), jnp.float32)
+    lengths = jnp.asarray([max(1, L - 3 * i) for i in range(B)],
+                          jnp.int32)
+    got = np.asarray(fused_attention(qkv, lengths, B=B, L=L, H=H, D=D,
+                                     int8_scores=True, interpret=True),
+                     np.float32)
+    ref = einsum_ref(np.asarray(qkv), lengths, B, L, H, D)
+    assert np.isfinite(got).all()
+    for b in range(B):
+        n = int(lengths[b])
+        g = got[b * L: b * L + n]
+        r = ref[b * L: b * L + n]
+        gn = g / np.maximum(np.linalg.norm(g, axis=-1, keepdims=True),
+                            1e-9)
+        rn = r / np.maximum(np.linalg.norm(r, axis=-1, keepdims=True),
+                            1e-9)
+        assert (gn * rn).sum(-1).min() > 0.999
+        np.testing.assert_allclose(g, r, atol=0.05, rtol=0.05)
+
+
+def test_fused_attention_int8_scores_all_pad_row_finite(rng):
+    """n == 0 filler rows degenerate to uniform p8 = 127 over every
+    key — the output is garbage-but-finite (pooling drops it)."""
+    B, L, H, D = 2, 16, 2, 64
+    E = H * D
+    qkv = jnp.asarray(rng.standard_normal((B * L, 3 * E)), jnp.float32)
+    lengths = jnp.asarray([L, 0], jnp.int32)
+    got = np.asarray(fused_attention(qkv, lengths, B=B, L=L, H=H, D=D,
+                                     int8_scores=True, interpret=True),
+                     np.float32)
+    assert np.isfinite(got).all()
+
+
 def test_supported_predicate():
     assert supported(256, 12, 64)   # bge-base
     assert supported(512, 16, 64)   # bge-large
