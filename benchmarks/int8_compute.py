@@ -46,7 +46,7 @@ def main() -> int:
     from embeddings_tpu.ops.qmatmul import (pick_bm_int8, qmatmul,
                                             residual_ln_fits)
     from embeddings_tpu.ops.quant import quantize
-    from embeddings_tpu.utils.benchmarking import device_time_us
+    from embeddings_tpu.utils.benchmarking import profiled_device_time_us
 
     def bm_for(K, N, epi, x_bytes):
         # mirror ops/linear.py dispatch: pick_bm_int8 for plain
@@ -59,7 +59,9 @@ def main() -> int:
                                         int8=True, x_bytes=x_bytes))
 
     rng = np.random.default_rng(0)
-    results = {"device": str(jax.devices()[0]), "cases": []}
+    results = {"device": str(jax.devices()[0]),
+               "timing": "jax.profiler per-kernel device durations",
+               "cases": []}
     tot_bf, tot_i8, tot_pq = 0.0, 0.0, 0.0
     for name, M, K, N, epi, bm_bf in CASES:
         bm_i8 = bm_for(K, N, epi, x_bytes=2)
@@ -79,9 +81,11 @@ def main() -> int:
             kw.update(epilogue=epi)
 
         def run(i8):
+            # compare a 2048-row slice: full [M, N] f32 downloads are
+            # ~300 MB through the dev relay and dominate wall time
             return qmatmul(x, qt.codes, qt.scales, qt.mins, b,
                            int8_compute=i8, bm=bm_i8 if i8 else bm_bf,
-                           **kw)
+                           **kw)[:2048]
 
         o_bf = np.asarray(run(False), np.float32)
         o_i8 = np.asarray(run(True), np.float32)
@@ -91,23 +95,30 @@ def main() -> int:
             np.linalg.norm(o_i8, axis=-1, keepdims=True), 1e-9)
         cos = float((na * nb).sum(-1).min())
 
-        t_bf = device_time_us(
-            lambda xx: qmatmul(xx, qt.codes, qt.scales, qt.mins, b,
-                               int8_compute=False, bm=bm_bf, **kw),
-            (x,), lo=5, hi=25)
-        t_i8 = device_time_us(
-            lambda xx: qmatmul(xx, qt.codes, qt.scales, qt.mins, b,
-                               int8_compute=True, bm=bm_i8, **kw),
-            (x,), lo=5, hi=25)
+        # profiler-exact kernel durations: the slope method's feedback
+        # chain re-reads input+output every iteration, which adds a
+        # shape-proportional constant (~250-500us at these sizes) to
+        # every variant and DEFLATES the measured speedups
+        t_bf = profiled_device_time_us(
+            jax.jit(lambda xx: qmatmul(
+                xx, qt.codes, qt.scales, qt.mins, b,
+                int8_compute=False, bm=bm_bf, **kw)),
+            (x,), reps=10, name_prefix="qmatmul")
+        t_i8 = profiled_device_time_us(
+            jax.jit(lambda xx: qmatmul(
+                xx, qt.codes, qt.scales, qt.mins, b,
+                int8_compute=True, bm=bm_i8, **kw)),
+            (x,), reps=10, name_prefix="qmatmul")
         # pre-quantized activations (the chained path's consumer side):
         # x arrives as int8 rows + f32 row scales — no per-grid-step
         # requant VPU work, half the x HBM read
         xq8 = quantize_act(x)
-        t_pq = device_time_us(
-            lambda qq: qmatmul(qq, qt.codes, qt.scales, qt.mins, b,
-                               int8_compute=True, x_scale=xq8.s,
-                               bm=bm_pq, **kw),
-            (xq8.q,), lo=5, hi=25)
+        t_pq = profiled_device_time_us(
+            jax.jit(lambda qq: qmatmul(
+                qq, qt.codes, qt.scales, qt.mins, b,
+                int8_compute=True, x_scale=xq8.s,
+                bm=bm_pq, **kw)),
+            (xq8.q,), reps=10, name_prefix="qmatmul")
         tot_bf += t_bf
         tot_i8 += t_i8
         tot_pq += t_pq
