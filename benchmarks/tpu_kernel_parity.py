@@ -251,6 +251,24 @@ def check_attention(results, rng):
                     "ok": bool(err < 3e-2)})
     print(json.dumps(results[-1]), flush=True)
 
+    # int8-scores mode (q/k/v and the emitted probabilities all int8 on
+    # the MXU): shipped OFF (2.07x slower on chip, attention_cost.json)
+    # but the numerics contract still gets silicon coverage — p carries
+    # int8 resolution, so the tolerance is wider than bf16's
+    goti = np.asarray(A.fused_attention(qkv, lengths, B=B, L=L, H=H,
+                                        D=D, int8_scores=True),
+                      np.float32)
+    err = float(np.abs(goti[valid] - ref[valid]).max())
+    gn = goti[valid] / np.maximum(
+        np.linalg.norm(goti[valid], axis=-1, keepdims=True), 1e-9)
+    rn = ref[valid] / np.maximum(
+        np.linalg.norm(ref[valid], axis=-1, keepdims=True), 1e-9)
+    cos = float((gn * rn).sum(-1).min())
+    results.append({"op": "fused_attention_int8_scores", "kind": "int8",
+                    "K": L, "N": E, "max_abs_err": err, "min_cos": cos,
+                    "ok": bool(err < 8e-2 and cos > 0.999)})
+    print(json.dumps(results[-1]), flush=True)
+
     # segmented + windowed on identical packed segments
     seg = np.full((B, L), -1, np.int32)
     for bi in range(B):

@@ -142,9 +142,14 @@ def _attn_kernel(lengths_ref, q_ref, k_ref, v_ref, o_ref, *,
         # the PV matmul's spare lanes into the softmax row-sum
         vaug = jnp.where(aug_col == D, jnp.ones((), v_ref.dtype),
                          jnp.pad(v_ref[:, sl], ((0, 0), (0, D))))
+        # s2 folds into q BEFORE the dot: one VPU pass over [Lq, D]
+        # instead of [Lq, L] (4-16x fewer elements); the f32 multiply
+        # keeps the constant exact, the per-element bf16 rounding is
+        # the same one the scores already carry from bf16 q
+        qs = (q.astype(jnp.float32) * s2).astype(q.dtype)
         s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * s2
+            qs, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
         s = jnp.clip(s, _CLAMP_LO, clamp_hi)
         p = jnp.where(key_ok, jnp.exp2(s), 0.0).astype(q.dtype)
         of = jax.lax.dot(p, vaug, preferred_element_type=jnp.float32)

@@ -132,3 +132,5 @@ def test_tpu_kernel_parity_artifact_not_stale():
     ops = {r["op"] for r in results}
     assert "fused_attention_stream_causal_qwen2_d128" in ops, \
         "Qwen2-shaped (D=128, GQA) causal stream case never swept"
+    assert "fused_attention_int8_scores" in ops, \
+        "int8-scores attention mode never swept on chip"
